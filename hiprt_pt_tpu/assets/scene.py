@@ -1,0 +1,156 @@
+"""Scene data model — flat SoA arrays, the device-side scene representation.
+
+Role parity with the reference's ``Scene`` + per-scene device buffers
+(``HIPRTScene``: src/HIPRT-Orochi/HIPRTScene.h:94-122 — vertex/index/normal/uv
+buffers, per-triangle material indices, emissive-triangle list, material buffer)
+built by ``SceneParser`` (src/Scene/SceneParser.cpp:101-219).
+
+TPU-first: everything is a fixed-shape ``jax.Array`` inside one pytree that jit
+closes over (scene changes retrace, like the reference re-uploading buffers);
+geometry is pre-transformed to world space at load (the reference does the same
+via ASSIMP ``aiProcess_PreTransformVertices``, SceneParser.cpp:25).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core.material import MaterialBank
+
+
+@struct.dataclass
+class EnvmapData:
+    """Equirectangular environment map + its sampling tables
+    (reference: OrochiEnvmap.cpp:30-66 + WorldSettings.h:17-53)."""
+
+    texels: jax.Array          # (H,W,3) f32 linear radiance
+    cdf: jax.Array             # (H*W,) f32 — luminance CDF (binary-search strategy)
+    alias_probas: jax.Array    # (H*W,) f32 — Vose alias table
+    alias_indices: jax.Array   # (H*W,) i32
+    total_luminance: jax.Array  # scalar f32
+
+
+@struct.dataclass
+class TextureAtlas:
+    """Material textures packed into one (L, S, S, 4) array of L equally-sized
+    layers (mips/resampling done at load). ``NO_TEXTURE`` indices skip fetch.
+
+    The reference uses per-texture HW sampler objects (OrochiTexture.h); TPU has
+    no samplers, so textures are resampled to a fixed layer size at load and
+    fetched with manual bilinear gathers (ops/texture.py)."""
+
+    layers: jax.Array          # (L, S, S, 4) f32, linear color space
+    is_srgb: jax.Array         # (L,) bool — sRGB decode applied at load; kept for IO
+
+    @property
+    def num_layers(self) -> int:
+        return self.layers.shape[0]
+
+    @property
+    def size(self) -> int:
+        return self.layers.shape[1]
+
+
+@struct.dataclass
+class SceneData:
+    """Flat world-space scene. T triangles, V vertices, E emissive triangles."""
+
+    vertices: jax.Array        # (V,3) f32
+    triangles: jax.Array       # (T,3) i32 vertex indices
+    normals: jax.Array         # (V,3) f32 per-vertex shading normals
+    uvs: jax.Array             # (V,2) f32
+    material_ids: jax.Array    # (T,) i32 per-triangle material
+    has_vertex_normals: jax.Array  # (T,) bool — smooth shading per triangle
+    materials: MaterialBank
+    # emissive triangle list (reference: SceneParser.cpp:208-219 built on a
+    # dependent thread; here built at load)
+    emissive_tri_indices: jax.Array  # (E,) i32 (E >= 1, padded with -1)
+    num_emissives: jax.Array         # scalar i32
+    emissive_power_cdf: jax.Array    # (E,) f32 — power-weighted CDF for NEE
+    emissive_total_area: jax.Array   # scalar f32
+    envmap: Optional[EnvmapData] = None
+    textures: Optional[TextureAtlas] = None
+
+    @property
+    def num_triangles(self) -> int:
+        return self.triangles.shape[0]
+
+
+def compute_triangle_areas(vertices: np.ndarray, triangles: np.ndarray) -> np.ndarray:
+    v0 = vertices[triangles[:, 0]]
+    v1 = vertices[triangles[:, 1]]
+    v2 = vertices[triangles[:, 2]]
+    return 0.5 * np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1)
+
+
+def build_scene(
+    vertices: np.ndarray,
+    triangles: np.ndarray,
+    material_ids: np.ndarray,
+    materials: MaterialBank,
+    normals: Optional[np.ndarray] = None,
+    uvs: Optional[np.ndarray] = None,
+    envmap: Optional[EnvmapData] = None,
+    textures: Optional[TextureAtlas] = None,
+) -> SceneData:
+    """Assemble a SceneData from host numpy arrays; derives the emissive list."""
+    vertices = np.asarray(vertices, dtype=np.float32)
+    triangles = np.asarray(triangles, dtype=np.int32)
+    material_ids = np.asarray(material_ids, dtype=np.int32)
+    has_vn = np.ones((triangles.shape[0],), dtype=bool)
+    if normals is None:
+        # geometric normals averaged per vertex
+        normals = np.zeros_like(vertices)
+        v0, v1, v2 = (vertices[triangles[:, k]] for k in range(3))
+        fn = np.cross(v1 - v0, v2 - v0)
+        for k in range(3):
+            np.add.at(normals, triangles[:, k], fn)
+        lens = np.linalg.norm(normals, axis=-1, keepdims=True)
+        normals = normals / np.maximum(lens, 1e-12)
+        has_vn[:] = True
+    if uvs is None:
+        uvs = np.zeros((vertices.shape[0], 2), dtype=np.float32)
+
+    # emissive triangles: material emits (reference: Material.h is_emissive)
+    # (numpy on host — avoids per-op device dispatch at scene-load time)
+    em_colors = np.asarray(materials.emission) * np.asarray(
+        materials.emission_strength
+    )[..., None]
+    em_mask_mat = np.any(em_colors > 0.0, axis=-1)
+    em_tri_mask = em_mask_mat[material_ids]
+    em_indices = np.nonzero(em_tri_mask)[0].astype(np.int32)
+    num_em = len(em_indices)
+    areas = compute_triangle_areas(vertices, triangles)
+    if num_em > 0:
+        em_areas = areas[em_indices]
+        em_power = em_areas * np.maximum(
+            em_colors[material_ids[em_indices]].sum(-1), 1e-12
+        )
+        cdf = np.cumsum(em_power)
+        cdf = cdf / cdf[-1]
+        total_area = float(em_areas.sum())
+    else:
+        em_indices = np.zeros((1,), dtype=np.int32) - 1
+        cdf = np.ones((1,), dtype=np.float32)
+        total_area = 0.0
+
+    return SceneData(
+        vertices=jnp.asarray(vertices),
+        triangles=jnp.asarray(triangles),
+        normals=jnp.asarray(normals.astype(np.float32)),
+        uvs=jnp.asarray(uvs.astype(np.float32)),
+        material_ids=jnp.asarray(material_ids),
+        has_vertex_normals=jnp.asarray(has_vn),
+        materials=materials,
+        emissive_tri_indices=jnp.asarray(em_indices),
+        num_emissives=jnp.int32(num_em),
+        emissive_power_cdf=jnp.asarray(cdf.astype(np.float32)),
+        emissive_total_area=jnp.float32(total_area),
+        envmap=envmap,
+        textures=textures,
+    )

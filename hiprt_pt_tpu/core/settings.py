@@ -1,0 +1,312 @@
+"""Render configuration — three tiers, mirroring the reference's config system
+(SURVEY.md §5.6; reference: src/HostDeviceCommon/KernelOptions.h,
+RenderSettings.h, WorldSettings.h).
+
+Tier 1 (CLI flags) lives in ``app/cli.py``.
+
+Tier 2 — **runtime settings** (``RenderSettings``/``WorldSettings``): traced
+pytree leaves; changing them does NOT recompile the jitted render step, exactly
+like the reference's by-value ``HIPRTRenderSettings`` kernel argument
+(RenderSettings.h:17-252).
+
+Tier 3 — **compile-time options** (``RenderOptions``): a frozen, hashable
+dataclass passed as a jit *static* argument. Each distinct combination produces
+one specialized XLA executable — the TPU analog of the reference's ``-D`` macro
+recompilation (KernelOptions.h:35-368). The persistent XLA compilation cache
+plays the role of the reference's shader cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+# --- Tier-3 enums (reference: KernelOptions.h option value sets) ---
+
+
+class LightSamplingStrategy(enum.IntEnum):
+    """reference: DirectLightSamplingStrategy, KernelOptions.h (6 values)."""
+
+    NO_NEE = 0          # LSS_NO_DIRECT_LIGHT_SAMPLING
+    UNIFORM_ONE = 1     # LSS_UNIFORM_ONE_LIGHT
+    BSDF_ONLY = 2       # LSS_BSDF
+    MIS = 3             # LSS_MIS_LIGHT_BSDF
+    RIS_BSDF_LIGHT = 4  # LSS_RIS_BSDF_AND_LIGHT
+    RESTIR_DI = 5       # LSS_RESTIR_DI
+
+
+class EnvmapSamplingStrategy(enum.IntEnum):
+    """reference: EnvmapSamplingStrategy, KernelOptions.h (3 values)."""
+
+    NO_SAMPLING = 0   # ESS_NO_SAMPLING
+    CDF_BINARY = 1    # ESS_BINARY_SEARCH (CDF inversion)
+    ALIAS_TABLE = 2   # ESS_ALIAS_TABLE
+
+
+class BSDFOverride(enum.IntEnum):
+    """Force every surface to one BSDF for debugging (reference: BSDFOverride,
+    Dispatcher.h:18-68)."""
+
+    NONE = 0
+    LAMBERTIAN = 1
+    OREN_NAYAR = 2
+    PRINCIPLED = 3
+
+
+class InteriorStackStrategy(enum.IntEnum):
+    """reference: InteriorStackStrategy, NestedDielectrics.h:20-60."""
+
+    AUTOMATIC = 0        # RT Gems 2019
+    WITH_PRIORITIES = 1  # Schmidt 2002
+
+
+class GGXSamplingVariant(enum.IntEnum):
+    """reference: GGX VNDF sampling variant macro, KernelOptions.h."""
+
+    VNDF = 0
+    VNDF_SPHERICAL_CAPS = 1
+
+
+class ReSTIRBiasCorrection(enum.IntEnum):
+    """reference: ReSTIR_DI_BiasCorrectionWeights — 6 schemes (KernelOptions.h)."""
+
+    M_WEIGHT_1_OVER_M = 0
+    M_WEIGHT_1_OVER_Z = 1
+    MIS_LIKE = 2
+    MIS_GBH = 3                 # generalized balance heuristic
+    PAIRWISE_MIS = 4
+    PAIRWISE_MIS_DEFENSIVE = 5
+
+
+class AmbientLightType(enum.IntEnum):
+    """reference: WorldSettings.h ambient light type."""
+
+    NONE = 0
+    UNIFORM = 1
+    ENVMAP = 2
+
+
+class RussianRouletteMethod(enum.IntEnum):
+    """reference: PathRussianRoulette.h."""
+
+    MAX_THROUGHPUT = 0
+    ARNOLD = 1
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class RenderOptions:
+    """Tier-3 compile-time feature matrix. Hashable; pass as jit static arg.
+
+    reference: src/HostDeviceCommon/KernelOptions.h:35-368 — every field here is
+    one of the reference's ``-D`` option macros.
+    """
+
+    direct_light_sampling: LightSamplingStrategy = LightSamplingStrategy.MIS
+    envmap_sampling: EnvmapSamplingStrategy = EnvmapSamplingStrategy.ALIAS_TABLE
+    envmap_bsdf_mis: bool = True
+    ris_use_visibility_target: bool = False
+    bsdf_override: BSDFOverride = BSDFOverride.NONE
+    interior_stack_strategy: InteriorStackStrategy = (
+        InteriorStackStrategy.WITH_PRIORITIES
+    )
+    nested_dielectrics_stack_size: int = 3
+    ggx_sampling: GGXSamplingVariant = GGXSamplingVariant.VNDF_SPHERICAL_CAPS
+    # ReSTIR DI compile-time options (reference: 7 ReSTIR_DI_* macros)
+    restir_di_initial_visibility: bool = True
+    restir_di_temporal_visibility: bool = False
+    restir_di_spatial_visibility_last_pass: bool = True
+    restir_di_final_visibility: bool = True
+    restir_di_bias_correction: ReSTIRBiasCorrection = (
+        ReSTIRBiasCorrection.PAIRWISE_MIS_DEFENSIVE
+    )
+    restir_di_confidence_weights: bool = True
+    restir_di_fused_spatiotemporal: bool = False
+    # BSDF feature gates (cheap to disable for perf experiments)
+    do_energy_compensation: bool = True
+    do_dispersion: bool = True
+    do_thin_film: bool = True
+    # Wavefront knobs (TPU-native; no reference equivalent)
+    max_bounces_static: int = 8          # static unroll bound for the bounce scan
+    use_pallas_traversal: bool = False   # Pallas BVH kernel vs jnp while_loop
+    white_furnace_mode: bool = False     # uniform white env, BSDF-only (§4.3)
+
+    def replace(self, **kw) -> "RenderOptions":
+        return dataclasses.replace(self, **kw)
+
+
+# --- Tier-2 runtime settings (traced pytrees) ---
+
+
+@struct.dataclass
+class RISSettings:
+    """reference: RenderSettings.h RISSettings."""
+
+    number_of_light_candidates: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(4)
+    )
+    number_of_bsdf_candidates: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(1)
+    )
+
+
+@struct.dataclass
+class ReSTIRDISettings:
+    """reference: src/HostDeviceCommon/ReSTIRDISettings.h:12-195."""
+
+    # initial candidates
+    num_light_candidates: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(4)
+    )
+    num_bsdf_candidates: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(1)
+    )
+    envmap_candidate_probability: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.25)
+    )
+    # temporal pass
+    temporal_enabled: jax.Array = struct.field(
+        default_factory=lambda: jnp.bool_(True)
+    )
+    temporal_max_neighbor_search: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(8)
+    )
+    temporal_neighbor_search_radius: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(4.0)
+    )
+    m_cap: jax.Array = struct.field(default_factory=lambda: jnp.int32(25))
+    # spatial pass
+    spatial_enabled: jax.Array = struct.field(
+        default_factory=lambda: jnp.bool_(True)
+    )
+    num_spatial_passes: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(2)
+    )
+    spatial_radius: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(16.0)
+    )
+    num_spatial_neighbors: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(3)
+    )
+    disocclusion_boost_candidates: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(6)
+    )
+    # similarity heuristics (reference: ReSTIRDISettings.h normal/plane/roughness)
+    normal_similarity_threshold: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.906)  # cos(25deg)
+    )
+    plane_distance_threshold: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.1)
+    )
+    roughness_similarity_threshold: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.25)
+    )
+    # light presampling (reference: 128 subsets x 1024)
+    presample_subset_count: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(128)
+    )
+    presample_subset_size: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(1024)
+    )
+
+
+@struct.dataclass
+class RenderSettings:
+    """Tier-2 runtime knobs passed (traced) into the jitted render step every
+    frame — no recompile on change. reference: RenderSettings.h:17-252."""
+
+    # accumulation / sampling
+    accumulate: jax.Array = struct.field(default_factory=lambda: jnp.bool_(True))
+    samples_per_frame: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(1)
+    )
+    nb_bounces: jax.Array = struct.field(default_factory=lambda: jnp.int32(8))
+    # russian roulette
+    rr_min_depth: jax.Array = struct.field(default_factory=lambda: jnp.int32(3))
+    rr_throughput_clamp: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(10.0)
+    )
+    do_russian_roulette: jax.Array = struct.field(
+        default_factory=lambda: jnp.bool_(True)
+    )
+    # clamps (reference: per-category contribution clamps)
+    direct_contribution_clamp: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.0)  # 0 = off
+    )
+    envmap_contribution_clamp: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
+    indirect_contribution_clamp: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
+    minimum_light_contribution: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
+    # adaptive sampling (reference: AdaptiveSampling.h)
+    enable_adaptive_sampling: jax.Array = struct.field(
+        default_factory=lambda: jnp.bool_(False)
+    )
+    adaptive_sampling_min_samples: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(64)
+    )
+    adaptive_sampling_noise_threshold: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.1)
+    )
+    # stop conditions (reference: RenderWindow::is_rendering_done)
+    stop_noise_threshold: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.0)
+    )
+    stop_pixel_percentage_converged: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(0.9)
+    )
+    # interaction (low-res preview renders 1 pixel out of res_scale^2)
+    render_low_resolution: jax.Array = struct.field(
+        default_factory=lambda: jnp.bool_(False)
+    )
+    low_resolution_scale: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(4)
+    )
+    # alpha testing
+    do_alpha_testing: jax.Array = struct.field(
+        default_factory=lambda: jnp.bool_(True)
+    )
+    # number of NEE light samples per vertex (NEE++ amortization)
+    number_of_light_samples: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(1)
+    )
+    # debug: freeze per-pixel seeds across frames (reference: freeze_random)
+    freeze_random: jax.Array = struct.field(
+        default_factory=lambda: jnp.bool_(False)
+    )
+    ris: RISSettings = struct.field(default_factory=RISSettings)
+    restir_di: ReSTIRDISettings = struct.field(default_factory=ReSTIRDISettings)
+
+
+@struct.dataclass
+class WorldSettings:
+    """Ambient/environment lighting (reference: WorldSettings.h:17-53).
+
+    The envmap texture + its sampling tables live in the SceneData pytree;
+    here are the runtime controls.
+    """
+
+    ambient_light_type: jax.Array = struct.field(
+        default_factory=lambda: jnp.int32(int(AmbientLightType.UNIFORM))
+    )
+    uniform_light_color: jax.Array = struct.field(
+        default_factory=lambda: jnp.array([0.5, 0.5, 0.5], dtype=jnp.float32)
+    )
+    envmap_intensity: jax.Array = struct.field(
+        default_factory=lambda: jnp.float32(1.0)
+    )
+    # 3x3 rotation (world→envmap); identity by default
+    envmap_to_world: jax.Array = struct.field(
+        default_factory=lambda: jnp.eye(3, dtype=jnp.float32)
+    )
+    world_to_envmap: jax.Array = struct.field(
+        default_factory=lambda: jnp.eye(3, dtype=jnp.float32)
+    )

@@ -1,0 +1,54 @@
+"""BSDF dispatch by static override option.
+
+Role parity with the reference's ``bsdf_dispatcher_eval/sample``
+(src/Device/includes/Dispatcher.h:18-68): the `BSDFOverride` compile-time option
+forces every surface to one BSDF model for debugging/furnace tests; the default
+routes to the full principled BSDF. The dispatch is resolved at *trace time*
+(static Python branch under jit) — the TPU analog of the reference's
+macro-compiled dispatch, with zero runtime branching.
+
+The dispatched functions consume a gathered ``MaterialBank`` (one row per hit).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.settings import BSDFOverride, RenderOptions
+from . import lambert, oren_nayar
+
+
+def bsdf_eval(options: RenderOptions, mats, n, wo, wi, volume_state=None):
+    """Returns (f (N,3), pdf (N,))."""
+    ov = options.bsdf_override
+    if ov == BSDFOverride.LAMBERTIAN:
+        return lambert.eval_pdf(mats.base_color, n, wo, wi)
+    if ov == BSDFOverride.OREN_NAYAR:
+        return oren_nayar.eval_pdf(
+            mats.base_color, mats.oren_nayar_sigma, n, wo, wi
+        )
+    # default: full principled BSDF
+    from . import principled
+
+    return principled.eval_pdf(options, mats, n, wo, wi, volume_state)
+
+
+def bsdf_sample(options: RenderOptions, mats, n, wo, rng_state, volume_state=None):
+    """Returns (rng_state, wi (N,3), f (N,3), pdf (N,)[, volume side-info])."""
+    from ..core import rng as rng_mod
+
+    ov = options.bsdf_override
+    if ov == BSDFOverride.LAMBERTIAN:
+        rng_state, u1, u2 = rng_mod.next_float2(rng_state)
+        wi, f, pdf = lambert.sample(mats.base_color, n, wo, u1, u2)
+        return rng_state, wi, f, pdf
+    if ov == BSDFOverride.OREN_NAYAR:
+        rng_state, u1, u2 = rng_mod.next_float2(rng_state)
+        wi, f, pdf = oren_nayar.sample(
+            mats.base_color, mats.oren_nayar_sigma, n, wo, u1, u2
+        )
+        return rng_state, wi, f, pdf
+    from . import principled
+
+    return principled.sample(options, mats, n, wo, rng_state, volume_state)

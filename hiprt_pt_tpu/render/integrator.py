@@ -1,0 +1,420 @@
+"""Wavefront path-tracing integrator — the device compute path.
+
+Role parity with the reference's two main kernels:
+- ``camera_rays_pass`` ≡ the CameraRays kernel (src/Device/kernels/CameraRays.h:
+  46-179): per-pixel reset, low-res interaction masking, adaptive-sampling
+  convergence gating, jittered primary ray, first-hit trace, G-buffer write.
+- ``render_sample`` ≡ the FullPathTracer megakernel (src/Device/kernels/
+  FullPathTracer.h:100-327): NEE + envmap MIS per vertex, contribution clamps,
+  BSDF sampling, russian roulette, miss→envmap, NaN guard, accumulation +
+  denoiser AOV averages.
+
+TPU-first: instead of a divergent per-thread bounce loop, the whole image is a
+flat wavefront of N rays advancing in lockstep through a ``lax.fori_loop`` with
+a static bounce bound; dead rays are masked, every mask-heavy op is plain VPU
+math XLA fuses. The BVH walk (ops/traverse.py) is the only stack-y loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..accel.build import BVHData
+from ..assets.scene import SceneData
+from ..core import rng as rng_mod
+from ..core.camera import Camera, generate_camera_rays
+from ..core.material import MaterialBank
+from ..core.settings import (
+    AmbientLightType,
+    LightSamplingStrategy,
+    EnvmapSamplingStrategy,
+    RenderOptions,
+    RenderSettings,
+    WorldSettings,
+)
+from ..core.state import GBuffer, RenderState
+from ..lights.envmap_sampling import (
+    envmap_pdf_of_direction,
+    eval_envmap,
+    sample_envmap,
+)
+from ..lights.light_sampling import (
+    emissive_pdf_of_direction,
+    sample_emissive_triangle,
+)
+from ..models.dispatcher import bsdf_eval, bsdf_sample
+from ..ops.intersect import offset_ray_origin
+from ..ops.sampling import balance_heuristic
+from ..ops.traverse import closest_hit, occluded
+from ..ops.tonemap import luminance
+
+
+def _interpolate_hit(scene: SceneData, prim, u, v, ray_d):
+    """Gather hit attributes for a batch of hits: position is recomputed by the
+    caller from ray origin + t·d; here: normals, uv, material
+    (reference: Intersect.h:30-83 normal selection + smooth shading)."""
+    safe = jnp.maximum(prim, 0)
+    tri = scene.triangles[safe]
+    n0 = scene.normals[tri[:, 0]]
+    n1 = scene.normals[tri[:, 1]]
+    n2 = scene.normals[tri[:, 2]]
+    w = 1.0 - u - v
+    ns = n0 * w[..., None] + n1 * u[..., None] + n2 * v[..., None]
+    ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
+
+    v0 = scene.vertices[tri[:, 0]]
+    e1 = scene.vertices[tri[:, 1]] - v0
+    e2 = scene.vertices[tri[:, 2]] - v0
+    ng = jnp.cross(e1, e2)
+    ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-12)
+    # orient geometric normal to agree with shading normal
+    ng = jnp.where(jnp.sum(ng * ns, axis=-1, keepdims=True) < 0.0, -ng, ng)
+
+    uv0 = scene.uvs[tri[:, 0]]
+    uv1 = scene.uvs[tri[:, 1]]
+    uv2 = scene.uvs[tri[:, 2]]
+    uv = uv0 * w[..., None] + uv1 * u[..., None] + uv2 * v[..., None]
+
+    mat_id = scene.material_ids[safe]
+    return ns, ng, uv, mat_id
+
+
+def _face_forward(n, d_in):
+    """Flip normal to the side the ray arrives from (two-sided shading —
+    cf. the reference flipping normals for double-sided materials)."""
+    return jnp.where(jnp.sum(n * d_in, axis=-1, keepdims=True) > 0.0, -n, n)
+
+
+def _clamp_contribution(contrib, clamp_val):
+    """Per-category firefly clamp (reference: FullPathTracer.h:194-214);
+    clamp 0 = disabled."""
+    m = jnp.max(contrib, axis=-1, keepdims=True)
+    scale = jnp.where(
+        (clamp_val > 0.0) & (m > clamp_val), clamp_val / jnp.maximum(m, 1e-12), 1.0
+    )
+    return contrib * scale
+
+
+def _nee_enabled(options: RenderOptions) -> bool:
+    return options.direct_light_sampling in (
+        LightSamplingStrategy.UNIFORM_ONE,
+        LightSamplingStrategy.MIS,
+        LightSamplingStrategy.RIS_BSDF_LIGHT,
+        LightSamplingStrategy.RESTIR_DI,
+    )
+
+
+def _nee_uses_mis(options: RenderOptions) -> bool:
+    return options.direct_light_sampling in (
+        LightSamplingStrategy.MIS,
+        LightSamplingStrategy.RIS_BSDF_LIGHT,
+        LightSamplingStrategy.RESTIR_DI,
+    )
+
+
+def camera_rays_pass(
+    scene: SceneData,
+    bvh: BVHData,
+    camera: Camera,
+    settings: RenderSettings,
+    state: RenderState,
+    width: int,
+    height: int,
+    sample_number,
+    rng_state,
+):
+    """Primary-ray pass filling the G-buffer. Returns (rng_state, GBuffer,
+    pixel_active)."""
+    n = width * height
+    rng_state, jx = rng_mod.next_float(rng_state)
+    rng_state, jy = rng_mod.next_float(rng_state)
+    jitter = jnp.stack([jx, jy], axis=-1)
+    o, d = generate_camera_rays(camera, width, height, jitter)
+
+    # pixel activity: adaptive-sampling converged pixels stop tracing
+    # (reference: CameraRays.h:90-105); low-res interaction mode traces one
+    # pixel per scale×scale block (CameraRays.h:60-76)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    px = idx % width
+    py = idx // width
+    sc = settings.low_resolution_scale
+    lowres_keep = ((px % sc) == 0) & ((py % sc) == 0)
+    active = jnp.where(settings.render_low_resolution, lowres_keep, True)
+    adaptive_keep = ~(settings.enable_adaptive_sampling & state.pixel_converged)
+    active = active & adaptive_keep
+
+    rec = closest_hit(bvh, o, d, t_min=0.0, active=active)
+    hit = rec.prim >= 0
+    ns, ng, uv, mat_id = _interpolate_hit(scene, rec.prim, rec.u, rec.v, d)
+    pos = o + d * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
+
+    gbuf = GBuffer(
+        position=pos,
+        shading_normal=jnp.where(hit[..., None], _face_forward(ns, d), 0.0),
+        geometric_normal=jnp.where(hit[..., None], _face_forward(ng, d), 0.0),
+        view_direction=-d,
+        material_id=jnp.where(hit, mat_id, -1),
+        prim_index=rec.prim,
+        uv=uv,
+        t=rec.t,
+        ray_dir=d,
+    )
+    return rng_state, gbuf, active
+
+
+def _direct_lighting(
+    options: RenderOptions,
+    scene: SceneData,
+    bvh: BVHData,
+    world: WorldSettings,
+    settings: RenderSettings,
+    mats: MaterialBank,
+    p,
+    ns,
+    ng,
+    wo,
+    rng_state,
+    active,
+):
+    """NEE at one path vertex: emissive triangles + envmap, each MIS-weighted
+    against the BSDF (reference: Lights.h sample_one_light + Envmap.h
+    sample_environment_map). Returns (rng_state, radiance (N,3))."""
+    n_rays = p.shape[0]
+    contrib = jnp.zeros((n_rays, 3), jnp.float32)
+
+    if _nee_enabled(options):
+        rng_state, ls = sample_emissive_triangle(scene, p, rng_state)
+        wi = ls["wi"]
+        cos_i = jnp.sum(ns * wi, axis=-1)
+        f, bsdf_pdf = bsdf_eval(options, mats, ns, wo, wi)
+        cand = active & ls["valid"] & (cos_i > 0.0) & (ls["pdf"] > 0.0)
+        # shadow ray
+        so = offset_ray_origin(p, ng, wi)
+        shadow_blocked = occluded(
+            bvh, so, wi, t_max=ls["dist"] * (1.0 - 1e-3), active=cand
+        )
+        vis = cand & ~shadow_blocked
+        if _nee_uses_mis(options):
+            w_mis = balance_heuristic(ls["pdf"], bsdf_pdf)
+        else:
+            w_mis = jnp.ones_like(ls["pdf"])
+        c = f * ls["radiance"] * (cos_i / jnp.maximum(ls["pdf"], 1e-12))[..., None]
+        c = c * w_mis[..., None]
+        # minimum light contribution culling (reference: RenderSettings.h
+        # minimum_light_contribution)
+        strong = (
+            luminance(c) >= settings.minimum_light_contribution
+        ) | (settings.minimum_light_contribution <= 0.0)
+        c = _clamp_contribution(c, settings.direct_contribution_clamp)
+        contrib = contrib + jnp.where((vis & strong)[..., None], c, 0.0)
+
+    # envmap NEE
+    if (
+        scene.envmap is not None
+        and options.envmap_sampling != EnvmapSamplingStrategy.NO_SAMPLING
+    ):
+        rng_state, wi_e, rad_e, pdf_e = sample_envmap(
+            options, world, scene.envmap, rng_state, n_rays
+        )
+        cos_e = jnp.sum(ns * wi_e, axis=-1)
+        f_e, bsdf_pdf_e = bsdf_eval(options, mats, ns, wo, wi_e)
+        cand_e = (
+            active
+            & (cos_e > 0.0)
+            & (pdf_e > 0.0)
+            & (world.ambient_light_type == int(AmbientLightType.ENVMAP))
+        )
+        so_e = offset_ray_origin(p, ng, wi_e)
+        blocked_e = occluded(bvh, so_e, wi_e, active=cand_e)
+        vis_e = cand_e & ~blocked_e
+        if options.envmap_bsdf_mis:
+            w_mis_e = balance_heuristic(pdf_e, bsdf_pdf_e)
+        else:
+            w_mis_e = jnp.ones_like(pdf_e)
+        ce = f_e * rad_e * (cos_e / jnp.maximum(pdf_e, 1e-12))[..., None]
+        ce = ce * w_mis_e[..., None]
+        ce = _clamp_contribution(ce, settings.envmap_contribution_clamp)
+        contrib = contrib + jnp.where(vis_e[..., None], ce, 0.0)
+
+    return rng_state, contrib
+
+
+def render_sample(
+    options: RenderOptions,
+    scene: SceneData,
+    bvh: BVHData,
+    world: WorldSettings,
+    settings: RenderSettings,
+    gbuffer: GBuffer,
+    pixel_active,
+    rng_state,
+):
+    """Trace one full path per pixel starting from the G-buffer first hit.
+
+    Returns (rng_state, radiance (N,3), aov_albedo (N,3), aov_normal (N,3)).
+    """
+    n_rays = gbuffer.position.shape[0]
+    d0 = gbuffer.ray_dir
+    hit0 = gbuffer.prim_index >= 0
+
+    radiance = jnp.zeros((n_rays, 3), jnp.float32)
+    throughput = jnp.ones((n_rays, 3), jnp.float32)
+
+    # miss at the primary ray → ambient/envmap, weight 1
+    env0 = eval_envmap(world, scene.envmap, d0)
+    radiance = radiance + jnp.where(
+        (~hit0 & pixel_active)[..., None], env0, 0.0
+    )
+
+    # emission at the primary hit, weight 1 (camera directly sees the light)
+    mats0 = scene.materials.at_indices(
+        jnp.maximum(gbuffer.material_id, 0)
+    ).make_safe()
+    em0 = mats0.effective_emission()
+    # only front face emits toward the camera... reference treats emissive as
+    # two-sided; keep two-sided here (abs cos in pdf conversion matches)
+    radiance = radiance + jnp.where(
+        (hit0 & pixel_active)[..., None], em0, 0.0
+    )
+
+    # denoiser AOVs: albedo + camera-space-ish normal of the first hit
+    aov_albedo = jnp.where(
+        hit0[..., None], mats0.base_color, jnp.clip(env0, 0.0, 1.0)
+    )
+    aov_normal = jnp.where(hit0[..., None], gbuffer.shading_normal, 0.0)
+
+    carry = dict(
+        rng=rng_state,
+        radiance=radiance,
+        throughput=throughput,
+        active=hit0 & pixel_active,
+        p=gbuffer.position,
+        ns=gbuffer.shading_normal,
+        ng=gbuffer.geometric_normal,
+        wo=gbuffer.view_direction,
+        mat_id=jnp.maximum(gbuffer.material_id, 0),
+    )
+
+    def bounce_body(bounce, carry):
+        rng_state = carry["rng"]
+        active = carry["active"] & (bounce < settings.nb_bounces)
+        p, ns, ng, wo = carry["p"], carry["ns"], carry["ng"], carry["wo"]
+        throughput = carry["throughput"]
+        radiance = carry["radiance"]
+        mats = scene.materials.at_indices(carry["mat_id"]).make_safe()
+
+        # --- NEE ---
+        rng_state, direct = _direct_lighting(
+            options, scene, bvh, world, settings, mats, p, ns, ng, wo,
+            rng_state, active,
+        )
+        radiance = radiance + jnp.where(
+            active[..., None], throughput * direct, 0.0
+        )
+
+        # --- BSDF sample + bounce ray ---
+        out = bsdf_sample(options, mats, ns, wo, rng_state)
+        rng_state, wi, f, bsdf_pdf = out[0], out[1], out[2], out[3]
+        cos_i = jnp.sum(ns * wi, axis=-1)
+        valid_sample = active & (bsdf_pdf > 1e-9) & (cos_i > 1e-9)
+        new_throughput = throughput * jnp.where(
+            valid_sample[..., None],
+            f * (cos_i / jnp.maximum(bsdf_pdf, 1e-12))[..., None],
+            0.0,
+        )
+
+        # --- russian roulette (reference: RussianRoulette.h max-throughput
+        # method with throughput clamp) ---
+        rng_state, u_rr = rng_mod.next_float(rng_state)
+        max_tp = jnp.minimum(
+            jnp.max(new_throughput, axis=-1), settings.rr_throughput_clamp
+        )
+        survive_p = jnp.clip(max_tp, 0.05, 1.0)
+        do_rr = settings.do_russian_roulette & (bounce >= settings.rr_min_depth)
+        killed = do_rr & (u_rr >= survive_p)
+        new_throughput = jnp.where(
+            (do_rr & ~killed)[..., None],
+            new_throughput / survive_p[..., None],
+            new_throughput,
+        )
+        valid_sample = valid_sample & ~killed
+
+        # --- trace bounce ray ---
+        o_next = offset_ray_origin(p, ng, wi)
+        rec = closest_hit(bvh, o_next, wi, t_min=0.0, active=valid_sample)
+        hit = rec.prim >= 0
+
+        # hit an emitter via the BSDF ray → MIS-weighted emission
+        light_pdf, is_em = emissive_pdf_of_direction(
+            scene, o_next, rec.prim, rec.t, wi
+        )
+        if _nee_enabled(options):
+            if _nee_uses_mis(options):
+                w_em = balance_heuristic(bsdf_pdf, light_pdf)
+            else:
+                # pure-NEE strategies: emitter hits already accounted by NEE
+                w_em = jnp.zeros_like(bsdf_pdf)
+        else:
+            w_em = jnp.ones_like(bsdf_pdf)
+        em_mats = scene.materials.at_indices(
+            scene.material_ids[jnp.maximum(rec.prim, 0)]
+        )
+        em_c = em_mats.effective_emission() * w_em[..., None] * new_throughput
+        em_c = _clamp_contribution(em_c, settings.indirect_contribution_clamp)
+        radiance = radiance + jnp.where(
+            (valid_sample & hit & is_em)[..., None], em_c, 0.0
+        )
+
+        # miss → envmap with MIS weight vs envmap importance sampling
+        env_rad = eval_envmap(world, scene.envmap, wi)
+        if (
+            scene.envmap is not None
+            and options.envmap_sampling != EnvmapSamplingStrategy.NO_SAMPLING
+            and options.envmap_bsdf_mis
+        ):
+            env_pdf = envmap_pdf_of_direction(options, world, scene.envmap, wi)
+            is_env_mode = world.ambient_light_type == int(AmbientLightType.ENVMAP)
+            w_env = jnp.where(
+                is_env_mode, balance_heuristic(bsdf_pdf, env_pdf), 1.0
+            )
+        else:
+            w_env = jnp.ones_like(bsdf_pdf)
+        env_c = env_rad * w_env[..., None] * new_throughput
+        env_c = _clamp_contribution(env_c, settings.envmap_contribution_clamp)
+        radiance = radiance + jnp.where(
+            (valid_sample & ~hit)[..., None], env_c, 0.0
+        )
+
+        # prepare next vertex
+        ns2, ng2, uv2, mat_id2 = _interpolate_hit(scene, rec.prim, rec.u, rec.v, wi)
+        p2 = o_next + wi * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
+        next_active = valid_sample & hit
+
+        return dict(
+            rng=rng_state,
+            radiance=radiance,
+            throughput=jnp.where(
+                next_active[..., None], new_throughput, throughput
+            ),
+            active=next_active,
+            p=jnp.where(next_active[..., None], p2, p),
+            ns=jnp.where(next_active[..., None], _face_forward(ns2, wi), ns),
+            ng=jnp.where(next_active[..., None], _face_forward(ng2, wi), ng),
+            wo=jnp.where(next_active[..., None], -wi, wo),
+            mat_id=jnp.where(next_active, mat_id2, carry["mat_id"]),
+        )
+
+    carry = jax.lax.fori_loop(
+        0, options.max_bounces_static, bounce_body, carry
+    )
+
+    radiance = carry["radiance"]
+    # NaN / negative sanity scrub (reference: FullPathTracer.h:292-294
+    # sanity_check) — bad samples contribute black rather than poisoning the
+    # accumulation buffer
+    bad = jnp.any(~jnp.isfinite(radiance) | (radiance < 0.0), axis=-1)
+    radiance = jnp.where(bad[..., None], 0.0, radiance)
+    return carry["rng"], radiance, aov_albedo, aov_normal

@@ -1,0 +1,265 @@
+"""Renderer — host-side orchestration around the jitted render step.
+
+Role parity with ``GPURenderer`` (src/Renderer/GPURenderer.h:35-508): owns the
+scene + acceleration structure + camera + settings, advances the accumulation
+state by ``samples_per_frame`` each frame, tracks per-pass timings and stop
+conditions (reference: RenderWindow::is_rendering_done,
+src/UI/RenderWindow.cpp:582-616).
+
+TPU-first: there is exactly ONE compiled artifact per RenderOptions combination
+— a pure function ``(state, scene, bvh, camera, settings, world) → state`` with
+the state donated. No buffer reallocation / pointer rebinding per frame
+(reference: GPURenderer::update, GPURenderer.cpp:236-261 + 980-1039); resizing
+or toggling a tier-3 option simply compiles a new specialization, served by the
+persistent XLA compile cache (≡ the reference's shader cache).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.build import BVHData, build_bvh
+from ..assets.scene import SceneData
+from ..core import rng as rng_mod
+from ..core.camera import Camera
+from ..core.settings import RenderOptions, RenderSettings, WorldSettings
+from ..core.state import RenderState, init_render_state
+from ..ops.tonemap import luminance, resolve_accumulation, tonemap_gamma
+from ..utils.perf import PerformanceMetrics
+from .integrator import camera_rays_pass, render_sample
+
+
+@partial(jax.jit, static_argnames=("options", "width", "height"), donate_argnums=(4,))
+def render_step(
+    options: RenderOptions,
+    width: int,
+    height: int,
+    scene_and_bvh,
+    state: RenderState,
+    camera: Camera,
+    settings: RenderSettings,
+    world: WorldSettings,
+) -> RenderState:
+    """Advance the render state by ``settings.samples_per_frame`` samples."""
+    scene, bvh = scene_and_bvh
+
+    def one_sample(s, state: RenderState):
+        sample_number = jnp.where(
+            settings.freeze_random, jnp.int32(0), state.sample_count + s
+        )
+        n = width * height
+        pix = jnp.arange(n, dtype=jnp.uint32)
+        rng_state = rng_mod.seed(pix, sample_number, state.seed)
+
+        rng_state, gbuf, active = camera_rays_pass(
+            scene, bvh, camera, settings, state, width, height, sample_number,
+            rng_state,
+        )
+        rng_state, radiance, aov_albedo, aov_normal = render_sample(
+            options, scene, bvh, world, settings, gbuf, active, rng_state
+        )
+
+        # --- accumulation (reference: FullPathTracer.h:296-326) ---
+        accum = jnp.where(
+            settings.accumulate, state.accum + jnp.where(active[..., None], radiance, 0.0),
+            jnp.where(active[..., None], radiance, state.accum),
+        )
+        lum = luminance(radiance)
+        accum_sq = jnp.where(
+            settings.accumulate & active,
+            state.accum_sq_luminance + lum * lum,
+            state.accum_sq_luminance,
+        )
+        pix_count = state.pixel_sample_count + active.astype(jnp.int32)
+
+        # --- adaptive-sampling convergence test (reference:
+        # AdaptiveSampling.h:11-104 — 95% confidence interval) ---
+        nf = jnp.maximum(pix_count.astype(jnp.float32), 1.0)
+        mean_lum = luminance(accum) / nf
+        var = jnp.maximum(
+            (accum_sq - (luminance(accum) ** 2) / nf) / jnp.maximum(nf - 1.0, 1.0),
+            0.0,
+        )
+        ci = 1.96 * jnp.sqrt(var / nf)
+        thresh = jnp.maximum(
+            settings.adaptive_sampling_noise_threshold * mean_lum, 1e-6
+        )
+        converged = (
+            (pix_count >= settings.adaptive_sampling_min_samples) & (ci < thresh)
+        )
+        converged = jnp.where(
+            settings.enable_adaptive_sampling | (settings.stop_noise_threshold > 0.0),
+            converged,
+            False,
+        )
+
+        new_gbuffer = gbuf
+        return state.replace(
+            accum=accum,
+            sample_count=state.sample_count + 1,
+            accum_sq_luminance=accum_sq,
+            pixel_sample_count=pix_count,
+            pixel_converged=converged,
+            nb_pixels_converged=jnp.sum(converged.astype(jnp.int32)),
+            denoiser_albedo=state.denoiser_albedo
+            + jnp.where(active[..., None], aov_albedo, 0.0),
+            denoiser_normal=state.denoiser_normal
+            + jnp.where(active[..., None], aov_normal, 0.0),
+            prev_gbuffer=state.gbuffer,
+            gbuffer=new_gbuffer,
+        )
+
+    return jax.lax.fori_loop(0, settings.samples_per_frame, one_sample, state)
+
+
+class Renderer:
+    """Host-side renderer: the TPU analog of GPURenderer + the headless parts
+    of RenderWindow."""
+
+    def __init__(
+        self,
+        scene: SceneData,
+        camera: Camera,
+        width: int,
+        height: int,
+        options: RenderOptions = RenderOptions(),
+        settings: Optional[RenderSettings] = None,
+        world: Optional[WorldSettings] = None,
+        bvh: Optional[BVHData] = None,
+        seed: int = 42,
+    ):
+        self.scene = scene
+        self.camera = camera
+        self.width = width
+        self.height = height
+        self.options = options
+        self.settings = settings or RenderSettings()
+        self.world = world or WorldSettings()
+        if bvh is None:
+            t0 = time.perf_counter()
+            bvh = build_bvh(
+                np.asarray(scene.vertices), np.asarray(scene.triangles)
+            )
+            self.bvh_build_time = time.perf_counter() - t0
+        self.bvh = bvh
+        self.seed = seed
+        self.state = init_render_state(width, height, seed)
+        self.metrics = PerformanceMetrics()
+        self._render_start_time: Optional[float] = None
+        self.max_sample_count: Optional[int] = None
+        self.max_render_time: Optional[float] = None
+
+    # --- frame loop ---
+
+    def step(self, block: bool = False) -> RenderState:
+        """Queue one frame of ``samples_per_frame`` samples (async dispatch —
+        the analog of the reference's non-blocking stream submission,
+        GPURenderer.cpp:408-464)."""
+        if self._render_start_time is None:
+            self._render_start_time = time.perf_counter()
+        t0 = time.perf_counter()
+        self.state = render_step(
+            self.options,
+            self.width,
+            self.height,
+            (self.scene, self.bvh),
+            self.state,
+            self.camera,
+            self.settings,
+            self.world,
+        )
+        if block:
+            jax.block_until_ready(self.state.accum)
+            dt = time.perf_counter() - t0
+            spf = int(jax.device_get(self.settings.samples_per_frame))
+            self.metrics.add("frame_ms", dt * 1000.0)
+            self.metrics.add(
+                "samples_per_s", spf / dt if dt > 0 else 0.0
+            )
+        return self.state
+
+    def frame_render_done(self) -> bool:
+        """Non-blocking poll — analog of oroStreamQuery
+        (GPURenderer.cpp:497-510)."""
+        try:
+            return self.state.accum.is_ready()
+        except AttributeError:  # older jax fallback
+            return True
+
+    def render(self, total_samples: int, log_every: int = 0):
+        """Headless render loop to a target sample count (reference:
+        main.cpp GPU_RENDER=0 CPU headless path)."""
+        while int(jax.device_get(self.state.sample_count)) < total_samples:
+            self.step(block=True)
+            if log_every:
+                sc = int(jax.device_get(self.state.sample_count))
+                if sc % log_every == 0:
+                    print(f"[render] {sc}/{total_samples} samples")
+            if self.is_rendering_done():
+                break
+        jax.block_until_ready(self.state.accum)
+        return self.state
+
+    def is_rendering_done(self) -> bool:
+        """Stop conditions (reference: RenderWindow.cpp:582-616): max samples,
+        max time, percentage of pixels converged."""
+        sc = int(jax.device_get(self.state.sample_count))
+        if self.max_sample_count is not None and sc >= self.max_sample_count:
+            return True
+        if (
+            self.max_render_time is not None
+            and self._render_start_time is not None
+            and time.perf_counter() - self._render_start_time
+            >= self.max_render_time
+        ):
+            return True
+        stop_thresh = float(jax.device_get(self.settings.stop_noise_threshold))
+        if stop_thresh > 0.0:
+            frac = float(
+                jax.device_get(self.state.nb_pixels_converged)
+            ) / float(self.width * self.height)
+            if frac >= float(
+                jax.device_get(self.settings.stop_pixel_percentage_converged)
+            ):
+                return True
+        return False
+
+    # --- output ---
+
+    def hdr_image(self) -> np.ndarray:
+        """(H, W, 3) mean radiance."""
+        img = resolve_accumulation(self.state.accum, self.state.sample_count)
+        img = np.asarray(jax.device_get(img)).reshape(self.height, self.width, 3)
+        return img[::-1]  # flip: row 0 is bottom in NDC
+
+    def ldr_image(self, exposure: float = 1.0, gamma: float = 2.2) -> np.ndarray:
+        hdr = resolve_accumulation(self.state.accum, self.state.sample_count)
+        ldr = tonemap_gamma(hdr, exposure, gamma)
+        img = np.asarray(jax.device_get(ldr)).reshape(self.height, self.width, 3)
+        return img[::-1]
+
+    def aov_images(self):
+        n = jnp.maximum(self.state.pixel_sample_count.astype(jnp.float32), 1.0)
+        alb = np.asarray(
+            jax.device_get(self.state.denoiser_albedo / n[:, None])
+        ).reshape(self.height, self.width, 3)[::-1]
+        nrm = np.asarray(
+            jax.device_get(self.state.denoiser_normal / n[:, None])
+        ).reshape(self.height, self.width, 3)[::-1]
+        return alb, nrm
+
+    def reset(self):
+        """Restart accumulation (reference: GPURenderer::reset,
+        GPURenderer.cpp:953-973 — re-seeds to the fixed seed)."""
+        self.state = init_render_state(self.width, self.height, self.seed)
+        self._render_start_time = None
+
+    def set_camera(self, camera: Camera):
+        self.camera = camera
+        self.reset()

@@ -36,6 +36,8 @@ class GBuffer:
     uv: jax.Array              # (N,2) interpolated texture coords
     t: jax.Array               # (N,) hit distance (inf = miss)
     ray_dir: jax.Array         # (N,3) primary ray direction (for miss shading)
+    backface: jax.Array        # (N,) bool — ray hit the back of the authored
+                               # surface (drives enter/exit IOR for glass)
 
     @classmethod
     def empty(cls, n: int) -> "GBuffer":
@@ -49,6 +51,7 @@ class GBuffer:
             uv=jnp.zeros((n, 2), jnp.float32),
             t=jnp.full((n,), jnp.inf, jnp.float32),
             ray_dir=jnp.zeros((n, 3), jnp.float32),
+            backface=jnp.zeros((n,), jnp.bool_),
         )
 
 
@@ -75,6 +78,9 @@ class RenderState:
     # HIPRTRenderData for ReSTIR temporal reprojection)
     gbuffer: GBuffer
     prev_gbuffer: GBuffer
+    # total rays traced (primary + bounce + shadow) — feeds the Mrays/s metric
+    # (reference: samples/s stat, RenderWindow.cpp:643-658)
+    rays_traced: jax.Array         # scalar f32
     # frame-global RNG seed (reference: m_rng re-seeded to 42 on reset)
     seed: jax.Array                # scalar u32
     # ReSTIR DI reservoir state (None until the ReSTIR pass is enabled)
@@ -98,6 +104,7 @@ def init_render_state(width: int, height: int, seed: int = 42) -> RenderState:
         denoiser_normal=jnp.zeros((n, 3), jnp.float32),
         gbuffer=GBuffer.empty(n),
         prev_gbuffer=GBuffer.empty(n),
+        rays_traced=jnp.float32(0.0),
         seed=jnp.uint32(seed),
         restir=None,
     )

@@ -8,6 +8,11 @@ routes to the full principled BSDF. The dispatch is resolved at *trace time*
 macro-compiled dispatch, with zero runtime branching.
 
 The dispatched functions consume a gathered ``MaterialBank`` (one row per hit).
+Uniform interface:
+  bsdf_eval(options, mats, n, wo, wi, aux)      -> (f (N,3), pdf (N,))
+  bsdf_sample(options, mats, n, wo, rng, aux)   -> (rng, wi, f, pdf, sample_aux)
+aux may carry 'eta_rel' (relative IOR for transmission); sample_aux carries a
+'refracted' mask for volume tracking.
 """
 
 from __future__ import annotations
@@ -19,8 +24,11 @@ from ..core.settings import BSDFOverride, RenderOptions
 from . import lambert, oren_nayar
 
 
-def bsdf_eval(options: RenderOptions, mats, n, wo, wi, volume_state=None):
-    """Returns (f (N,3), pdf (N,))."""
+def _no_refract(n_rays):
+    return {"refracted": jnp.zeros((n_rays,), jnp.bool_)}
+
+
+def bsdf_eval(options: RenderOptions, mats, n, wo, wi, aux=None):
     ov = options.bsdf_override
     if ov == BSDFOverride.LAMBERTIAN:
         return lambert.eval_pdf(mats.base_color, n, wo, wi)
@@ -28,27 +36,25 @@ def bsdf_eval(options: RenderOptions, mats, n, wo, wi, volume_state=None):
         return oren_nayar.eval_pdf(
             mats.base_color, mats.oren_nayar_sigma, n, wo, wi
         )
-    # default: full principled BSDF
     from . import principled
 
-    return principled.eval_pdf(options, mats, n, wo, wi, volume_state)
+    return principled.eval_pdf(options, mats, n, wo, wi, aux)
 
 
-def bsdf_sample(options: RenderOptions, mats, n, wo, rng_state, volume_state=None):
-    """Returns (rng_state, wi (N,3), f (N,3), pdf (N,)[, volume side-info])."""
+def bsdf_sample(options: RenderOptions, mats, n, wo, rng_state, aux=None):
     from ..core import rng as rng_mod
 
     ov = options.bsdf_override
     if ov == BSDFOverride.LAMBERTIAN:
         rng_state, u1, u2 = rng_mod.next_float2(rng_state)
         wi, f, pdf = lambert.sample(mats.base_color, n, wo, u1, u2)
-        return rng_state, wi, f, pdf
+        return rng_state, wi, f, pdf, _no_refract(n.shape[0])
     if ov == BSDFOverride.OREN_NAYAR:
         rng_state, u1, u2 = rng_mod.next_float2(rng_state)
         wi, f, pdf = oren_nayar.sample(
             mats.base_color, mats.oren_nayar_sigma, n, wo, u1, u2
         )
-        return rng_state, wi, f, pdf
+        return rng_state, wi, f, pdf, _no_refract(n.shape[0])
     from . import principled
 
-    return principled.sample(options, mats, n, wo, rng_state, volume_state)
+    return principled.sample(options, mats, n, wo, rng_state, aux)

@@ -1,0 +1,420 @@
+"""Layered principled BSDF — eval / sample / pdf, fully vectorized.
+
+Role parity with src/Device/includes/BSDFs/Principled.h (1195 LoC layered
+BSDF: coat GGX → sheen → {metal GGX w/ F82 tint, specular GGX dielectric,
+glass GGX, diffuse Oren-Nayar} with layer throughput compositing, lobe
+weights + sampling probabilities, eval/sample entry points).
+
+TPU-first structure (SURVEY.md §7.2 hard part #2): every lobe is evaluated
+branchlessly for the whole wavefront and blended by weights; sampling picks a
+lobe per ray with a `jnp.where` ladder over the lobe-probability CDF and the
+combined pdf is the probability-weighted sum of all lobe pdfs (one-sample MIS),
+so eval and sample are exactly consistent.
+
+Lobe model:
+  f = coat·f_coat
+    + coat_att · [ sheen·f_sheen
+                 + metallic·f_metal(F82-tint)
+                 + (1-metallic)·trans·f_glass(Walter07 reflect+refract)
+                 + (1-metallic)·(1-trans)·(f_specular + (1-F)·f_diffuse(ON)) ]
+where coat_att accounts for light passing the coat interface twice and
+coat darkening (reference: Principled.h:493,717).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.material import MaterialBank, get_alphas, oren_nayar_AB
+from ..core.settings import RenderOptions
+from ..core import rng as rng_mod
+from ..ops.sampling import INV_PI, build_onb
+from . import microfacet as mf
+from .fresnel import f82_tint, fresnel_dielectric, schlick
+
+_MIN_P = 1e-4
+
+
+def _to_local(n, w):
+    t, b = build_onb(n)
+    return jnp.stack(
+        [
+            jnp.sum(w * t, axis=-1),
+            jnp.sum(w * b, axis=-1),
+            jnp.sum(w * n, axis=-1),
+        ],
+        axis=-1,
+    )
+
+
+def _to_world(n, w):
+    t, b = build_onb(n)
+    return w[..., 0:1] * t + w[..., 1:2] * b + w[..., 2:3] * n
+
+
+def _lum(c):
+    return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
+
+
+# ---------------------------------------------------------------- lobes
+
+
+def _ggx_reflection_lobe(wo, wi, ax, ay):
+    """Shared GGX reflection term D·G2/(4 cos_o cos_i) (no Fresnel) + VNDF pdf.
+    Valid only when wo.z>0 and wi.z>0."""
+    valid = (wo[..., 2] > 1e-6) & (wi[..., 2] > 1e-6)
+    h = wo + wi
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    h = jnp.where(h[..., 2:3] < 0.0, -h, h)
+    d = mf.ggx_ndf(h, ax, ay)
+    g2 = mf.smith_g2_height_correlated(wo, wi, ax, ay)
+    denom = 4.0 * jnp.maximum(wo[..., 2] * wi[..., 2], 1e-9)
+    spec = jnp.where(valid, d * g2 / denom, 0.0)
+    doth = jnp.maximum(jnp.sum(wo * h, axis=-1), 1e-9)
+    pdf = jnp.where(valid, mf.vndf_pdf(wo, h, ax, ay) / (4.0 * doth), 0.0)
+    cos_h = jnp.sum(wo * h, axis=-1)
+    return spec, pdf, cos_h, valid
+
+
+def _sheen_lobe(wo, wi, sheen_roughness):
+    """'Charlie' sheen NDF (Estevez & Kulla 2017, production-friendly
+    microfacet sheen — replaces the reference's fitted LTC table with an
+    analytic model of the same capability; SheenLTC.h role)."""
+    valid = (wo[..., 2] > 1e-6) & (wi[..., 2] > 1e-6)
+    h = wo + wi
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    alpha = jnp.clip(sheen_roughness, 0.05, 1.0)
+    inv_a = 1.0 / alpha
+    cos_h = jnp.clip(h[..., 2], -1.0, 1.0)
+    sin_h2 = jnp.maximum(1.0 - cos_h * cos_h, 1e-8)
+    d = (2.0 + inv_a) * (sin_h2 ** (0.5 * inv_a)) / (2.0 * jnp.pi)
+    # Neubelt-Pettineo visibility-ish denominator (cheap, energy bounded)
+    denom = 4.0 * jnp.maximum(
+        wo[..., 2] + wi[..., 2] - wo[..., 2] * wi[..., 2], 1e-6
+    )
+    f = jnp.where(valid, d / denom, 0.0)
+    pdf = jnp.where(valid, jnp.maximum(wi[..., 2], 1e-8) * INV_PI, 0.0)
+    return f, pdf
+
+
+def _diffuse_lobe(base_color, sigma, wo, wi):
+    """Oren-Nayar diffuse in local frame."""
+    cos_o = wo[..., 2]
+    cos_i = wi[..., 2]
+    valid = (cos_i > 1e-6) & (cos_o > 1e-6)
+    A, B = oren_nayar_AB(sigma)
+    sin_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_o * cos_o))
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    denom = jnp.maximum(sin_i * sin_o, 1e-7)
+    cos_dphi = jnp.clip(
+        (wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1]) / denom, -1.0, 1.0
+    )
+    sin_alpha = jnp.maximum(sin_i, sin_o)
+    tan_beta = jnp.minimum(sin_i, sin_o) / jnp.maximum(
+        jnp.minimum(cos_i, cos_o), 1e-7
+    )
+    fr = INV_PI * (A + B * jnp.maximum(0.0, cos_dphi) * sin_alpha * tan_beta)
+    f = jnp.where(valid[..., None], base_color * fr[..., None], 0.0)
+    pdf = jnp.where(valid, cos_i * INV_PI, 0.0)
+    return f, pdf
+
+
+def _glass_lobe(base_color, wo, wi, ax, ay, eta_rel):
+    """Rough dielectric (Walter et al. 2007): reflection + refraction.
+    eta_rel = n_transmitted / n_incident (>1 entering denser medium).
+    Returns (f (N,3), pdf (N,))."""
+    cos_o = wo[..., 2]
+    cos_i = wi[..., 2]
+    is_reflect = cos_i > 0.0
+
+    # --- reflection half vector ---
+    h_r = wo + wi
+    h_r = h_r / jnp.maximum(jnp.linalg.norm(h_r, axis=-1, keepdims=True), 1e-12)
+    h_r = jnp.where(h_r[..., 2:3] < 0.0, -h_r, h_r)
+
+    # --- transmission half vector: h = -(wo + eta*wi) normalized ---
+    h_t = -(wo + eta_rel[..., None] * wi)
+    h_t = h_t / jnp.maximum(jnp.linalg.norm(h_t, axis=-1, keepdims=True), 1e-12)
+    h_t = jnp.where(h_t[..., 2:3] < 0.0, -h_t, h_t)
+
+    h = jnp.where(is_reflect[..., None], h_r, h_t)
+    doth_o = jnp.sum(wo * h, axis=-1)
+    doth_i = jnp.sum(wi * h, axis=-1)
+
+    F = fresnel_dielectric(jnp.abs(doth_o), eta_rel)
+    d = mf.ggx_ndf(h, ax, ay)
+    g2 = mf.smith_g2_height_correlated(
+        wo, jnp.where(is_reflect[..., None], wi, -wi), ax, ay
+    )
+    g1o = mf.smith_g1(wo, ax, ay)
+    vpdf = mf.vndf_pdf(wo, h, ax, ay)
+
+    # reflection branch
+    denom_r = 4.0 * jnp.maximum(jnp.abs(cos_o * cos_i), 1e-9)
+    f_r = F * d * g2 / denom_r
+    pdf_r = F * vpdf / (4.0 * jnp.maximum(jnp.abs(doth_o), 1e-9))
+
+    # transmission branch (Walter eq. 21) — radiance transport, no eta^2
+    # asymmetry factor for unidirectional path tracing from the camera
+    jac_denom = jnp.square(doth_o + eta_rel * doth_i)
+    common = (
+        jnp.abs(doth_o * doth_i)
+        / jnp.maximum(jnp.abs(cos_o * cos_i), 1e-9)
+        * d
+        * g2
+        / jnp.maximum(jac_denom, 1e-12)
+    )
+    f_t = (1.0 - F) * common
+    jac_t = (
+        eta_rel * eta_rel
+        * jnp.abs(doth_i)
+        / jnp.maximum(jac_denom, 1e-12)
+    )
+    pdf_t = (1.0 - F) * vpdf * jac_t
+
+    valid_o = cos_o > 1e-6
+    f_scalar = jnp.where(is_reflect, f_r, f_t)
+    f_scalar = jnp.where(valid_o, f_scalar, 0.0)
+    pdf = jnp.where(is_reflect, pdf_r, pdf_t)
+    pdf = jnp.where(valid_o, pdf, 0.0)
+    # refraction tinted by base color (reference glass uses base color)
+    tint = jnp.where(is_reflect[..., None], jnp.ones_like(base_color), base_color)
+    return f_scalar[..., None] * tint, pdf
+
+
+# ------------------------------------------------- lobe weights/probabilities
+
+
+def _lobe_setup(options: RenderOptions, mats: MaterialBank, wo):
+    """Per-ray lobe weights + sampling probabilities (normalized)."""
+    cos_o = jnp.abs(wo[..., 2])
+    trans = mats.specular_transmission
+    w_coat = mats.coat
+    w_metal = mats.metallic
+    w_glass = (1.0 - mats.metallic) * trans
+    w_base = (1.0 - mats.metallic) * (1.0 - trans)
+    w_sheen = mats.sheen
+
+    eta_spec = jnp.maximum(mats.ior, 1.0 + 1e-3)
+    F_spec = fresnel_dielectric(cos_o, eta_spec) * mats.specular
+    Fc = fresnel_dielectric(cos_o, jnp.maximum(mats.coat_ior, 1.0 + 1e-3))
+
+    F0_metal = mats.base_color
+    f_metal_approx = _lum(
+        f82_tint(
+            F0_metal,
+            mats.metallic_F82,
+            mats.metallic_F90,
+            mats.metallic_F90_falloff_exponent,
+            cos_o,
+        )
+    )
+
+    p_coat = w_coat * Fc
+    p_sheen = w_sheen * 0.08
+    p_metal = w_metal * jnp.maximum(f_metal_approx, 0.05)
+    p_glass = w_glass
+    p_spec = w_base * F_spec
+    p_diff = w_base * (1.0 - F_spec) * jnp.maximum(_lum(mats.base_color), 0.05)
+
+    total = p_coat + p_sheen + p_metal + p_glass + p_spec + p_diff
+    total = jnp.maximum(total, 1e-8)
+    probs = [
+        p_coat / total,
+        p_sheen / total,
+        p_metal / total,
+        p_glass / total,
+        p_spec / total,
+        p_diff / total,
+    ]
+    weights = dict(
+        coat=w_coat, sheen=w_sheen, metal=w_metal, glass=w_glass, base=w_base
+    )
+    return probs, weights
+
+
+def _eval_lobes(
+    options: RenderOptions, mats: MaterialBank, wo, wi, eta_rel
+):
+    """Evaluate every lobe. Returns (f_total (N,3), [pdf_lobe (N,)] x 6)."""
+    ax, ay = get_alphas(mats.roughness, mats.anisotropy)
+    cax, cay = get_alphas(mats.coat_roughness, mats.coat_anisotropy)
+    cos_o = jnp.abs(wo[..., 2])
+    cos_i_signed = wi[..., 2]
+
+    # coat (dielectric GGX reflection, white)
+    spec_c, pdf_c, cosh_c, _ = _ggx_reflection_lobe(wo, wi, cax, cay)
+    Fc_h = fresnel_dielectric(
+        jnp.maximum(cosh_c, 0.0), jnp.maximum(mats.coat_ior, 1.0 + 1e-3)
+    )
+    f_coat = (spec_c * Fc_h)[..., None] * jnp.ones_like(mats.base_color)
+
+    # coat attenuation of everything below (two interface crossings +
+    # user-controlled darkening, reference: Principled.h coat_darkening)
+    Fc_o = fresnel_dielectric(cos_o, jnp.maximum(mats.coat_ior, 1.0 + 1e-3))
+    Fc_i = fresnel_dielectric(
+        jnp.abs(cos_i_signed), jnp.maximum(mats.coat_ior, 1.0 + 1e-3)
+    )
+    coat_att = 1.0 - mats.coat * (
+        0.5 * (Fc_o + Fc_i) * mats.coat_darkening
+    )
+
+    # sheen
+    f_sh_s, pdf_sh = _sheen_lobe(wo, wi, mats.sheen_roughness)
+    f_sheen = f_sh_s[..., None] * mats.sheen_color
+
+    # metal
+    spec_m, pdf_m, cosh_m, _ = _ggx_reflection_lobe(wo, wi, ax, ay)
+    F_metal = f82_tint(
+        mats.base_color,
+        mats.metallic_F82,
+        mats.metallic_F90,
+        mats.metallic_F90_falloff_exponent,
+        jnp.maximum(cosh_m, 0.0),
+    )
+    f_metal = spec_m[..., None] * F_metal
+
+    # glass
+    f_glass, pdf_g = _glass_lobe(mats.base_color, wo, wi, ax, ay, eta_rel)
+
+    # specular dielectric reflection on the base
+    F_s_h = fresnel_dielectric(
+        jnp.maximum(cosh_m, 0.0), jnp.maximum(mats.ior, 1.0 + 1e-3)
+    )
+    f_spec = (spec_m * F_s_h * mats.specular)[..., None] * (
+        mats.specular_color * mats.specular_tint[..., None]
+        + (1.0 - mats.specular_tint[..., None])
+    )
+    pdf_s = pdf_m
+
+    # diffuse under specular: energy-conserving-ish (1-F) factors
+    Fo = fresnel_dielectric(cos_o, jnp.maximum(mats.ior, 1.0 + 1e-3))
+    Fi = fresnel_dielectric(
+        jnp.abs(cos_i_signed), jnp.maximum(mats.ior, 1.0 + 1e-3)
+    )
+    f_diff, pdf_d = _diffuse_lobe(mats.base_color, mats.oren_nayar_sigma, wo, wi)
+    f_diff = f_diff * (
+        (1.0 - Fo * mats.specular) * (1.0 - Fi * mats.specular)
+    )[..., None]
+
+    trans = mats.specular_transmission
+    w_metal = mats.metallic
+    w_glass = (1.0 - mats.metallic) * trans
+    w_base = (1.0 - mats.metallic) * (1.0 - trans)
+
+    f_total = mats.coat[..., None] * f_coat + coat_att[..., None] * (
+        mats.sheen[..., None] * f_sheen
+        + w_metal[..., None] * f_metal
+        + w_glass[..., None] * f_glass
+        + w_base[..., None] * (f_spec + f_diff)
+    )
+    return f_total, [pdf_c, pdf_sh, pdf_m, pdf_g, pdf_s, pdf_d]
+
+
+def eval_pdf(options: RenderOptions, mats: MaterialBank, n, wo, wi, aux=None):
+    """World-frame entry. aux['eta_rel'] optional (N,) relative IOR for glass
+    (defaults to entering: ior). Returns (f (N,3), pdf (N,))."""
+    wo_l = _to_local(n, wo)
+    wi_l = _to_local(n, wi)
+    eta_rel = (
+        aux["eta_rel"] if aux and "eta_rel" in aux
+        else jnp.maximum(mats.ior, 1.0 + 1e-3)
+    )
+    f, pdfs = _eval_lobes(options, mats, wo_l, wi_l, eta_rel)
+    probs, _ = _lobe_setup(options, mats, wo_l)
+    pdf = sum(p * l for p, l in zip(probs, pdfs))
+    good = jnp.isfinite(pdf) & jnp.all(jnp.isfinite(f), axis=-1)
+    return jnp.where(good[..., None], f, 0.0), jnp.where(good, pdf, 0.0)
+
+
+def sample(
+    options: RenderOptions, mats: MaterialBank, n, wo, rng_state, aux=None
+):
+    """Sample a direction: pick a lobe by probability, sample it, then return
+    the FULL bsdf eval and the combined pdf (one-sample MIS estimator).
+
+    Returns (rng_state, wi_world (N,3), f (N,3), pdf (N,), sample_aux dict with
+    'refracted' mask)."""
+    wo_l = _to_local(n, wo)
+    eta_rel = (
+        aux["eta_rel"] if aux and "eta_rel" in aux
+        else jnp.maximum(mats.ior, 1.0 + 1e-3)
+    )
+    probs, _ = _lobe_setup(options, mats, wo_l)
+    rng_state, u_sel = rng_mod.next_float(rng_state)
+    rng_state, u1, u2 = rng_mod.next_float2(rng_state)
+    rng_state, u3 = rng_mod.next_float(rng_state)
+
+    ax, ay = get_alphas(mats.roughness, mats.anisotropy)
+    cax, cay = get_alphas(mats.coat_roughness, mats.coat_anisotropy)
+
+    wo_up = jnp.where(wo_l[..., 2:3] < 0.0, -wo_l, wo_l)  # guard degenerate
+
+    # candidate directions per lobe
+    h_coat = mf.sample_vndf_spherical_caps(wo_up, cax, cay, u1, u2)
+    wi_coat = mf.reflect_local(wo_up, h_coat)
+
+    h_base = mf.sample_vndf_spherical_caps(wo_up, ax, ay, u1, u2)
+    wi_specm = mf.reflect_local(wo_up, h_base)  # metal + specular share
+
+    # cosine for diffuse + sheen
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    wi_cos = jnp.stack(
+        [r * jnp.cos(phi), r * jnp.sin(phi),
+         jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))],
+        axis=-1,
+    )
+
+    # glass: reflect or refract through h_base by Fresnel
+    doth = jnp.maximum(jnp.sum(wo_up * h_base, axis=-1), 1e-9)
+    Fg = fresnel_dielectric(doth, eta_rel)
+    wt, tir = mf.refract_local(wo_up, h_base, 1.0 / eta_rel)
+    choose_reflect = (u3 < Fg) | tir
+    wi_glass = jnp.where(choose_reflect[..., None], wi_specm, wt)
+
+    # lobe CDF selection ladder
+    c0 = probs[0]
+    c1 = c0 + probs[1]
+    c2 = c1 + probs[2]
+    c3 = c2 + probs[3]
+    c4 = c3 + probs[4]
+    sel_coat = u_sel < c0
+    sel_sheen = (~sel_coat) & (u_sel < c1)
+    sel_metal = (~sel_coat & ~sel_sheen) & (u_sel < c2)
+    sel_glass = (~sel_coat & ~sel_sheen & ~sel_metal) & (u_sel < c3)
+    sel_spec = (~sel_coat & ~sel_sheen & ~sel_metal & ~sel_glass) & (u_sel < c4)
+    # remainder: diffuse
+
+    wi_l = jnp.where(
+        sel_coat[..., None],
+        wi_coat,
+        jnp.where(
+            (sel_sheen)[..., None],
+            wi_cos,
+            jnp.where(
+                sel_metal[..., None],
+                wi_specm,
+                jnp.where(
+                    sel_glass[..., None],
+                    wi_glass,
+                    jnp.where(sel_spec[..., None], wi_specm, wi_cos),
+                ),
+            ),
+        ),
+    )
+
+    f, pdfs = _eval_lobes(options, mats, wo_up, wi_l, eta_rel)
+    pdf = sum(p * l for p, l in zip(probs, pdfs))
+    good = (
+        jnp.isfinite(pdf)
+        & (pdf > 0.0)
+        & jnp.all(jnp.isfinite(f), axis=-1)
+    )
+    f = jnp.where(good[..., None], f, 0.0)
+    pdf = jnp.where(good, pdf, 0.0)
+
+    refracted = sel_glass & (wi_l[..., 2] < 0.0)
+    wi_world = _to_world(n, wi_l)
+    return rng_state, wi_world, f, pdf, {"refracted": refracted}

@@ -150,6 +150,7 @@ def camera_rays_pass(
     hit = rec.prim >= 0
     ns, ng, uv, mat_id = _interpolate_hit(scene, rec.prim, rec.u, rec.v, d)
     pos = o + d * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
+    backface = jnp.sum(ns * d, axis=-1) > 0.0
 
     gbuf = GBuffer(
         position=pos,
@@ -161,6 +162,7 @@ def camera_rays_pass(
         uv=uv,
         t=rec.t,
         ray_dir=d,
+        backface=backface,
     )
     return rng_state, gbuf, active
 
@@ -178,24 +180,31 @@ def _direct_lighting(
     wo,
     rng_state,
     active,
+    eta_rel=None,
 ):
     """NEE at one path vertex: emissive triangles + envmap, each MIS-weighted
     against the BSDF (reference: Lights.h sample_one_light + Envmap.h
-    sample_environment_map). Returns (rng_state, radiance (N,3))."""
+    sample_environment_map). Returns (rng_state, radiance (N,3), shadow-ray
+    count scalar)."""
     n_rays = p.shape[0]
     contrib = jnp.zeros((n_rays, 3), jnp.float32)
+    n_shadow = jnp.float32(0.0)
 
     if _nee_enabled(options):
         rng_state, ls = sample_emissive_triangle(scene, p, rng_state)
         wi = ls["wi"]
         cos_i = jnp.sum(ns * wi, axis=-1)
-        f, bsdf_pdf = bsdf_eval(options, mats, ns, wo, wi)
+        f, bsdf_pdf = bsdf_eval(
+            options, mats, ns, wo, wi,
+            {"eta_rel": eta_rel} if eta_rel is not None else None,
+        )
         cand = active & ls["valid"] & (cos_i > 0.0) & (ls["pdf"] > 0.0)
         # shadow ray
         so = offset_ray_origin(p, ng, wi)
         shadow_blocked = occluded(
             bvh, so, wi, t_max=ls["dist"] * (1.0 - 1e-3), active=cand
         )
+        n_shadow = n_shadow + jnp.sum(cand.astype(jnp.float32))
         vis = cand & ~shadow_blocked
         if _nee_uses_mis(options):
             w_mis = balance_heuristic(ls["pdf"], bsdf_pdf)
@@ -220,7 +229,10 @@ def _direct_lighting(
             options, world, scene.envmap, rng_state, n_rays
         )
         cos_e = jnp.sum(ns * wi_e, axis=-1)
-        f_e, bsdf_pdf_e = bsdf_eval(options, mats, ns, wo, wi_e)
+        f_e, bsdf_pdf_e = bsdf_eval(
+            options, mats, ns, wo, wi_e,
+            {"eta_rel": eta_rel} if eta_rel is not None else None,
+        )
         cand_e = (
             active
             & (cos_e > 0.0)
@@ -229,6 +241,7 @@ def _direct_lighting(
         )
         so_e = offset_ray_origin(p, ng, wi_e)
         blocked_e = occluded(bvh, so_e, wi_e, active=cand_e)
+        n_shadow = n_shadow + jnp.sum(cand_e.astype(jnp.float32))
         vis_e = cand_e & ~blocked_e
         if options.envmap_bsdf_mis:
             w_mis_e = balance_heuristic(pdf_e, bsdf_pdf_e)
@@ -239,7 +252,7 @@ def _direct_lighting(
         ce = _clamp_contribution(ce, settings.envmap_contribution_clamp)
         contrib = contrib + jnp.where(vis_e[..., None], ce, 0.0)
 
-    return rng_state, contrib
+    return rng_state, contrib, n_shadow
 
 
 def render_sample(
@@ -254,7 +267,9 @@ def render_sample(
 ):
     """Trace one full path per pixel starting from the G-buffer first hit.
 
-    Returns (rng_state, radiance (N,3), aov_albedo (N,3), aov_normal (N,3)).
+    Returns (rng_state, radiance (N,3), aov_albedo (N,3), aov_normal (N,3),
+    rays_traced scalar — bounce + shadow rays of this sample, excluding the
+    camera pass).
     """
     n_rays = gbuffer.position.shape[0]
     d0 = gbuffer.ray_dir
@@ -290,12 +305,18 @@ def render_sample(
         rng=rng_state,
         radiance=radiance,
         throughput=throughput,
+        rays=jnp.float32(0.0),
         active=hit0 & pixel_active,
         p=gbuffer.position,
         ns=gbuffer.shading_normal,
         ng=gbuffer.geometric_normal,
         wo=gbuffer.view_direction,
         mat_id=jnp.maximum(gbuffer.material_id, 0),
+        # volume state (reference: RayVolumeState/NestedDielectrics.h; here a
+        # single-medium Beer-Lambert tracker — the nested priority stack is
+        # layered on in models/nested_dielectrics.py)
+        entering=~gbuffer.backface,
+        medium_sigma=jnp.zeros((n_rays, 3), jnp.float32),
     )
 
     def bounce_body(bounce, carry):
@@ -307,23 +328,41 @@ def render_sample(
         mats = scene.materials.at_indices(carry["mat_id"]).make_safe()
 
         # --- NEE ---
-        rng_state, direct = _direct_lighting(
+        eta_rel = jnp.where(
+            carry["entering"],
+            jnp.maximum(mats.ior, 1.0 + 1e-3),
+            1.0 / jnp.maximum(mats.ior, 1.0 + 1e-3),
+        )
+        rng_state, direct, n_shadow = _direct_lighting(
             options, scene, bvh, world, settings, mats, p, ns, ng, wo,
-            rng_state, active,
+            rng_state, active, eta_rel,
         )
         radiance = radiance + jnp.where(
             active[..., None], throughput * direct, 0.0
         )
 
         # --- BSDF sample + bounce ray ---
-        out = bsdf_sample(options, mats, ns, wo, rng_state)
-        rng_state, wi, f, bsdf_pdf = out[0], out[1], out[2], out[3]
+        rng_state, wi, f, bsdf_pdf, s_aux = bsdf_sample(
+            options, mats, ns, wo, rng_state, {"eta_rel": eta_rel}
+        )
         cos_i = jnp.sum(ns * wi, axis=-1)
-        valid_sample = active & (bsdf_pdf > 1e-9) & (cos_i > 1e-9)
+        valid_sample = active & (bsdf_pdf > 1e-9)
         new_throughput = throughput * jnp.where(
             valid_sample[..., None],
-            f * (cos_i / jnp.maximum(bsdf_pdf, 1e-12))[..., None],
+            f * (jnp.abs(cos_i) / jnp.maximum(bsdf_pdf, 1e-12))[..., None],
             0.0,
+        )
+
+        # --- volume medium update (Beer-Lambert; reference: Dispersion.h +
+        # absorption_color/absorption_at_distance semantics) ---
+        refracted = s_aux["refracted"]
+        sigma_mat = -jnp.log(
+            jnp.clip(mats.absorption_color, 1.0 / 512.0, 1.0)
+        ) / jnp.maximum(mats.absorption_at_distance, 1e-4)[..., None]
+        medium_sigma = jnp.where(
+            refracted[..., None],
+            jnp.where(carry["entering"][..., None], sigma_mat, 0.0),
+            carry["medium_sigma"],
         )
 
         # --- russian roulette (reference: RussianRoulette.h max-throughput
@@ -346,6 +385,11 @@ def render_sample(
         o_next = offset_ray_origin(p, ng, wi)
         rec = closest_hit(bvh, o_next, wi, t_min=0.0, active=valid_sample)
         hit = rec.prim >= 0
+
+        # Beer-Lambert absorption along the segment inside a medium
+        seg_t = jnp.where(hit, rec.t, 0.0)
+        absorb = jnp.exp(-medium_sigma * seg_t[..., None])
+        new_throughput = new_throughput * absorb
 
         # hit an emitter via the BSDF ray → MIS-weighted emission
         light_pdf, is_em = emissive_pdf_of_direction(
@@ -392,10 +436,14 @@ def render_sample(
         ns2, ng2, uv2, mat_id2 = _interpolate_hit(scene, rec.prim, rec.u, rec.v, wi)
         p2 = o_next + wi * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
         next_active = valid_sample & hit
+        entering2 = jnp.sum(ns2 * wi, axis=-1) < 0.0
 
         return dict(
             rng=rng_state,
             radiance=radiance,
+            rays=carry["rays"]
+            + n_shadow
+            + jnp.sum(valid_sample.astype(jnp.float32)),
             throughput=jnp.where(
                 next_active[..., None], new_throughput, throughput
             ),
@@ -405,6 +453,10 @@ def render_sample(
             ng=jnp.where(next_active[..., None], _face_forward(ng2, wi), ng),
             wo=jnp.where(next_active[..., None], -wi, wo),
             mat_id=jnp.where(next_active, mat_id2, carry["mat_id"]),
+            entering=jnp.where(next_active, entering2, carry["entering"]),
+            medium_sigma=jnp.where(
+                next_active[..., None], medium_sigma, carry["medium_sigma"]
+            ),
         )
 
     carry = jax.lax.fori_loop(
@@ -417,4 +469,4 @@ def render_sample(
     # accumulation buffer
     bad = jnp.any(~jnp.isfinite(radiance) | (radiance < 0.0), axis=-1)
     radiance = jnp.where(bad[..., None], 0.0, radiance)
-    return carry["rng"], radiance, aov_albedo, aov_normal
+    return carry["rng"], radiance, aov_albedo, aov_normal, carry["rays"]

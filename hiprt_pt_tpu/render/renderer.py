@@ -46,7 +46,14 @@ def render_step(
     settings: RenderSettings,
     world: WorldSettings,
 ) -> RenderState:
-    """Advance the render state by ``settings.samples_per_frame`` samples."""
+    """Advance the render state by ONE sample.
+
+    One compiled program per sample keeps the XLA program a single
+    camera-pass + bounce-loop pipeline; the host queues ``samples_per_frame``
+    of these asynchronously per frame, exactly like the reference queues N
+    sample iterations on its stream (GPURenderer.cpp:424-453). Dispatches are
+    async so the device never starves.
+    """
     scene, bvh = scene_and_bvh
 
     def one_sample(s, state: RenderState):
@@ -61,8 +68,13 @@ def render_step(
             scene, bvh, camera, settings, state, width, height, sample_number,
             rng_state,
         )
-        rng_state, radiance, aov_albedo, aov_normal = render_sample(
+        rng_state, radiance, aov_albedo, aov_normal, path_rays = render_sample(
             options, scene, bvh, world, settings, gbuf, active, rng_state
+        )
+        total_rays = (
+            state.rays_traced
+            + path_rays
+            + jnp.sum(active.astype(jnp.float32))  # camera rays
         )
 
         # --- accumulation (reference: FullPathTracer.h:296-326) ---
@@ -113,9 +125,10 @@ def render_step(
             + jnp.where(active[..., None], aov_normal, 0.0),
             prev_gbuffer=state.gbuffer,
             gbuffer=new_gbuffer,
+            rays_traced=total_rays,
         )
 
-    return jax.lax.fori_loop(0, settings.samples_per_frame, one_sample, state)
+    return one_sample(jnp.int32(0), state)
 
 
 class Renderer:
@@ -164,20 +177,21 @@ class Renderer:
         if self._render_start_time is None:
             self._render_start_time = time.perf_counter()
         t0 = time.perf_counter()
-        self.state = render_step(
-            self.options,
-            self.width,
-            self.height,
-            (self.scene, self.bvh),
-            self.state,
-            self.camera,
-            self.settings,
-            self.world,
-        )
+        spf = int(jax.device_get(self.settings.samples_per_frame))
+        for _ in range(max(spf, 1)):
+            self.state = render_step(
+                self.options,
+                self.width,
+                self.height,
+                (self.scene, self.bvh),
+                self.state,
+                self.camera,
+                self.settings,
+                self.world,
+            )
         if block:
             jax.block_until_ready(self.state.accum)
             dt = time.perf_counter() - t0
-            spf = int(jax.device_get(self.settings.samples_per_frame))
             self.metrics.add("frame_ms", dt * 1000.0)
             self.metrics.add(
                 "samples_per_s", spf / dt if dt > 0 else 0.0

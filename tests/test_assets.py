@@ -1,0 +1,72 @@
+"""Asset layer: GLTF parsing, material mapping, envmap tables
+(reference parity: SceneParser.cpp material mapping; Image.cpp:553-660 CDF +
+Vose alias table)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hiprt_pt_tpu.assets.envmap import (
+    compute_alias_table,
+    compute_cdf,
+    make_test_envmap,
+    sin_weighted_luminance,
+)
+from hiprt_pt_tpu.core.material import MaterialBank, NO_TEXTURE
+
+
+def test_gltf_cornell(cornell_scene):
+    scene, camera = cornell_scene
+    assert scene.num_triangles > 1000
+    assert int(scene.num_emissives) >= 1
+    assert camera is not None
+    # materials mapped: left wall red-ish exists
+    base = np.asarray(scene.materials.base_color)
+    assert base.shape[1] == 3
+    em = np.asarray(scene.materials.effective_emission())
+    assert em.max() > 10.0  # emissive strength 100 × 0.78
+
+
+def test_material_bank_defaults_and_gather():
+    bank = MaterialBank.from_rows([{"roughness": 0.1}, {"base_color": [1, 0, 0]}])
+    assert bank.num_materials == 2
+    assert np.isclose(float(bank.roughness[0]), 0.1)
+    assert np.isclose(float(bank.ior[0]), 1.4)  # reference default
+    assert int(bank.base_color_texture_index[0]) == NO_TEXTURE
+    g = bank.at_indices(jnp.asarray([1, 1, 0]))
+    assert np.allclose(np.asarray(g.base_color)[0], [1, 0, 0])
+    assert g.roughness.shape == (3,)
+
+
+def test_cdf_monotone_normalized():
+    img = make_test_envmap(32, 64, "sky")
+    cdf = compute_cdf(img)
+    assert np.all(np.diff(cdf) >= -1e-7)
+    assert abs(cdf[-1] - 1.0) < 1e-5
+
+
+def test_alias_table_distribution():
+    """Sampling via the alias table must reproduce the texel importance."""
+    img = make_test_envmap(16, 32, "sky")
+    probas, aliases = compute_alias_table(img)
+    imp = sin_weighted_luminance(img).ravel()
+    p_true = imp / imp.sum()
+    n_tex = imp.size
+    g = np.random.default_rng(0)
+    n_draws = 400000
+    idx = g.integers(0, n_tex, n_draws)
+    u = g.uniform(size=n_draws)
+    chosen = np.where(u < probas[idx], idx, aliases[idx])
+    counts = np.bincount(chosen, minlength=n_tex) / n_draws
+    # total-variation distance small (expected ~sqrt(n_tex/(2*pi*n_draws)))
+    assert np.abs(counts - p_true).sum() < 0.04
+
+
+def test_alias_table_zero_importance_texels():
+    img = np.zeros((8, 16, 3), np.float32)
+    img[2, 3] = 10.0
+    probas, aliases = compute_alias_table(img)
+    g = np.random.default_rng(1)
+    idx = g.integers(0, img[..., 0].size, 10000)
+    u = g.uniform(size=10000)
+    chosen = np.where(u < probas[idx], idx, aliases[idx])
+    assert np.all(chosen == 2 * 16 + 3)

@@ -1,0 +1,92 @@
+"""BVH build + traversal vs the brute-force oracle (the reference's analog:
+CPU octree BVH as second implementation, src/Renderer/BVH.h)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hiprt_pt_tpu.accel.build import build_bvh
+from hiprt_pt_tpu.ops.intersect import brute_force_closest
+from hiprt_pt_tpu.ops.traverse import closest_hit, occluded
+
+
+def random_tris(n, rng, spread=2.0):
+    c = rng.uniform(-spread, spread, (n, 1, 3))
+    tri = c + rng.normal(0, 0.3, (n, 3, 3))
+    verts = tri.reshape(-1, 3).astype(np.float32)
+    tris = np.arange(3 * n, dtype=np.int32).reshape(n, 3)
+    return verts, tris
+
+
+@pytest.mark.parametrize("ntri", [1, 7, 100, 1000])
+def test_traversal_matches_bruteforce(ntri, rng_np):
+    verts, tris = random_tris(ntri, rng_np)
+    bvh = build_bvh(verts, tris)
+    nrays = 256
+    o = rng_np.uniform(-4, 4, (nrays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(nrays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rec = closest_hit(bvh, jnp.asarray(o), jnp.asarray(d), t_min=0.0)
+    bt, bp, _, _ = brute_force_closest(
+        jnp.asarray(verts), jnp.asarray(tris), jnp.asarray(o), jnp.asarray(d),
+        t_min=0.0,
+    )
+    t, p = np.asarray(rec.t), np.asarray(rec.prim)
+    bt, bp = np.asarray(bt), np.asarray(bp)
+    assert np.array_equal(p >= 0, bp >= 0)
+    m = bp >= 0
+    assert np.allclose(t[m], bt[m], rtol=1e-4, atol=1e-5)
+
+
+def test_anyhit_consistent_with_closest(rng_np):
+    verts, tris = random_tris(300, rng_np)
+    bvh = build_bvh(verts, tris)
+    nrays = 512
+    o = rng_np.uniform(-4, 4, (nrays, 3)).astype(np.float32)
+    d = rng_np.normal(size=(nrays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rec = closest_hit(bvh, jnp.asarray(o), jnp.asarray(d), t_min=0.0)
+    occ = occluded(bvh, jnp.asarray(o), jnp.asarray(d), t_min=0.0)
+    assert np.array_equal(np.asarray(occ), np.asarray(rec.prim) >= 0)
+
+
+def test_tmax_respected(rng_np):
+    verts, tris = random_tris(200, rng_np)
+    bvh = build_bvh(verts, tris)
+    o = rng_np.uniform(-4, 4, (128, 3)).astype(np.float32)
+    d = rng_np.normal(size=(128, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rec_full = closest_hit(bvh, jnp.asarray(o), jnp.asarray(d), t_min=0.0)
+    t_full = np.asarray(rec_full.t)
+    rec_lim = closest_hit(bvh, jnp.asarray(o), jnp.asarray(d), t_min=0.0, t_max=1.0)
+    t_lim = np.asarray(rec_lim.t)
+    hits_lim = np.asarray(rec_lim.prim) >= 0
+    assert np.all(t_lim[hits_lim] <= 1.0 + 1e-6)
+    # every limited hit must exist in full trace with same t
+    assert np.allclose(t_lim[hits_lim], t_full[hits_lim], rtol=1e-5)
+
+
+def test_active_mask(rng_np):
+    verts, tris = random_tris(50, rng_np)
+    bvh = build_bvh(verts, tris)
+    o = np.zeros((64, 3), np.float32)
+    d = np.tile(np.asarray([0.0, 0.0, 1.0], np.float32), (64, 1))
+    active = np.zeros(64, bool)
+    active[::2] = True
+    rec = closest_hit(
+        bvh, jnp.asarray(o), jnp.asarray(d), t_min=0.0, active=jnp.asarray(active)
+    )
+    assert np.all(np.asarray(rec.prim)[~active] == -1)
+
+
+def test_cornell_traversal(cornell_scene):
+    scene, camera = cornell_scene
+    from hiprt_pt_tpu.core.camera import generate_camera_rays
+
+    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
+    o, d = generate_camera_rays(camera, 24, 24)
+    rec = closest_hit(bvh, o, d, t_min=0.0)
+    bt, bp, _, _ = brute_force_closest(scene.vertices, scene.triangles, o, d, t_min=0.0)
+    assert np.array_equal(np.asarray(rec.prim) >= 0, np.asarray(bp) >= 0)
+    m = np.asarray(bp) >= 0
+    assert np.allclose(np.asarray(rec.t)[m], np.asarray(bt)[m], rtol=1e-4)

@@ -1,0 +1,192 @@
+"""Principled BSDF: white-furnace energy bounds per lobe, sample/eval pdf
+consistency, reciprocity of reflective lobes (reference test strategy §4.3 —
+white furnace per lobe; reference: Principled.h)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hiprt_pt_tpu.core import rng
+from hiprt_pt_tpu.core.material import MaterialBank
+from hiprt_pt_tpu.core.settings import RenderOptions
+from hiprt_pt_tpu.models import principled
+
+OPTS = RenderOptions()
+N = 60000
+
+
+def _mats(n=N, **overrides):
+    bank = MaterialBank.zeros(1)
+    rows = {k: v for k, v in overrides.items()}
+    bank = MaterialBank.from_rows([rows])
+    idx = jnp.zeros((n,), jnp.int32)
+    return bank.at_indices(idx).make_safe()
+
+
+def _nrm(n=N):
+    return jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n, 1))
+
+
+def _wo(theta_deg, n=N):
+    t = np.deg2rad(theta_deg)
+    w = np.asarray([np.sin(t), 0.0, np.cos(t)], np.float32)
+    return jnp.tile(jnp.asarray(w), (n, 1))
+
+
+def _furnace_estimate(mats, wo, seed=0, n=N):
+    """MC estimate of directional albedo ∫ f |cos| dω via BSDF sampling."""
+    s = rng.seed(jnp.arange(n), 0, seed)
+    nrm = _nrm(n)
+    s, wi, f, pdf, aux = principled.sample(OPTS, mats, nrm, wo, s)
+    cos_i = jnp.abs(wi[..., 2])
+    ok = pdf > 1e-8
+    est = jnp.where(
+        ok[..., None], f * (cos_i / jnp.maximum(pdf, 1e-9))[..., None], 0.0
+    )
+    return np.asarray(jnp.mean(est, axis=0))
+
+
+@pytest.mark.parametrize("theta", [10, 45, 70])
+def test_diffuse_white_furnace(theta):
+    mats = _mats(base_color=[1, 1, 1], roughness=0.5, metallic=0.0, specular=0.0)
+    alb = _furnace_estimate(mats, _wo(theta))
+    # single-scattering diffuse+deactivated specular: close to 1, never above
+    assert np.all(alb < 1.05), alb
+    assert np.all(alb > 0.80), alb
+
+
+@pytest.mark.parametrize("rough", [0.1, 0.4, 0.9])
+def test_metal_energy_bounded(rough):
+    mats = _mats(base_color=[1, 1, 1], metallic=1.0, roughness=rough)
+    alb = _furnace_estimate(mats, _wo(30))
+    # single-scattering GGX loses energy at high roughness but must not gain
+    assert np.all(alb <= 1.05), (rough, alb)
+    assert np.all(alb > 0.4), (rough, alb)
+
+
+@pytest.mark.parametrize("rough", [0.05, 0.3])
+def test_glass_radiance_albedo(rough):
+    """Camera-radiance-convention BTDF: a single entering interface returns
+    ~F + (1-F)/eta^2 (radiance compression into the denser medium; it cancels
+    on exit — Walter et al. 2007 §5 non-symmetry)."""
+    eta = 1.5
+    mats = _mats(
+        base_color=[1, 1, 1], specular_transmission=1.0, roughness=rough,
+        ior=eta, specular=0.0,
+    )
+    alb = _furnace_estimate(mats, _wo(25))
+    from hiprt_pt_tpu.models.fresnel import fresnel_dielectric
+
+    F = float(fresnel_dielectric(jnp.cos(jnp.deg2rad(25.0)), jnp.float32(eta)))
+    expected = F + (1.0 - F) / (eta * eta)
+    assert np.all(np.abs(alb - expected) < 0.12), (rough, alb, expected)
+
+
+def test_glass_roundtrip_energy():
+    """Enter + exit through parallel interfaces: the eta^2 factors must cancel
+    — estimator product over both events ~= (1-F_in)(1-F_out) ... ~1 for
+    near-normal smooth glass."""
+    n = N
+    eta = 1.5
+    mats = _mats(
+        n=n, base_color=[1, 1, 1], specular_transmission=1.0, roughness=0.02,
+        ior=eta, specular=0.0,
+    )
+    nrm = _nrm(n)
+    wo = _wo(10, n)
+    s = rng.seed(jnp.arange(n), 0, 31)
+    # entering event
+    s, wi1, f1, pdf1, _ = principled.sample(OPTS, mats, nrm, wo, s)
+    w1 = jnp.where(
+        (pdf1 > 1e-8)[..., None],
+        f1 * (jnp.abs(wi1[..., 2]) / jnp.maximum(pdf1, 1e-9))[..., None],
+        0.0,
+    )
+    refr1 = np.asarray(wi1[..., 2]) < 0
+    # exiting event: shade from inside (flip frame), eta_rel = 1/eta
+    wo2 = -wi1
+    s, wi2, f2, pdf2, _ = principled.sample(
+        OPTS, mats, nrm, wo2, s, {"eta_rel": jnp.full((n,), 1.0 / eta)}
+    )
+    w2 = jnp.where(
+        (pdf2 > 1e-8)[..., None],
+        f2 * (jnp.abs(wi2[..., 2]) / jnp.maximum(pdf2, 1e-9))[..., None],
+        0.0,
+    )
+    both = refr1 & (np.asarray(wi2[..., 2]) < 0)
+    tot = (np.asarray(w1) * np.asarray(w2))[both]
+    assert both.mean() > 0.5
+    assert abs(tot.mean() - 1.0) < 0.1, tot.mean()
+
+
+def test_sample_eval_consistency():
+    """f and pdf returned by sample() must equal eval_pdf() at the sampled wi."""
+    n = 5000
+    mats = _mats(
+        n=n, base_color=[0.8, 0.6, 0.4], metallic=0.3, roughness=0.4,
+        coat=0.5, sheen=0.5, specular_transmission=0.2,
+    )
+    nrm = _nrm(n)
+    wo = _wo(40, n)
+    s = rng.seed(jnp.arange(n), 0, 5)
+    s, wi, f, pdf, aux = principled.sample(OPTS, mats, nrm, wo, s)
+    f2, pdf2 = principled.eval_pdf(OPTS, mats, nrm, wo, wi)
+    ok = np.asarray(pdf) > 1e-6
+    assert ok.mean() > 0.7
+    assert np.allclose(np.asarray(f)[ok], np.asarray(f2)[ok], rtol=2e-3, atol=1e-5)
+    assert np.allclose(np.asarray(pdf)[ok], np.asarray(pdf2)[ok], rtol=2e-3, atol=1e-6)
+
+
+def test_pdf_integrates_to_one():
+    """The combined sampling pdf must integrate to ~1 over the sphere:
+    MC with uniform-sphere samples."""
+    n = 200000
+    mats = _mats(
+        n=n, base_color=[0.8, 0.2, 0.2], metallic=0.5, roughness=0.5, coat=0.3
+    )
+    nrm = _nrm(n)
+    wo = _wo(35, n)
+    from hiprt_pt_tpu.ops.sampling import sample_uniform_sphere
+
+    s = rng.seed(jnp.arange(n), 0, 9)
+    s, u1 = rng.next_float(s)
+    s, u2 = rng.next_float(s)
+    wi = sample_uniform_sphere(u1, u2)
+    _, pdf = principled.eval_pdf(OPTS, mats, nrm, wo, wi)
+    est = np.asarray(pdf).mean() * 4.0 * np.pi
+    # glass/transmission excluded (weight 0 here) → reflection pdfs only.
+    assert abs(est - 1.0) < 0.1, est
+
+
+def test_reciprocity_reflective():
+    n = 2000
+    mats = _mats(n=n, base_color=[0.5, 0.5, 0.5], metallic=1.0, roughness=0.6)
+    nrm = _nrm(n)
+    g = np.random.default_rng(2)
+    a = g.normal(size=(n, 3))
+    a[:, 2] = np.abs(a[:, 2]) + 0.05
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    b = g.normal(size=(n, 3))
+    b[:, 2] = np.abs(b[:, 2]) + 0.05
+    b /= np.linalg.norm(b, axis=-1, keepdims=True)
+    fa, _ = principled.eval_pdf(
+        OPTS, mats, nrm, jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32)
+    )
+    fb, _ = principled.eval_pdf(
+        OPTS, mats, nrm, jnp.asarray(b, jnp.float32), jnp.asarray(a, jnp.float32)
+    )
+    assert np.allclose(np.asarray(fa), np.asarray(fb), rtol=5e-3, atol=1e-5)
+
+
+def test_smooth_metal_mirror_direction():
+    """Near-zero roughness metal must sample near the mirror direction."""
+    n = 1000
+    mats = _mats(n=n, metallic=1.0, roughness=0.001, base_color=[1, 1, 1])
+    nrm = _nrm(n)
+    wo = _wo(30, n)
+    s = rng.seed(jnp.arange(n), 0, 21)
+    s, wi, f, pdf, aux = principled.sample(OPTS, mats, nrm, wo, s)
+    wo_np = np.asarray(wo)[0]
+    mirror = np.asarray([-wo_np[0], -wo_np[1], wo_np[2]])
+    cos_to_mirror = (np.asarray(wi) @ mirror)
+    assert (cos_to_mirror > 0.999).mean() > 0.95

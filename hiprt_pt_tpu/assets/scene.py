@@ -66,6 +66,12 @@ class SceneData:
     uvs: jax.Array             # (V,2) f32
     material_ids: jax.Array    # (T,) i32 per-triangle material
     has_vertex_normals: jax.Array  # (T,) bool — smooth shading per triangle
+    # packed per-triangle hit-attribute row — ONE gather per hit resolves all
+    # shading attributes (TPU gathers cost ~0.4ms/65k indices regardless of
+    # width; see accel/build.py). Layout (T, 32) f32:
+    #   [0:9] n0,n1,n2  [9:15] uv0,uv1,uv2  [15:24] v0,e1,e2
+    #   [24] mat_id (bitcast i32)  [25:28] unit geometric normal  [28:32] pad
+    tri_data: jax.Array
     materials: MaterialBank
     # emissive triangle list (reference: SceneParser.cpp:208-219 built on a
     # dependent thread; here built at load)
@@ -139,13 +145,36 @@ def build_scene(
         cdf = np.ones((1,), dtype=np.float32)
         total_area = 0.0
 
+    # pack per-triangle hit attributes (see SceneData.tri_data layout)
+    T = triangles.shape[0]
+    normals32 = normals.astype(np.float32)
+    uvs32 = uvs.astype(np.float32)
+    td = np.zeros((T, 32), dtype=np.float32)
+    td[:, 0:3] = normals32[triangles[:, 0]]
+    td[:, 3:6] = normals32[triangles[:, 1]]
+    td[:, 6:9] = normals32[triangles[:, 2]]
+    td[:, 9:11] = uvs32[triangles[:, 0]]
+    td[:, 11:13] = uvs32[triangles[:, 1]]
+    td[:, 13:15] = uvs32[triangles[:, 2]]
+    tv0 = vertices[triangles[:, 0]]
+    te1 = vertices[triangles[:, 1]] - tv0
+    te2 = vertices[triangles[:, 2]] - tv0
+    td[:, 15:18] = tv0
+    td[:, 18:21] = te1
+    td[:, 21:24] = te2
+    td[:, 24] = material_ids.view(np.float32)
+    gn = np.cross(te1, te2)
+    gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12)
+    td[:, 25:28] = gn
+
     return SceneData(
         vertices=jnp.asarray(vertices),
         triangles=jnp.asarray(triangles),
-        normals=jnp.asarray(normals.astype(np.float32)),
-        uvs=jnp.asarray(uvs.astype(np.float32)),
+        normals=jnp.asarray(normals32),
+        uvs=jnp.asarray(uvs32),
         material_ids=jnp.asarray(material_ids),
         has_vertex_normals=jnp.asarray(has_vn),
+        tri_data=jnp.asarray(td),
         materials=materials,
         emissive_tri_indices=jnp.asarray(em_indices),
         num_emissives=jnp.int32(num_em),

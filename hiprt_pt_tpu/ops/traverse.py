@@ -4,17 +4,22 @@ Role parity with the reference's ``trace_ray`` / ``evaluate_shadow_ray``
 (src/Device/includes/Intersect.h:114-410: shared-memory + global-stack HIPRT
 custom traversal, any-hit shadow variant, alpha-test filter function).
 
-TPU-first design: instead of one divergent stack walk per SIMT thread, all N
-rays of a wavefront advance in lockstep through a ``lax.while_loop``; each ray
-carries a short stack in a (N, STACK) register array. Every iteration pops one
-node per ray, evaluates BOTH the internal-node path (two child AABB slab tests,
-near-first push) and the leaf path (MAX_LEAF=4 pre-gathered triangle tests)
-under masks — the vector analog of warp divergence, but with XLA fusing the
-whole body into a handful of VPU ops + gathers. Rays that finish early simply
-stop popping (empty stack) while the wavefront drains.
-
-The loop terminates when every ray's stack is empty; per-ray early-out for
-shadow rays is expressed by clearing the stack pointer on first hit.
+TPU-first design, iterated against measured v5e behavior:
+  * a gather costs ~2 cycles per ray-index REGARDLESS of row width up to 128
+    floats — so each iteration performs exactly ONE 128-float meganode gather
+    whose row carries both child AABBs, child meta, and embedded leaf
+    triangles (accel/build.py). (A split node/leaf two-gather layout and a
+    lax.cond phase-split were both tried and measured 4-5x SLOWER.)
+  * the gathered (N,128) block is transposed once to (128,N) and ALL loop math
+    runs on (N,)-shaped component vectors — N sits on the 8x128 VPU lanes with
+    zero padding (math on (N,3) arrays or lane-axis slicing wastes ~40x);
+  * the per-ray short stack is laid out (STACK, N) and addressed only with
+    broadcast compare-selects (``stack[rows, ptr]`` lowers to a serialized
+    scatter ~20x slower);
+  * the "current node" register chains into the near child, so only far
+    children are pushed;
+  * all N rays advance in lockstep through one ``lax.while_loop`` — the vector
+    analog of SIMT divergence; finished rays idle while the wavefront drains.
 """
 
 from __future__ import annotations
@@ -26,10 +31,9 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..accel.build import BVHData, MAX_LEAF
-from .intersect import ray_aabb, ray_triangle
 
-STACK_SIZE = 48  # matches the reference's largest tuned shared-stack size
-                 # (GPURenderer.cpp:206-213); BVH2 depth for SAH trees is ~2log2(T)
+STACK_SIZE = 32  # far-child pushes only -> bounded by SAH tree depth
+TRI_EPS = 1e-9
 
 
 @struct.dataclass
@@ -38,28 +42,6 @@ class HitRecord:
     prim: jax.Array     # (N,) i32, -1 = miss
     u: jax.Array        # (N,) barycentric
     v: jax.Array
-
-
-def _leaf_intersect(bvh: BVHData, first, count, o, d, t_min, best_t):
-    """Test the MAX_LEAF pre-gathered triangles of a leaf block.
-    first: (N,) leaf slot base; count: (N,). Returns (t, slot, u, v) best-of-leaf."""
-    lt = jnp.full_like(best_t, jnp.inf)
-    lslot = jnp.full(first.shape, -1, jnp.int32)
-    lu = jnp.zeros_like(best_t)
-    lv = jnp.zeros_like(best_t)
-    for k in range(MAX_LEAF):
-        slot = first + k
-        valid = k < count
-        v0 = bvh.leaf_v0[slot]
-        e1 = bvh.leaf_e1[slot]
-        e2 = bvh.leaf_e2[slot]
-        hit, t, u, v = ray_triangle(o, d, v0, e1, e2, t_min, best_t)
-        hit = hit & valid & (t < lt)
-        lt = jnp.where(hit, t, lt)
-        lslot = jnp.where(hit, slot, lslot)
-        lu = jnp.where(hit, u, lu)
-        lv = jnp.where(hit, v, lv)
-    return lt, lslot, lu, lv
 
 
 @partial(jax.jit, static_argnames=("any_hit",))
@@ -78,87 +60,152 @@ def traverse(
     (reference: pixel_active masking, CameraRays.h:99-105).
     """
     n = o.shape[0]
-    inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, jnp.sign(d) * 1e12 + 1e12)
+    inv = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, jnp.sign(d) * 1e12 + 1e12)
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    ix, iy, iz = inv[:, 0], inv[:, 1], inv[:, 2]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
-    stack = jnp.zeros((n, STACK_SIZE), jnp.int32)
+    stack = jnp.zeros((STACK_SIZE, n), jnp.int32)
+    slots = jnp.arange(STACK_SIZE, dtype=jnp.int32)[:, None]
+    cur = jnp.zeros((n,), jnp.int32)  # root meganode
     if active is None:
-        ptr = jnp.ones((n,), jnp.int32)
+        cur_valid = jnp.ones((n,), jnp.bool_)
     else:
-        ptr = jnp.where(active, 1, 0).astype(jnp.int32)
+        cur_valid = jnp.asarray(active)
+    ptr = jnp.zeros((n,), jnp.int32)
 
     best_t = t_max
-    best_slot = jnp.full((n,), -1, jnp.int32)
+    best_prim = jnp.full((n,), -1, jnp.int32)
     best_u = jnp.zeros((n,), jnp.float32)
     best_v = jnp.zeros((n,), jnp.float32)
-    rows = jnp.arange(n)
 
     def cond(carry):
-        _, ptr, *_ = carry
-        return jnp.any(ptr > 0)
+        _, ptr, _, cur_valid, *_ = carry
+        return jnp.any(cur_valid | (ptr > 0))
 
     def body(carry):
-        stack, ptr, best_t, best_slot, best_u, best_v = carry
-        alive = ptr > 0
-        top = jnp.maximum(ptr - 1, 0)
-        node = jnp.where(alive, stack[rows, top], 0)
-        ptr = jnp.where(alive, ptr - 1, 0)
+        stack, ptr, cur, cur_valid, best_t, best_prim, best_u, best_v = carry
 
-        count = bvh.node_count[node]
-        left = bvh.node_left[node]
-        is_leaf = alive & (count > 0)
-        is_internal = alive & (count == 0)
+        # pop for rays whose current node is exhausted (broadcast select)
+        need_pop = (~cur_valid) & (ptr > 0)
+        top = ptr - 1
+        popped = jnp.sum(jnp.where(slots == top[None, :], stack, 0), axis=0)
+        cur = jnp.where(need_pop, popped, cur)
+        cur_valid = cur_valid | need_pop
+        ptr = jnp.where(need_pop, top, ptr)
 
-        # --- leaf path ---
-        lt, lslot, lu, lv = _leaf_intersect(
-            bvh, left, jnp.where(is_leaf, count, 0), o, d, t_min, best_t
+        # ---- THE one gather + one transpose of this iteration ----
+        rowT = bvh.nodes[jnp.where(cur_valid, cur, 0)].T  # (128, N)
+
+        c0_ref = jax.lax.bitcast_convert_type(rowT[12], jnp.int32)
+        c0_cnt = jax.lax.bitcast_convert_type(rowT[13], jnp.int32)
+        c1_ref = jax.lax.bitcast_convert_type(rowT[14], jnp.int32)
+        c1_cnt = jax.lax.bitcast_convert_type(rowT[15], jnp.int32)
+
+        def slab(b):
+            tx0 = (rowT[b + 0] - ox) * ix
+            tx1 = (rowT[b + 3] - ox) * ix
+            ty0 = (rowT[b + 1] - oy) * iy
+            ty1 = (rowT[b + 4] - oy) * iy
+            tz0 = (rowT[b + 2] - oz) * iz
+            tz1 = (rowT[b + 5] - oz) * iz
+            t_entry = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
+            )
+            t_exit = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+            )
+            return t_entry <= t_exit, t_entry
+
+        h0, te0 = slab(0)
+        h1, te1 = slab(6)
+        h0 = h0 & cur_valid
+        h1 = h1 & cur_valid
+
+        # ---- embedded leaf children: intersect 4 tris each (pure VPU) ----
+        def leaf_tests(base, prim_base, gate_cnt, best_t, best_prim, best_u, best_v):
+            for k in range(MAX_LEAF):
+                off = base + 9 * k
+                v0x, v0y, v0z = rowT[off], rowT[off + 1], rowT[off + 2]
+                e1x, e1y, e1z = rowT[off + 3], rowT[off + 4], rowT[off + 5]
+                e2x, e2y, e2z = rowT[off + 6], rowT[off + 7], rowT[off + 8]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                hit = (
+                    (k < gate_cnt)
+                    & (jnp.abs(det) > TRI_EPS)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > t_min)
+                    & (t < best_t)
+                )
+                prim_k = jax.lax.bitcast_convert_type(
+                    rowT[prim_base + k], jnp.int32
+                )
+                best_t = jnp.where(hit, t, best_t)
+                best_prim = jnp.where(hit, prim_k, best_prim)
+                best_u = jnp.where(hit, u, best_u)
+                best_v = jnp.where(hit, v, best_v)
+            return best_t, best_prim, best_u, best_v
+
+        best_t, best_prim, best_u, best_v = leaf_tests(
+            16, 88, jnp.where(h0, c0_cnt, 0), best_t, best_prim, best_u, best_v
         )
-        closer = is_leaf & (lt < best_t)
-        best_t = jnp.where(closer, lt, best_t)
-        best_slot = jnp.where(closer, lslot, best_slot)
-        best_u = jnp.where(closer, lu, best_u)
-        best_v = jnp.where(closer, lv, best_v)
+        best_t, best_prim, best_u, best_v = leaf_tests(
+            52, 92, jnp.where(h1, c1_cnt, 0), best_t, best_prim, best_u, best_v
+        )
         if any_hit:
-            # occlusion found → drain this ray's stack
-            ptr = jnp.where(closer, 0, ptr)
+            drained = best_prim >= 0
+            ptr = jnp.where(drained, 0, ptr)
+        else:
+            drained = jnp.zeros_like(h0)
 
-        # --- internal path: test both children, push near-first ---
-        c0 = left
-        c1 = left + 1
-        h0, te0 = ray_aabb(o, inv_d, bvh.nodes_min[c0], bvh.nodes_max[c0], best_t)
-        h1, te1 = ray_aabb(o, inv_d, bvh.nodes_min[c1], bvh.nodes_max[c1], best_t)
-        h0 = h0 & is_internal
-        h1 = h1 & is_internal
-        # order: push far child first so near is popped first
+        # ---- internal children: chain near, push far ----
+        int0 = h0 & (c0_cnt == 0) & ~drained
+        int1 = h1 & (c1_cnt == 0) & ~drained
         near_is_0 = te0 <= te1
-        first_child = jnp.where(near_is_0, c1, c0)   # pushed first (far)
-        second_child = jnp.where(near_is_0, c0, c1)  # pushed last (near)
-        first_hit = jnp.where(near_is_0, h1, h0)
-        second_hit = jnp.where(near_is_0, h0, h1)
+        both = int0 & int1
+        near_ref = jnp.where(near_is_0, c0_ref, c1_ref)
+        far_ref = jnp.where(near_is_0, c1_ref, c0_ref)
 
-        push1 = first_hit
-        stack = stack.at[rows, jnp.minimum(ptr, STACK_SIZE - 1)].set(
-            jnp.where(push1, first_child, stack[rows, jnp.minimum(ptr, STACK_SIZE - 1)])
+        stack = jnp.where(
+            (slots == ptr[None, :]) & both[None, :], far_ref[None, :], stack
         )
-        ptr = ptr + push1.astype(jnp.int32)
-        push2 = second_hit
-        stack = stack.at[rows, jnp.minimum(ptr, STACK_SIZE - 1)].set(
-            jnp.where(push2, second_child, stack[rows, jnp.minimum(ptr, STACK_SIZE - 1)])
-        )
-        ptr = ptr + push2.astype(jnp.int32)
-        ptr = jnp.minimum(ptr, STACK_SIZE)
+        ptr = jnp.minimum(ptr + both.astype(jnp.int32), STACK_SIZE)
 
-        return stack, ptr, best_t, best_slot, best_u, best_v
+        next_cur = jnp.where(both, near_ref, jnp.where(int0, c0_ref, c1_ref))
+        next_valid = int0 | int1
+        cur = jnp.where(cur_valid, next_cur, cur)
+        cur_valid = cur_valid & next_valid
 
-    _, _, best_t, best_slot, best_u, best_v = jax.lax.while_loop(
-        cond, body, (stack, ptr, best_t, best_slot, best_u, best_v)
+        return stack, ptr, cur, cur_valid, best_t, best_prim, best_u, best_v
+
+    _, _, _, _, best_t, best_prim, best_u, best_v = jax.lax.while_loop(
+        cond, body,
+        (stack, ptr, cur, cur_valid, best_t, best_prim, best_u, best_v),
     )
 
-    prim = jnp.where(best_slot >= 0, bvh.prim_indices[jnp.maximum(best_slot, 0)], -1)
-    miss = best_slot < 0
+    miss = best_prim < 0
     return HitRecord(
         t=jnp.where(miss, jnp.inf, best_t),
-        prim=prim.astype(jnp.int32),
+        prim=best_prim,
         u=best_u,
         v=best_v,
     )

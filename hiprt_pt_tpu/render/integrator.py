@@ -55,30 +55,33 @@ from ..ops.tonemap import luminance
 def _interpolate_hit(scene: SceneData, prim, u, v, ray_d):
     """Gather hit attributes for a batch of hits: position is recomputed by the
     caller from ray origin + t·d; here: normals, uv, material
-    (reference: Intersect.h:30-83 normal selection + smooth shading)."""
+    (reference: Intersect.h:30-83 normal selection + smooth shading).
+
+    ONE packed tri_data gather + transpose; all math on (N,) components
+    (TPU layout rule — see ops/traverse.py docstring)."""
     safe = jnp.maximum(prim, 0)
-    tri = scene.triangles[safe]
-    n0 = scene.normals[tri[:, 0]]
-    n1 = scene.normals[tri[:, 1]]
-    n2 = scene.normals[tri[:, 2]]
+    rowT = scene.tri_data[safe].T  # (32, N)
     w = 1.0 - u - v
-    ns = n0 * w[..., None] + n1 * u[..., None] + n2 * v[..., None]
-    ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
 
-    v0 = scene.vertices[tri[:, 0]]
-    e1 = scene.vertices[tri[:, 1]] - v0
-    e2 = scene.vertices[tri[:, 2]] - v0
-    ng = jnp.cross(e1, e2)
-    ng = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-12)
+    nx = rowT[0] * w + rowT[3] * u + rowT[6] * v
+    ny = rowT[1] * w + rowT[4] * u + rowT[7] * v
+    nz = rowT[2] * w + rowT[5] * u + rowT[8] * v
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-24))
+    ns = jnp.stack([nx * inv_len, ny * inv_len, nz * inv_len], axis=-1)
+
+    gx, gy, gz = rowT[25], rowT[26], rowT[27]
     # orient geometric normal to agree with shading normal
-    ng = jnp.where(jnp.sum(ng * ns, axis=-1, keepdims=True) < 0.0, -ng, ng)
+    flip = jnp.where(gx * nx + gy * ny + gz * nz < 0.0, -1.0, 1.0)
+    ng = jnp.stack([gx * flip, gy * flip, gz * flip], axis=-1)
 
-    uv0 = scene.uvs[tri[:, 0]]
-    uv1 = scene.uvs[tri[:, 1]]
-    uv2 = scene.uvs[tri[:, 2]]
-    uv = uv0 * w[..., None] + uv1 * u[..., None] + uv2 * v[..., None]
-
-    mat_id = scene.material_ids[safe]
+    uv = jnp.stack(
+        [
+            rowT[9] * w + rowT[11] * u + rowT[13] * v,
+            rowT[10] * w + rowT[12] * u + rowT[14] * v,
+        ],
+        axis=-1,
+    )
+    mat_id = jax.lax.bitcast_convert_type(rowT[24], jnp.int32)
     return ns, ng, uv, mat_id
 
 

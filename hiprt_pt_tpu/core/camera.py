@@ -123,6 +123,8 @@ def generate_camera_rays(
     width: int,
     height: int,
     jitter: jax.Array | None = None,
+    px: jax.Array | None = None,
+    py: jax.Array | None = None,
 ):
     """Primary rays for every pixel.
 
@@ -131,11 +133,15 @@ def generate_camera_rays(
     maps (x+0.5)/w → [-1,1] NDC).
 
     jitter: optional (H*W, 2) in [0,1) sub-pixel offsets; defaults to 0.5.
+    px/py: optional explicit pixel coordinates (the integrator passes the
+    tile-major canonical order, ops/pixel_order.py); default row-major.
     """
     n = width * height
-    idx = jnp.arange(n, dtype=jnp.int32)
-    px = (idx % width).astype(jnp.float32)
-    py = (idx // width).astype(jnp.float32)
+    if px is None or py is None:
+        idx = jnp.arange(n, dtype=jnp.int32)
+        px, py = idx % width, idx // width
+    px = px.astype(jnp.float32)
+    py = py.astype(jnp.float32)
     if jitter is None:
         jx = jy = 0.5
     else:

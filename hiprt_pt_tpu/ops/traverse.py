@@ -220,3 +220,227 @@ def occluded(bvh, o, d, t_min=1e-4, t_max=jnp.inf, active=None) -> jax.Array:
     Intersect.h:224-410). Returns (N,) bool."""
     rec = traverse(bvh, o, d, t_min, t_max, active, any_hit=True)
     return rec.prim >= 0
+
+
+PACKET = 128  # rays per packet — full 128-lane width; one shared traversal stack
+
+
+@partial(jax.jit, static_argnames=("any_hit",))
+def traverse_packets(
+    bvh: BVHData,
+    o: jax.Array,
+    d: jax.Array,
+    t_min=1e-4,
+    t_max=jnp.inf,
+    active=None,
+    any_hit: bool = False,
+) -> HitRecord:
+    """Packet traversal for COHERENT rays (camera / shadow wavefronts).
+
+    Rays are grouped into packets of 64 consecutive rays; each packet owns ONE
+    stack and node cursor, so the per-iteration meganode gather indexes only
+    N/64 rows (the gather is the per-ray traversal's dominant cost at ~2
+    cycles/index). Every ray in the packet tests the fetched node; a child is
+    descended if ANY ray wants it — the classic packet-traversal union walk
+    (coherent packets visit barely more nodes than single rays; incoherent
+    packets degenerate, so bounce rays should use ``traverse`` instead).
+
+    Equivalent of the reference exploiting 8x8 thread-block coherence on GPU
+    (GPURenderer.cpp:413-418 launch geometry + shared-memory traversal stacks).
+
+    N must be a multiple of 64. Returns per-ray HitRecord like ``traverse``.
+    """
+    n = o.shape[0]
+    assert n % PACKET == 0, f"packet traversal needs N % {PACKET} == 0"
+    p = n // PACKET
+
+    inv = jnp.where(jnp.abs(d) > 1e-12, 1.0 / d, jnp.sign(d) * 1e12 + 1e12)
+
+    def comp(x):
+        return x.reshape(p, PACKET)
+
+    ox, oy, oz = comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2])
+    dx, dy, dz = comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2])
+    ix, iy, iz = comp(inv[:, 0]), comp(inv[:, 1]), comp(inv[:, 2])
+    t_min = comp(jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,)))
+    t_max = comp(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
+    if active is None:
+        ray_active = jnp.ones((p, PACKET), jnp.bool_)
+    else:
+        ray_active = comp(jnp.asarray(active))
+
+    stack = jnp.zeros((STACK_SIZE, p), jnp.int32)
+    slots = jnp.arange(STACK_SIZE, dtype=jnp.int32)[:, None]
+    cur = jnp.zeros((p,), jnp.int32)
+    cur_valid = jnp.any(ray_active, axis=1)
+    ptr = jnp.zeros((p,), jnp.int32)
+
+    best_t = t_max
+    best_prim = jnp.full((p, PACKET), -1, jnp.int32)
+    best_u = jnp.zeros((p, PACKET), jnp.float32)
+    best_v = jnp.zeros((p, PACKET), jnp.float32)
+    # per-ray "still searching" mask (any-hit drains rays individually)
+    searching = ray_active
+
+    def cond(carry):
+        _, ptr, _, cur_valid, *_ = carry
+        return jnp.any(cur_valid | (ptr > 0))
+
+    def body(carry):
+        (stack, ptr, cur, cur_valid, best_t, best_prim, best_u, best_v,
+         searching) = carry
+
+        need_pop = (~cur_valid) & (ptr > 0)
+        top = ptr - 1
+        popped = jnp.sum(jnp.where(slots == top[None, :], stack, 0), axis=0)
+        cur = jnp.where(need_pop, popped, cur)
+        cur_valid = cur_valid | need_pop
+        ptr = jnp.where(need_pop, top, ptr)
+
+        rowT = bvh.nodes[jnp.where(cur_valid, cur, 0)].T  # (128, P)
+
+        c0_ref = jax.lax.bitcast_convert_type(rowT[12], jnp.int32)
+        c0_cnt = jax.lax.bitcast_convert_type(rowT[13], jnp.int32)
+        c1_ref = jax.lax.bitcast_convert_type(rowT[14], jnp.int32)
+        c1_cnt = jax.lax.bitcast_convert_type(rowT[15], jnp.int32)
+
+        def slab(b):
+            # rowT[k] is (P,) — broadcast against (P, PACKET) ray components
+            tx0 = (rowT[b + 0][:, None] - ox) * ix
+            tx1 = (rowT[b + 3][:, None] - ox) * ix
+            ty0 = (rowT[b + 1][:, None] - oy) * iy
+            ty1 = (rowT[b + 4][:, None] - oy) * iy
+            tz0 = (rowT[b + 2][:, None] - oz) * iz
+            tz1 = (rowT[b + 5][:, None] - oz) * iz
+            t_entry = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
+            )
+            t_exit = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+            )
+            hit_ray = (t_entry <= t_exit) & searching
+            return hit_ray, t_entry
+
+        h0_ray, te0 = slab(0)
+        h1_ray, te1 = slab(6)
+        h0_ray = h0_ray & cur_valid[:, None]
+        h1_ray = h1_ray & cur_valid[:, None]
+        h0 = jnp.any(h0_ray, axis=1)
+        h1 = jnp.any(h1_ray, axis=1)
+
+        def leaf_tests(base, prim_base, gate_cnt, gate_ray,
+                       best_t, best_prim, best_u, best_v, searching):
+            for k in range(MAX_LEAF):
+                off = base + 9 * k
+                v0x = rowT[off][:, None]
+                v0y = rowT[off + 1][:, None]
+                v0z = rowT[off + 2][:, None]
+                e1x = rowT[off + 3][:, None]
+                e1y = rowT[off + 4][:, None]
+                e1z = rowT[off + 5][:, None]
+                e2x = rowT[off + 6][:, None]
+                e2y = rowT[off + 7][:, None]
+                e2z = rowT[off + 8][:, None]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+                tx = ox - v0x
+                ty = oy - v0y
+                tz = oz - v0z
+                u = (tx * px + ty * py + tz * pz) * inv_det
+                qx = ty * e1z - tz * e1y
+                qy = tz * e1x - tx * e1z
+                qz = tx * e1y - ty * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                hit = (
+                    gate_ray
+                    & (k < gate_cnt[:, None])
+                    & (jnp.abs(det) > TRI_EPS)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > t_min)
+                    & (t < best_t)
+                )
+                prim_k = jax.lax.bitcast_convert_type(
+                    rowT[prim_base + k], jnp.int32
+                )[:, None]
+                best_t = jnp.where(hit, t, best_t)
+                best_prim = jnp.where(hit, prim_k, best_prim)
+                best_u = jnp.where(hit, u, best_u)
+                best_v = jnp.where(hit, v, best_v)
+                if any_hit:
+                    searching = searching & ~hit
+            return best_t, best_prim, best_u, best_v, searching
+
+        best_t, best_prim, best_u, best_v, searching = leaf_tests(
+            16, 88, jnp.where(h0, c0_cnt, 0), h0_ray,
+            best_t, best_prim, best_u, best_v, searching,
+        )
+        best_t, best_prim, best_u, best_v, searching = leaf_tests(
+            52, 92, jnp.where(h1, c1_cnt, 0), h1_ray,
+            best_t, best_prim, best_u, best_v, searching,
+        )
+        if any_hit:
+            packet_dead = ~jnp.any(searching, axis=1)
+            ptr = jnp.where(packet_dead, 0, ptr)
+        else:
+            packet_dead = jnp.zeros((p,), jnp.bool_)
+
+        int0 = h0 & (c0_cnt == 0) & ~packet_dead
+        int1 = h1 & (c1_cnt == 0) & ~packet_dead
+        # near ordering by the packet-min entry distance
+        te0m = jnp.min(jnp.where(h0_ray, te0, jnp.inf), axis=1)
+        te1m = jnp.min(jnp.where(h1_ray, te1, jnp.inf), axis=1)
+        near_is_0 = te0m <= te1m
+        both = int0 & int1
+        near_ref = jnp.where(near_is_0, c0_ref, c1_ref)
+        far_ref = jnp.where(near_is_0, c1_ref, c0_ref)
+
+        stack = jnp.where(
+            (slots == ptr[None, :]) & both[None, :], far_ref[None, :], stack
+        )
+        ptr = jnp.minimum(ptr + both.astype(jnp.int32), STACK_SIZE)
+
+        next_cur = jnp.where(both, near_ref, jnp.where(int0, c0_ref, c1_ref))
+        next_valid = int0 | int1
+        cur = jnp.where(cur_valid, next_cur, cur)
+        cur_valid = cur_valid & next_valid
+
+        return (stack, ptr, cur, cur_valid, best_t, best_prim, best_u, best_v,
+                searching)
+
+    out = jax.lax.while_loop(
+        cond, body,
+        (stack, ptr, cur, cur_valid, best_t, best_prim, best_u, best_v,
+         searching),
+    )
+    best_t, best_prim, best_u, best_v = out[4], out[5], out[6], out[7]
+
+    miss = best_prim < 0
+    return HitRecord(
+        t=jnp.where(miss, jnp.inf, best_t).reshape(n),
+        prim=best_prim.reshape(n),
+        u=best_u.reshape(n),
+        v=best_v.reshape(n),
+    )
+
+
+def closest_hit_coherent(bvh, o, d, t_min=1e-4, t_max=jnp.inf, active=None):
+    """Closest hit via packet traversal (use for camera/shadow wavefronts)."""
+    if o.shape[0] % PACKET == 0:
+        return traverse_packets(bvh, o, d, t_min, t_max, active, any_hit=False)
+    return traverse(bvh, o, d, t_min, t_max, active, any_hit=False)
+
+
+def occluded_coherent(bvh, o, d, t_min=1e-4, t_max=jnp.inf, active=None):
+    if o.shape[0] % PACKET == 0:
+        rec = traverse_packets(bvh, o, d, t_min, t_max, active, any_hit=True)
+    else:
+        rec = traverse(bvh, o, d, t_min, t_max, active, any_hit=True)
+    return rec.prim >= 0

@@ -47,8 +47,14 @@ from ..lights.light_sampling import (
 )
 from ..models.dispatcher import bsdf_eval, bsdf_sample
 from ..ops.intersect import offset_ray_origin
+from ..ops.pixel_order import pixel_coords
 from ..ops.sampling import balance_heuristic
-from ..ops.traverse import closest_hit, occluded
+from ..ops.traverse import (
+    closest_hit,
+    closest_hit_coherent,
+    occluded,
+    occluded_coherent,
+)
 from ..ops.tonemap import luminance
 
 
@@ -135,21 +141,20 @@ def camera_rays_pass(
     rng_state, jx = rng_mod.next_float(rng_state)
     rng_state, jy = rng_mod.next_float(rng_state)
     jitter = jnp.stack([jx, jy], axis=-1)
-    o, d = generate_camera_rays(camera, width, height, jitter)
+    # canonical tile-major pixel order → each 128-ray packet is one 16x8 tile
+    px, py = pixel_coords(width, height)
+    o, d = generate_camera_rays(camera, width, height, jitter, px, py)
 
     # pixel activity: adaptive-sampling converged pixels stop tracing
     # (reference: CameraRays.h:90-105); low-res interaction mode traces one
     # pixel per scale×scale block (CameraRays.h:60-76)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    px = idx % width
-    py = idx // width
     sc = settings.low_resolution_scale
     lowres_keep = ((px % sc) == 0) & ((py % sc) == 0)
     active = jnp.where(settings.render_low_resolution, lowres_keep, True)
     adaptive_keep = ~(settings.enable_adaptive_sampling & state.pixel_converged)
     active = active & adaptive_keep
 
-    rec = closest_hit(bvh, o, d, t_min=0.0, active=active)
+    rec = closest_hit_coherent(bvh, o, d, t_min=0.0, active=active)
     hit = rec.prim >= 0
     ns, ng, uv, mat_id = _interpolate_hit(scene, rec.prim, rec.u, rec.v, d)
     pos = o + d * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
@@ -204,7 +209,7 @@ def _direct_lighting(
         cand = active & ls["valid"] & (cos_i > 0.0) & (ls["pdf"] > 0.0)
         # shadow ray
         so = offset_ray_origin(p, ng, wi)
-        shadow_blocked = occluded(
+        shadow_blocked = occluded_coherent(
             bvh, so, wi, t_max=ls["dist"] * (1.0 - 1e-3), active=cand
         )
         n_shadow = n_shadow + jnp.sum(cand.astype(jnp.float32))
@@ -243,7 +248,7 @@ def _direct_lighting(
             & (world.ambient_light_type == int(AmbientLightType.ENVMAP))
         )
         so_e = offset_ray_origin(p, ng, wi_e)
-        blocked_e = occluded(bvh, so_e, wi_e, active=cand_e)
+        blocked_e = occluded_coherent(bvh, so_e, wi_e, active=cand_e)
         n_shadow = n_shadow + jnp.sum(cand_e.astype(jnp.float32))
         vis_e = cand_e & ~blocked_e
         if options.envmap_bsdf_mis:
@@ -386,7 +391,10 @@ def render_sample(
 
         # --- trace bounce ray ---
         o_next = offset_ray_origin(p, ng, wi)
-        rec = closest_hit(bvh, o_next, wi, t_min=0.0, active=valid_sample)
+        # bounce rays: tile packets still win on TPU — per-ray traversal is
+        # gather-bound (~2 cyc/ray/node) while packets amortize the fetch over
+        # 128 rays sharing origin locality from their 16x8 screen tile
+        rec = closest_hit_coherent(bvh, o_next, wi, t_min=0.0, active=valid_sample)
         hit = rec.prim >= 0
 
         # Beer-Lambert absorption along the segment inside a medium

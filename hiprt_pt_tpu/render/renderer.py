@@ -30,6 +30,7 @@ from ..core import rng as rng_mod
 from ..core.camera import Camera
 from ..core.settings import RenderOptions, RenderSettings, WorldSettings
 from ..core.state import RenderState, init_render_state
+from ..ops.pixel_order import unscramble
 from ..ops.tonemap import luminance, resolve_accumulation, tonemap_gamma
 from ..utils.perf import PerformanceMetrics
 from .integrator import camera_rays_pass, render_sample
@@ -247,25 +248,28 @@ class Renderer:
     # --- output ---
 
     def hdr_image(self) -> np.ndarray:
-        """(H, W, 3) mean radiance."""
+        """(H, W, 3) mean radiance (row 0 = top; buffers live in the canonical
+        tile-major order, unscrambled here at host readout)."""
         img = resolve_accumulation(self.state.accum, self.state.sample_count)
-        img = np.asarray(jax.device_get(img)).reshape(self.height, self.width, 3)
+        img = unscramble(jax.device_get(img), self.width, self.height)
         return img[::-1]  # flip: row 0 is bottom in NDC
 
     def ldr_image(self, exposure: float = 1.0, gamma: float = 2.2) -> np.ndarray:
         hdr = resolve_accumulation(self.state.accum, self.state.sample_count)
         ldr = tonemap_gamma(hdr, exposure, gamma)
-        img = np.asarray(jax.device_get(ldr)).reshape(self.height, self.width, 3)
+        img = unscramble(jax.device_get(ldr), self.width, self.height)
         return img[::-1]
 
     def aov_images(self):
         n = jnp.maximum(self.state.pixel_sample_count.astype(jnp.float32), 1.0)
-        alb = np.asarray(
-            jax.device_get(self.state.denoiser_albedo / n[:, None])
-        ).reshape(self.height, self.width, 3)[::-1]
-        nrm = np.asarray(
-            jax.device_get(self.state.denoiser_normal / n[:, None])
-        ).reshape(self.height, self.width, 3)[::-1]
+        alb = unscramble(
+            jax.device_get(self.state.denoiser_albedo / n[:, None]),
+            self.width, self.height,
+        )[::-1]
+        nrm = unscramble(
+            jax.device_get(self.state.denoiser_normal / n[:, None]),
+            self.width, self.height,
+        )[::-1]
         return alb, nrm
 
     def reset(self):

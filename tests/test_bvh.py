@@ -90,3 +90,36 @@ def test_cornell_traversal(cornell_scene):
     assert np.array_equal(np.asarray(rec.prim) >= 0, np.asarray(bp) >= 0)
     m = np.asarray(bp) >= 0
     assert np.allclose(np.asarray(rec.t)[m], np.asarray(bt)[m], rtol=1e-4)
+
+
+def test_packet_traversal_matches_per_ray(cornell_scene):
+    """Packet traversal must produce identical hits to per-ray traversal."""
+    import jax.numpy as jnp
+    from hiprt_pt_tpu.core.camera import generate_camera_rays
+    from hiprt_pt_tpu.ops.traverse import closest_hit_coherent, occluded, occluded_coherent
+
+    scene, camera = cornell_scene
+    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
+    o, d = generate_camera_rays(camera, 32, 16)  # 512 rays = 8 packets
+    rec_p = closest_hit_coherent(bvh, o, d, t_min=0.0)
+    rec_r = closest_hit(bvh, o, d, t_min=0.0)
+    assert np.array_equal(np.asarray(rec_p.prim), np.asarray(rec_r.prim))
+    m = np.asarray(rec_r.prim) >= 0
+    assert np.allclose(np.asarray(rec_p.t)[m], np.asarray(rec_r.t)[m], rtol=1e-5)
+    # any-hit consistency
+    occ_p = occluded_coherent(bvh, o, d, t_min=0.0)
+    occ_r = occluded(bvh, o, d, t_min=0.0)
+    assert np.array_equal(np.asarray(occ_p), np.asarray(occ_r))
+
+
+def test_packet_traversal_active_mask(cornell_scene):
+    import jax.numpy as jnp
+    from hiprt_pt_tpu.core.camera import generate_camera_rays
+    from hiprt_pt_tpu.ops.traverse import closest_hit_coherent
+
+    scene, camera = cornell_scene
+    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
+    o, d = generate_camera_rays(camera, 32, 16)
+    active = np.zeros(512, bool); active[::3] = True
+    rec = closest_hit_coherent(bvh, o, d, t_min=0.0, active=jnp.asarray(active))
+    assert np.all(np.asarray(rec.prim)[~active] == -1)

@@ -31,7 +31,7 @@ from ..core.settings import RenderOptions
 from ..models.dispatcher import bsdf_eval, bsdf_sample
 from ..ops.intersect import offset_ray_origin
 from ..ops.sampling import TWO_PI
-from ..ops.traverse import closest_hit, occluded
+from ..ops.traverse import closest_hit_coherent, occluded_coherent
 from ..ops.tonemap import luminance
 from .light_sampling import emissive_pdf_of_direction, sample_emissive_triangle
 
@@ -98,7 +98,7 @@ def ris_direct_lighting(
         valid = active & ls["valid"] & (cos_i > 0.0) & (ls["pdf"] > 0.0)
         if options.ris_use_visibility_target:
             so = offset_ray_origin(p, ng, wi)
-            blocked = occluded(
+            blocked = occluded_coherent(
                 bvh, so, wi, t_max=ls["dist"] * (1.0 - 1e-3),
                 active=valid & (p_hat > 0.0),
             )
@@ -126,7 +126,7 @@ def ris_direct_lighting(
         cos_i = jnp.sum(ns * wi, axis=-1)
         cand = active & (pdf_b > 0.0) & (cos_i > 0.0)
         o = offset_ray_origin(p, ng, wi)
-        rec = closest_hit(bvh, o, wi, t_min=0.0, active=cand)
+        rec = closest_hit_coherent(bvh, o, wi, t_min=0.0, active=cand)
         hit = rec.prim >= 0
         pdf_l, is_em = emissive_pdf_of_direction(scene, o, rec.prim, rec.t, wi)
         em_mats = scene.materials.at_indices(
@@ -155,7 +155,7 @@ def ris_direct_lighting(
     W = res["w_sum"] / jnp.maximum(res["p_hat"], 1e-12)
     has_winner = active & (res["p_hat"] > 0.0) & (res["w_sum"] > 0.0)
     so = offset_ray_origin(p, ng, res["wi"])
-    blocked = occluded(
+    blocked = occluded_coherent(
         bvh,
         so,
         res["wi"],

@@ -198,7 +198,19 @@ def _direct_lighting(
     contrib = jnp.zeros((n_rays, 3), jnp.float32)
     n_shadow = jnp.float32(0.0)
 
-    if _nee_enabled(options):
+    if options.direct_light_sampling == LightSamplingStrategy.RIS_BSDF_LIGHT:
+        # RIS + weighted reservoir sampling over light+BSDF candidates
+        # (reference: RIS.h, LSS_RIS_BSDF_AND_LIGHT)
+        from ..lights.ris import ris_direct_lighting
+
+        rng_state, ris_c, ris_rays = ris_direct_lighting(
+            options, scene, bvh, settings, mats, p, ns, ng, wo, rng_state,
+            active, eta_rel,
+        )
+        ris_c = _clamp_contribution(ris_c, settings.direct_contribution_clamp)
+        contrib = contrib + ris_c
+        n_shadow = n_shadow + ris_rays
+    elif _nee_enabled(options):
         rng_state, ls = sample_emissive_triangle(scene, p, rng_state)
         wi = ls["wi"]
         cos_i = jnp.sum(ns * wi, axis=-1)
@@ -406,7 +418,12 @@ def render_sample(
         light_pdf, is_em = emissive_pdf_of_direction(
             scene, o_next, rec.prim, rec.t, wi
         )
-        if _nee_enabled(options):
+        if options.direct_light_sampling == LightSamplingStrategy.RIS_BSDF_LIGHT:
+            # the RIS candidate pool already contains BSDF samples — emitter
+            # hits via the main bounce ray would double count (reference:
+            # RIS covers all direct lighting; RIS.h)
+            w_em = jnp.zeros_like(bsdf_pdf)
+        elif _nee_enabled(options):
             if _nee_uses_mis(options):
                 w_em = balance_heuristic(bsdf_pdf, light_pdf)
             else:

@@ -145,3 +145,17 @@ def test_envmap_furnace(cornell_scene):
     assert np.all(img <= 1.0 + 1e-3), img.max()
     assert img.mean() > 0.85, img.mean()
     assert np.all(img > 0.5), img.min()
+
+
+def test_ris_agrees_with_mis(cornell_scene, mis_image):
+    """RIS+WRS direct lighting must converge to the same radiance as MIS NEE
+    (unbiasedness cross-check; reference: RIS.h)."""
+    r = _make_renderer(
+        cornell_scene, LightSamplingStrategy.RIS_BSDF_LIGHT, spp=64, seed=11
+    )
+    r.step(block=True)
+    img = r.hdr_image()
+    assert np.all(np.isfinite(img))
+    a = mis_image[4:-4, 4:-4].mean()
+    b = img[4:-4, 4:-4].mean()
+    assert abs(a - b) / max(a, 1e-6) < 0.12, (a, b)

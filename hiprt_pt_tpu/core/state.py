@@ -83,7 +83,12 @@ class RenderState:
     rays_traced: jax.Array         # scalar f32
     # frame-global RNG seed (reference: m_rng re-seeded to 42 on reset)
     seed: jax.Array                # scalar u32
-    # ReSTIR DI reservoir state (None until the ReSTIR pass is enabled)
+    # previous frame's view-projection for ReSTIR temporal back-projection
+    prev_view_proj: jax.Array = struct.field(
+        default_factory=lambda: jnp.eye(4, dtype=jnp.float32)
+    )
+    # ReSTIR DI reservoir state (None unless the ReSTIR strategy is enabled —
+    # presence is static per RenderOptions, so jit sees a stable structure)
     restir: Optional["jax.Array | object"] = None
 
     @property
@@ -91,9 +96,17 @@ class RenderState:
         return self.accum.shape[0]
 
 
-def init_render_state(width: int, height: int, seed: int = 42) -> RenderState:
+def init_render_state(
+    width: int, height: int, seed: int = 42, with_restir: bool = False
+) -> RenderState:
     n = width * height
+    restir = None
+    if with_restir:
+        from ..restir.reservoir import Reservoir
+
+        restir = Reservoir.empty(n)
     return RenderState(
+        restir=restir,
         accum=jnp.zeros((n, 3), jnp.float32),
         sample_count=jnp.int32(0),
         accum_sq_luminance=jnp.zeros((n,), jnp.float32),
@@ -106,5 +119,4 @@ def init_render_state(width: int, height: int, seed: int = 42) -> RenderState:
         prev_gbuffer=GBuffer.empty(n),
         rays_traced=jnp.float32(0.0),
         seed=jnp.uint32(seed),
-        restir=None,
     )

@@ -198,9 +198,13 @@ def _direct_lighting(
     contrib = jnp.zeros((n_rays, 3), jnp.float32)
     n_shadow = jnp.float32(0.0)
 
-    if options.direct_light_sampling == LightSamplingStrategy.RIS_BSDF_LIGHT:
+    if options.direct_light_sampling in (
+        LightSamplingStrategy.RIS_BSDF_LIGHT,
+        LightSamplingStrategy.RESTIR_DI,  # secondary vertices fall back to RIS
+    ):
         # RIS + weighted reservoir sampling over light+BSDF candidates
-        # (reference: RIS.h, LSS_RIS_BSDF_AND_LIGHT)
+        # (reference: RIS.h, LSS_RIS_BSDF_AND_LIGHT; Lights.h routes ReSTIR's
+        # non-primary vertices through RIS too)
         from ..lights.ris import ris_direct_lighting
 
         rng_state, ris_c, ris_rays = ris_direct_lighting(
@@ -284,6 +288,7 @@ def render_sample(
     gbuffer: GBuffer,
     pixel_active,
     rng_state,
+    direct0=None,
 ):
     """Trace one full path per pixel starting from the G-buffer first hit.
 
@@ -353,10 +358,19 @@ def render_sample(
             jnp.maximum(mats.ior, 1.0 + 1e-3),
             1.0 / jnp.maximum(mats.ior, 1.0 + 1e-3),
         )
+        # with ReSTIR DI, the camera vertex's direct light was already
+        # resolved by the reservoir pipeline (direct0); NEE here only serves
+        # secondary vertices
+        if direct0 is not None:
+            nee_active = active & (bounce > 0)
+        else:
+            nee_active = active
         rng_state, direct, n_shadow = _direct_lighting(
             options, scene, bvh, world, settings, mats, p, ns, ng, wo,
-            rng_state, active, eta_rel,
+            rng_state, nee_active, eta_rel,
         )
+        if direct0 is not None:
+            direct = jnp.where(bounce == 0, direct0, direct)
         radiance = radiance + jnp.where(
             active[..., None], throughput * direct, 0.0
         )
@@ -418,10 +432,13 @@ def render_sample(
         light_pdf, is_em = emissive_pdf_of_direction(
             scene, o_next, rec.prim, rec.t, wi
         )
-        if options.direct_light_sampling == LightSamplingStrategy.RIS_BSDF_LIGHT:
-            # the RIS candidate pool already contains BSDF samples — emitter
-            # hits via the main bounce ray would double count (reference:
-            # RIS covers all direct lighting; RIS.h)
+        if options.direct_light_sampling in (
+            LightSamplingStrategy.RIS_BSDF_LIGHT,
+            LightSamplingStrategy.RESTIR_DI,
+        ):
+            # the RIS/ReSTIR candidate pool already contains BSDF samples —
+            # emitter hits via the main bounce ray would double count
+            # (reference: RIS.h / FinalShading.h cover all direct lighting)
             w_em = jnp.zeros_like(bsdf_pdf)
         elif _nee_enabled(options):
             if _nee_uses_mis(options):

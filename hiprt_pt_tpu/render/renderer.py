@@ -28,7 +28,7 @@ from ..accel.build import BVHData, build_bvh
 from ..assets.scene import SceneData
 from ..core import rng as rng_mod
 from ..core.camera import Camera
-from ..core.settings import RenderOptions, RenderSettings, WorldSettings
+from ..core.settings import LightSamplingStrategy, RenderOptions, RenderSettings, WorldSettings
 from ..core.state import RenderState, init_render_state
 from ..ops.pixel_order import unscramble
 from ..ops.tonemap import luminance, resolve_accumulation, tonemap_gamma
@@ -69,12 +69,77 @@ def render_step(
             scene, bvh, camera, settings, state, width, height, sample_number,
             rng_state,
         )
+
+        # --- ReSTIR DI pipeline for the camera vertex (reference:
+        # ReSTIRDIRenderPass::launch, 5 kernels; here pure reservoir passes
+        # fused by XLA into the same program) ---
+        direct0 = None
+        new_restir = state.restir
+        restir_rays = jnp.float32(0.0)
+        if (
+            options.direct_light_sampling == LightSamplingStrategy.RESTIR_DI
+            and state.restir is not None
+        ):
+            from ..restir.di import (
+                final_shading,
+                initial_candidates,
+                presample_lights,
+                spatial_reuse_pass,
+                temporal_reuse,
+            )
+
+            hit0 = gbuf.prim_index >= 0
+            active0 = active & hit0
+            mats0 = scene.materials.at_indices(
+                jnp.maximum(gbuf.material_id, 0)
+            ).make_safe()
+            eta0 = jnp.where(
+                ~gbuf.backface,
+                jnp.maximum(mats0.ior, 1.0 + 1e-3),
+                1.0 / jnp.maximum(mats0.ior, 1.0 + 1e-3),
+            )
+            pool = presample_lights(scene, sample_number)
+            tile_id = jnp.arange(width * height, dtype=jnp.int32) // 128
+            res, rng_state = initial_candidates(
+                options, scene, bvh, world, settings, mats0,
+                gbuf.position, gbuf.shading_normal, gbuf.geometric_normal,
+                gbuf.view_direction, eta0, active0, rng_state,
+                pool=pool, tile_id=tile_id,
+            )
+            res, rng_state = temporal_reuse(
+                options, settings, scene, mats0, gbuf, state.prev_gbuffer,
+                state.restir, res, eta0, active0, width, height,
+                state.prev_view_proj, rng_state,
+            )
+
+            def spatial_body(i, carry):
+                res, rng_state = carry
+                return spatial_reuse_pass(
+                    options, settings, scene, mats0, gbuf, res, eta0, active0,
+                    width, height, rng_state,
+                )
+
+            n_spatial = jnp.where(
+                settings.restir_di.spatial_enabled,
+                settings.restir_di.num_spatial_passes,
+                0,
+            )
+            res, rng_state = jax.lax.fori_loop(
+                0, n_spatial, spatial_body, (res, rng_state)
+            )
+            direct0, restir_rays = final_shading(
+                options, scene, bvh, world, mats0, gbuf, res, eta0, active0
+            )
+            new_restir = res
+
         rng_state, radiance, aov_albedo, aov_normal, path_rays = render_sample(
-            options, scene, bvh, world, settings, gbuf, active, rng_state
+            options, scene, bvh, world, settings, gbuf, active, rng_state,
+            direct0=direct0,
         )
         total_rays = (
             state.rays_traced
             + path_rays
+            + restir_rays
             + jnp.sum(active.astype(jnp.float32))  # camera rays
         )
 
@@ -127,6 +192,8 @@ def render_step(
             prev_gbuffer=state.gbuffer,
             gbuffer=new_gbuffer,
             rays_traced=total_rays,
+            restir=new_restir,
+            prev_view_proj=camera.proj @ camera.view,
         )
 
     return one_sample(jnp.int32(0), state)
@@ -163,7 +230,11 @@ class Renderer:
             self.bvh_build_time = time.perf_counter() - t0
         self.bvh = bvh
         self.seed = seed
-        self.state = init_render_state(width, height, seed)
+        self.state = init_render_state(
+            width, height, seed,
+            with_restir=options.direct_light_sampling
+            == LightSamplingStrategy.RESTIR_DI,
+        )
         self.metrics = PerformanceMetrics()
         self._render_start_time: Optional[float] = None
         self.max_sample_count: Optional[int] = None
@@ -275,7 +346,11 @@ class Renderer:
     def reset(self):
         """Restart accumulation (reference: GPURenderer::reset,
         GPURenderer.cpp:953-973 — re-seeds to the fixed seed)."""
-        self.state = init_render_state(self.width, self.height, self.seed)
+        self.state = init_render_state(
+            self.width, self.height, self.seed,
+            with_restir=self.options.direct_light_sampling
+            == LightSamplingStrategy.RESTIR_DI,
+        )
         self._render_start_time = None
 
     def set_camera(self, camera: Camera):

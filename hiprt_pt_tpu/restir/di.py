@@ -1,0 +1,505 @@
+"""ReSTIR DI — spatiotemporal reservoir reuse for direct lighting.
+
+Role parity with the reference's 5-kernel ReSTIR DI pipeline
+(src/Renderer/RenderPasses/ReSTIRDIRenderPass.cpp + src/Device/kernels/ReSTIR/DI/*):
+light presampling [Wyman & Panteleev 2021], per-pixel initial candidates (RIS
+over presampled lights + BSDF samples), temporal reuse with back-projection and
+similarity heuristics, N spatial reuse passes with configurable bias
+correction, and final shading with visibility. The fused spatiotemporal mode
+runs temporal+spatial in one pass (reference: FusedSpatiotemporalReuse.h).
+
+Measure convention: area-light samples are stored and weighted in AREA measure
+(pixel-independent → no reuse Jacobians); envmap samples in solid angle (also
+pixel-independent). The target function p_hat is the unshadowed luminance of
+f·Le·G in the sample's measure.
+
+TPU-first: every pass is a pure function Reservoir → Reservoir over the flat
+pixel wavefront; neighbor taps are gathers in the canonical tile-major order
+(ops/pixel_order.py) converted through pixel coordinates; the reference's
+ping-pong output-buffer bookkeeping (ReSTIRDIRenderPass.cpp:559-575)
+disappears into functional state threading.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..assets.scene import SceneData
+from ..core import rng as rng_mod
+from ..core.settings import (
+    AmbientLightType,
+    EnvmapSamplingStrategy,
+    ReSTIRBiasCorrection,
+    RenderOptions,
+    WorldSettings,
+)
+from ..lights.envmap_sampling import eval_envmap, sample_envmap
+from ..lights.light_sampling import searchsorted_cdf
+from ..models.dispatcher import bsdf_eval, bsdf_sample
+from ..ops.intersect import offset_ray_origin
+from ..ops.pixel_order import pixel_coords, linear_index
+from ..ops.sampling import sample_triangle
+from ..ops.tonemap import luminance
+from ..ops.traverse import closest_hit_coherent, occluded_coherent
+from .reservoir import Reservoir
+
+
+# ----------------------------------------------------------------- target fn
+
+
+def eval_target(options, mats, p, ns, wo, eta_rel, res_or_sample, scene=None,
+                world=None):
+    """p_hat of a (light_point, light_normal, radiance, is_envmap) sample at
+    surface (p, ns, wo). Returns (p_hat (N,), wi (N,3), dist (N,))."""
+    lp = res_or_sample["light_point"]
+    ln = res_or_sample["light_normal"]
+    rad = res_or_sample["radiance"]
+    is_env = res_or_sample["is_envmap"]
+
+    to_l = lp - p
+    d2 = jnp.sum(to_l * to_l, axis=-1)
+    dist_area = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    wi_area = to_l / dist_area[:, None]
+    wi = jnp.where(is_env[:, None], lp, wi_area)
+    dist = jnp.where(is_env, jnp.inf, dist_area)
+
+    cos_i = jnp.maximum(jnp.sum(ns * wi, axis=-1), 0.0)
+    cos_l = jnp.abs(jnp.sum(ln * (-wi), axis=-1))
+    f, _ = bsdf_eval(options, mats, ns, wo, wi, {"eta_rel": eta_rel})
+    base = luminance(f * rad) * cos_i
+    ph_area = base * cos_l / jnp.maximum(d2, 1e-12)
+    ph = jnp.where(is_env, base, ph_area)
+    return jnp.where(jnp.isfinite(ph) & (ph >= 0.0), ph, 0.0), wi, dist
+
+
+def _sample_of(res: Reservoir):
+    return {
+        "light_point": res.light_point,
+        "light_normal": res.light_normal,
+        "radiance": res.radiance,
+        "is_envmap": res.is_envmap,
+    }
+
+
+# ------------------------------------------------------------- presampling
+
+
+def presample_lights(scene: SceneData, sample_number):
+    """Presampled light pool (reference: LightsPresampling.h — subsets x
+    subset-size light table regenerated per frame, tile-coherent access).
+
+    Returns a pool dict of (S*K,) arrays with area-measure pdfs."""
+    S = 32  # subsets (reference: 128x1024; scaled to the pool's per-sample
+            # regeneration here)
+    K = 256
+    n = S * K
+    pool_rng = rng_mod.seed(
+        jnp.arange(n, dtype=jnp.uint32), sample_number, jnp.uint32(977)
+    )
+    pool_rng, u0 = rng_mod.next_float(pool_rng)
+    pool_rng, u1, u2 = rng_mod.next_float2(pool_rng)
+
+    slot = searchsorted_cdf(scene.emissive_power_cdf, u0)
+    tri_idx = scene.emissive_tri_indices[slot]
+    safe_tri = jnp.maximum(tri_idx, 0)
+    tri = scene.triangles[safe_tri]
+    v0 = scene.vertices[tri[:, 0]]
+    e1 = scene.vertices[tri[:, 1]] - v0
+    e2 = scene.vertices[tri[:, 2]] - v0
+    lp, ng = sample_triangle(v0, e1, e2, u1, u2)
+    area = 0.5 * jnp.linalg.norm(ng, axis=-1)
+    ln = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-12)
+    prev = jnp.where(slot > 0, scene.emissive_power_cdf[jnp.maximum(slot - 1, 0)], 0.0)
+    pdf_area = (scene.emissive_power_cdf[slot] - prev) / jnp.maximum(area, 1e-12)
+    mats = scene.materials.at_indices(scene.material_ids[safe_tri])
+    rad = mats.effective_emission()
+    valid = tri_idx >= 0
+
+    pool = {
+        "light_point": lp,
+        "light_normal": ln,
+        "radiance": rad,
+        "pdf": jnp.where(valid, pdf_area, 0.0),
+        "is_envmap": jnp.zeros((n,), jnp.bool_),
+        "valid": valid,
+        "S": S,
+        "K": K,
+    }
+    return pool
+
+
+# ------------------------------------------------------- initial candidates
+
+
+def initial_candidates(
+    options: RenderOptions,
+    scene: SceneData,
+    bvh,
+    world: WorldSettings,
+    settings,
+    mats,
+    p, ns, ng, wo, eta_rel,
+    active,
+    rng_state,
+    pool=None,
+    tile_id=None,
+):
+    """Per-pixel RIS over light (+envmap) + BSDF candidates into a reservoir
+    (reference: InitialCandidates.h:449, tile-coherent presampled subsets)."""
+    n = p.shape[0]
+    res = Reservoir.empty(n)
+    M_l = settings.restir_di.num_light_candidates
+    M_b = settings.restir_di.num_bsdf_candidates
+    p_env = settings.restir_di.envmap_candidate_probability
+    has_env = (
+        scene.envmap is not None
+        and options.envmap_sampling != EnvmapSamplingStrategy.NO_SAMPLING
+    )
+
+    def light_body(i, carry):
+        res, rng_state = carry
+        rng_state, u_env = rng_mod.next_float(rng_state)
+        use_env = has_env & (u_env < p_env)
+
+        if pool is not None and tile_id is not None:
+            # tile-coherent subset pick from the presampled pool
+            # (reference: Cantor-pairing subset selection)
+            rng_state, u_pick = rng_mod.next_float(rng_state)
+            subset = (tile_id + i) % pool["S"]
+            k = jnp.clip((u_pick * pool["K"]).astype(jnp.int32), 0, pool["K"] - 1)
+            idx = subset * pool["K"] + k
+            lp = pool["light_point"][idx]
+            ln = pool["light_normal"][idx]
+            rad = pool["radiance"][idx]
+            pdf_area = pool["pdf"][idx]
+            lvalid = pool["valid"][idx]
+        else:
+            from ..lights.light_sampling import sample_emissive_triangle
+
+            rng_state, ls = sample_emissive_triangle(scene, p, rng_state)
+            lp = ls["light_point"]
+            ln = ls["light_normal"]
+            rad = ls["radiance"]
+            # convert returned solid-angle pdf back to area measure
+            cos_l = jnp.abs(jnp.sum(ln * (-ls["wi"]), axis=-1))
+            pdf_area = ls["pdf"] * cos_l / jnp.maximum(ls["dist"] ** 2, 1e-12)
+            lvalid = ls["valid"]
+
+        if has_env:
+            rng_state, wi_e, rad_e, pdf_e = sample_envmap(
+                options, world, scene.envmap, rng_state, n
+            )
+            lp = jnp.where(use_env[:, None], wi_e, lp)
+            ln = jnp.where(use_env[:, None], -wi_e, ln)
+            rad = jnp.where(use_env[:, None], rad_e, rad)
+            pdf_area = jnp.where(
+                use_env, pdf_e * p_env, pdf_area * (1.0 - p_env)
+            )
+            lvalid = jnp.where(use_env, pdf_e > 0.0, lvalid)
+            is_env = use_env
+        else:
+            is_env = jnp.zeros((n,), jnp.bool_)
+
+        sample = {
+            "light_point": lp,
+            "light_normal": ln,
+            "radiance": rad,
+            "is_envmap": is_env,
+        }
+        ph, wi, dist = eval_target(options, mats, p, ns, wo, eta_rel, sample)
+        valid = active & lvalid & (pdf_area > 0.0)
+        w = ph / jnp.maximum(pdf_area, 1e-12) / M_l.astype(jnp.float32)
+        res, rng_state = res.update(
+            rng_state, w, lp, ln, rad, ph, is_env, valid
+        )
+        return res, rng_state
+
+    res, rng_state = jax.lax.fori_loop(0, M_l, light_body, (res, rng_state))
+
+    # BSDF candidates: trace to find the emitter they hit
+    def bsdf_body(i, carry):
+        res, rng_state = carry
+        rng_state, wi, f, pdf_b, _aux = bsdf_sample(
+            options, mats, ns, wo, rng_state, {"eta_rel": eta_rel}
+        )
+        cos_i = jnp.sum(ns * wi, axis=-1)
+        cand = active & (pdf_b > 0.0) & (cos_i > 0.0)
+        o = offset_ray_origin(p, ng, wi)
+        rec = closest_hit_coherent(bvh, o, wi, t_min=0.0, active=cand)
+        hit = rec.prim >= 0
+        em_mats = scene.materials.at_indices(
+            scene.material_ids[jnp.maximum(rec.prim, 0)]
+        )
+        rad = em_mats.effective_emission()
+        is_em = jnp.any(rad > 0.0, axis=-1) & hit
+        # reconstruct the hit point + normal
+        lp = o + wi * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[:, None]
+        from ..render.integrator import _interpolate_hit
+
+        ns_l, ng_l, _, _ = _interpolate_hit(scene, rec.prim, rec.u, rec.v, wi)
+        cos_l = jnp.abs(jnp.sum(ng_l * (-wi), axis=-1))
+        d2 = jnp.maximum(rec.t * rec.t, 1e-12)
+        pdf_area = pdf_b * cos_l / d2  # solid → area
+        sample = {
+            "light_point": lp,
+            "light_normal": ng_l,
+            "radiance": rad,
+            "is_envmap": jnp.zeros((n,), jnp.bool_),
+        }
+        ph, _, _ = eval_target(options, mats, p, ns, wo, eta_rel, sample)
+        valid = cand & is_em & (pdf_area > 0.0)
+        w = ph / jnp.maximum(pdf_area, 1e-12) / jnp.maximum(
+            M_b.astype(jnp.float32), 1.0
+        )
+        res, rng_state = res.update(
+            rng_state, w,
+            lp, ng_l, rad, ph, jnp.zeros((n,), jnp.bool_), valid,
+        )
+        return res, rng_state
+
+    res, rng_state = jax.lax.fori_loop(0, M_b, bsdf_body, (res, rng_state))
+
+    res = res.finalize()  # 1/M over the candidate streams
+    res = res.replace(M=jnp.where(res.M > 0, 1.0, 0.0))  # confidence = 1
+
+    # optional visibility reuse: kill occluded winners before any reuse
+    # (reference: ReSTIR_DI_DoVisibilityReuse)
+    if options.restir_di_initial_visibility:
+        ph, wi, dist = eval_target(
+            options, mats, p, ns, wo, eta_rel, _sample_of(res)
+        )
+        so = offset_ray_origin(p, ng, wi)
+        blocked = occluded_coherent(
+            bvh, so, wi,
+            t_max=jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), 1e30),
+            active=active & (res.W > 0.0),
+        )
+        res = res.replace(W=jnp.where(blocked, 0.0, res.W))
+    return res, rng_state
+
+
+# ------------------------------------------------------------ temporal reuse
+
+
+def temporal_reuse(
+    options: RenderOptions,
+    settings,
+    scene: SceneData,
+    mats,
+    gbuf,
+    prev_gbuf,
+    prev_res: Reservoir,
+    cur_res: Reservoir,
+    eta_rel,
+    active,
+    width: int,
+    height: int,
+    prev_view_proj,
+    rng_state,
+):
+    """Combine each pixel's reservoir with its back-projected previous-frame
+    reservoir (reference: TemporalReuse.h:48 — M-cap + similarity heuristics)."""
+    p = gbuf.position
+    ns = gbuf.shading_normal
+    wo = gbuf.view_direction
+    n = p.shape[0]
+
+    # back-project current hit into the previous frame's screen
+    ph4 = jnp.concatenate([p, jnp.ones((n, 1), jnp.float32)], axis=-1)
+    clip = ph4 @ prev_view_proj.T
+    ndc = clip[:, :2] / jnp.maximum(jnp.abs(clip[:, 3:4]), 1e-12) * jnp.sign(
+        clip[:, 3:4]
+    )
+    prev_px = jnp.clip(((ndc[:, 0] * 0.5 + 0.5) * width).astype(jnp.int32), 0, width - 1)
+    prev_py = jnp.clip(((ndc[:, 1] * 0.5 + 0.5) * height).astype(jnp.int32), 0, height - 1)
+    in_screen = (
+        (ndc[:, 0] > -1.0) & (ndc[:, 0] < 1.0)
+        & (ndc[:, 1] > -1.0) & (ndc[:, 1] < 1.0)
+        & (clip[:, 3] > 0.0)
+    )
+    # row-major pixel → canonical order index
+    lin2canon = jnp.argsort(linear_index(width, height))
+    prev_idx = lin2canon[prev_py * width + prev_px]
+
+    prev_r = prev_res.gather(prev_idx)
+    prev_n = prev_gbuf.shading_normal[prev_idx]
+    prev_p = prev_gbuf.position[prev_idx]
+    prev_mat = prev_gbuf.material_id[prev_idx]
+
+    # similarity heuristics (reference: normal / plane-distance / roughness)
+    normal_ok = jnp.sum(ns * prev_n, axis=-1) > settings.restir_di.normal_similarity_threshold
+    plane_d = jnp.abs(jnp.sum((prev_p - p) * ns, axis=-1))
+    plane_ok = plane_d < settings.restir_di.plane_distance_threshold
+    valid = (
+        active
+        & settings.restir_di.temporal_enabled
+        & in_screen
+        & normal_ok
+        & plane_ok
+        & (prev_gbuf.prim_index[prev_idx] >= 0)
+        & (prev_r.M > 0.0)
+    )
+
+    prev_r = prev_r.m_capped(settings.restir_di.m_cap)
+    ph_here, _, _ = eval_target(
+        options, mats, p, ns, wo, eta_rel, _sample_of(prev_r)
+    )
+    combined, rng_state = cur_res.combine(
+        rng_state, prev_r, ph_here, prev_r.M, valid
+    )
+    combined = combined.finalize()
+    return combined, rng_state
+
+
+# ------------------------------------------------------------- spatial reuse
+
+
+def spatial_reuse_pass(
+    options: RenderOptions,
+    settings,
+    scene: SceneData,
+    mats,
+    gbuf,
+    res: Reservoir,
+    eta_rel,
+    active,
+    width: int,
+    height: int,
+    rng_state,
+    pass_index: int = 0,
+):
+    """One spatial pass: resample from N disk neighbors with similarity
+    heuristics and bias correction (reference: SpatialReuse.h:64)."""
+    p = gbuf.position
+    ns = gbuf.shading_normal
+    wo = gbuf.view_direction
+    n = p.shape[0]
+    px, py = pixel_coords(width, height)
+    lin2canon = jnp.argsort(linear_index(width, height))
+
+    num_nb = settings.restir_di.num_spatial_neighbors
+    radius = settings.restir_di.spatial_radius
+    unbiased = options.restir_di_bias_correction != ReSTIRBiasCorrection.M_WEIGHT_1_OVER_M
+
+    out = res
+    # Z-counting for 1/Z unbiased normalization starts with our own M where
+    # our winning sample has positive target (it does, by construction)
+    z_count = jnp.where(res.target > 0.0, res.M, 0.0)
+    m_total = res.M
+
+    def nb_body(j, carry):
+        out, z_count, m_total, rng_state = carry
+        rng_state, u1, u2 = rng_mod.next_float2(rng_state)
+        # uniform disk offset (reference: Hammersley + rotation)
+        r = radius * jnp.sqrt(u1)
+        theta = 2.0 * jnp.pi * u2
+        ox = (r * jnp.cos(theta)).astype(jnp.int32)
+        oy = (r * jnp.sin(theta)).astype(jnp.int32)
+        nx = jnp.clip(px + ox, 0, width - 1)
+        ny = jnp.clip(py + oy, 0, height - 1)
+        nb_idx = lin2canon[ny * width + nx]
+
+        nb_r = res.gather(nb_idx)
+        nb_n = gbuf.shading_normal[nb_idx]
+        nb_p = gbuf.position[nb_idx]
+        normal_ok = jnp.sum(ns * nb_n, axis=-1) > settings.restir_di.normal_similarity_threshold
+        plane_ok = (
+            jnp.abs(jnp.sum((nb_p - p) * ns, axis=-1))
+            < settings.restir_di.plane_distance_threshold
+        )
+        valid = (
+            active
+            & normal_ok
+            & plane_ok
+            & (gbuf.prim_index[nb_idx] >= 0)
+            & (nb_r.M > 0.0)
+            & (nb_idx != jnp.arange(n))
+        )
+
+        ph_here, _, _ = eval_target(
+            options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
+        )
+        new_out, rng_state = out.combine(
+            rng_state, nb_r, ph_here, nb_r.M, valid
+        )
+        out = new_out
+        m_total = m_total + jnp.where(valid, nb_r.M, 0.0)
+        if unbiased:
+            # Z: count neighbor confidence only where OUR current winning
+            # sample would be producible (target > 0 at the neighbor) —
+            # 1/Z normalization (reference: bias-correction weights 1/Z)
+            nb_mats = mats  # same material bank; gather at neighbor surface
+            ph_at_nb, _, _ = eval_target(
+                options,
+                scene.materials.at_indices(
+                    jnp.maximum(gbuf.material_id[nb_idx], 0)
+                ).make_safe(),
+                nb_p,
+                nb_n,
+                gbuf.view_direction[nb_idx],
+                eta_rel,
+                _sample_of(out),
+            )
+            z_count = z_count + jnp.where(valid & (ph_at_nb > 0.0), nb_r.M, 0.0)
+        return out, z_count, m_total, rng_state
+
+    out, z_count, m_total, rng_state = jax.lax.fori_loop(
+        0, num_nb, nb_body, (out, z_count, m_total, rng_state)
+    )
+    if unbiased:
+        out = out.finalize(normalization=jnp.maximum(z_count, 1e-6))
+        out = out.replace(M=m_total)
+    else:
+        out = out.replace(M=m_total).finalize()
+    return out, rng_state
+
+
+# ------------------------------------------------------------- final shading
+
+
+def final_shading(
+    options: RenderOptions,
+    scene: SceneData,
+    bvh,
+    world: WorldSettings,
+    mats,
+    gbuf,
+    res: Reservoir,
+    eta_rel,
+    active,
+):
+    """Shade the winning reservoir sample with (optional) final visibility
+    (reference: FinalShading.h:117). Returns (radiance (N,3), rays scalar)."""
+    p = gbuf.position
+    ns = gbuf.shading_normal
+    ng = gbuf.geometric_normal
+    wo = gbuf.view_direction
+
+    lp = res.light_point
+    is_env = res.is_envmap
+    to_l = lp - p
+    d2 = jnp.sum(to_l * to_l, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    wi = jnp.where(is_env[:, None], lp, to_l / dist[:, None])
+    dist = jnp.where(is_env, jnp.inf, dist)
+
+    cos_i = jnp.maximum(jnp.sum(ns * wi, axis=-1), 0.0)
+    cos_l = jnp.abs(jnp.sum(res.light_normal * (-wi), axis=-1))
+    f, _ = bsdf_eval(options, mats, ns, wo, wi, {"eta_rel": eta_rel})
+    geom = jnp.where(is_env, 1.0, cos_l / jnp.maximum(d2, 1e-12))
+    contrib = f * res.radiance * (cos_i * geom * res.W)[:, None]
+
+    has = active & (res.W > 0.0) & (res.target > 0.0)
+    n_rays = jnp.float32(0.0)
+    if options.restir_di_final_visibility:
+        so = offset_ray_origin(p, ng, wi)
+        blocked = occluded_coherent(
+            bvh, so, wi,
+            t_max=jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), 1e30),
+            active=has,
+        )
+        has = has & ~blocked
+        n_rays = jnp.sum(has.astype(jnp.float32))
+    ok = res.sanity_mask()
+    return jnp.where((has & ok)[:, None], contrib, 0.0), n_rays

@@ -166,6 +166,16 @@ def build_scene(
     gn = np.cross(te1, te2)
     gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12)
     td[:, 25:28] = gn
+    # per-triangle tangent from UV derivatives (normal mapping; reference:
+    # Intersect.h:30-62 tangent computation)
+    duv1 = uvs32[triangles[:, 1]] - uvs32[triangles[:, 0]]
+    duv2 = uvs32[triangles[:, 2]] - uvs32[triangles[:, 0]]
+    det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    inv_det = np.where(np.abs(det_uv) > 1e-12, 1.0 / det_uv, 0.0)
+    tangent = (te1 * duv2[:, 1:2] - te2 * duv1[:, 1:2]) * inv_det[:, None]
+    tlen = np.linalg.norm(tangent, axis=-1, keepdims=True)
+    tangent = np.where(tlen > 1e-9, tangent / np.maximum(tlen, 1e-12), 0.0)
+    td[:, 28:31] = tangent
 
     return SceneData(
         vertices=jnp.asarray(vertices),

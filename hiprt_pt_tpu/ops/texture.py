@@ -1,0 +1,108 @@
+"""Texture fetch + material texture application.
+
+Role parity with src/Device/includes/Texture.h (texel fetch with sRGB
+handling, CPU & GPU paths) and src/Device/includes/Material.h's
+``get_intersection_material`` texture evaluation: at every shading vertex the
+gathered material parameters are modulated by their textures.
+
+TPU note: one bilinear fetch is 4 row-gathers from the flattened atlas; the
+uv wrap/weights are pure VPU math. NO_TEXTURE (-1) indices fetch layer 0 and
+are masked out, keeping the wavefront branch-free.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..assets.scene import TextureAtlas
+from ..core.material import MaterialBank, NO_TEXTURE
+
+
+def fetch_bilinear(atlas: TextureAtlas, tex_idx: jax.Array, uv: jax.Array):
+    """Bilinear texel fetch. tex_idx (N,) i32 (NO_TEXTURE = -1 → returns 1s),
+    uv (N,2) with wrap addressing. Returns (N,4)."""
+    L, S = atlas.num_layers, atlas.size
+    flat = atlas.layers.reshape(L * S * S, 4)
+    has = tex_idx >= 0
+    layer = jnp.maximum(tex_idx, 0)
+
+    u = uv[:, 0] % 1.0
+    v = uv[:, 1] % 1.0
+    x = u * S - 0.5
+    y = v * S - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.mod(x0.astype(jnp.int32), S)
+    x1i = jnp.mod(x0i + 1, S)
+    y0i = jnp.mod(y0.astype(jnp.int32), S)
+    y1i = jnp.mod(y0i + 1, S)
+    base = layer * (S * S)
+    t00 = flat[base + y0i * S + x0i]
+    t10 = flat[base + y0i * S + x1i]
+    t01 = flat[base + y1i * S + x0i]
+    t11 = flat[base + y1i * S + x1i]
+    tex = (
+        t00 * ((1 - fx) * (1 - fy))[:, None]
+        + t10 * (fx * (1 - fy))[:, None]
+        + t01 * ((1 - fx) * fy)[:, None]
+        + t11 * (fx * fy)[:, None]
+    )
+    return jnp.where(has[:, None], tex, 1.0)
+
+
+def apply_textures(
+    atlas: TextureAtlas | None, mats: MaterialBank, uv: jax.Array
+) -> MaterialBank:
+    """Modulate gathered material parameters by their textures (reference:
+    Material.h get_intersection_material: base color, roughness/metallic from
+    the GLTF MR texture's G/B channels, emission, alpha from base alpha)."""
+    if atlas is None:
+        return mats
+    base = fetch_bilinear(atlas, mats.base_color_texture_index, uv)
+    mr = fetch_bilinear(atlas, mats.roughness_metallic_texture_index, uv)
+    em = fetch_bilinear(atlas, mats.emission_texture_index, uv)
+    has_base = mats.base_color_texture_index >= 0
+    has_mr = mats.roughness_metallic_texture_index >= 0
+    has_em = mats.emission_texture_index >= 0
+    return mats.replace(
+        base_color=jnp.where(
+            has_base[:, None], mats.base_color * base[:, :3], mats.base_color
+        ),
+        alpha_opacity=jnp.where(
+            has_base, mats.alpha_opacity * base[:, 3], mats.alpha_opacity
+        ),
+        roughness=jnp.where(has_mr, mats.roughness * mr[:, 1], mats.roughness),
+        metallic=jnp.where(has_mr, mats.metallic * mr[:, 2], mats.metallic),
+        emission=jnp.where(
+            has_em[:, None], mats.emission * em[:, :3], mats.emission
+        ),
+    )
+
+
+def apply_normal_map(
+    atlas: TextureAtlas | None,
+    mats: MaterialBank,
+    uv: jax.Array,
+    ns: jax.Array,
+    tangent: jax.Array,
+) -> jax.Array:
+    """Perturb the shading normal by the tangent-space normal map (reference:
+    Intersect.h:30-62 normal mapping + tangent computation)."""
+    if atlas is None:
+        return ns
+    has = mats.normal_map_texture_index >= 0
+    tex = fetch_bilinear(atlas, mats.normal_map_texture_index, uv)
+    nt = tex[:, :3] * 2.0 - 1.0
+    # orthonormalize tangent against the (possibly interpolated) normal
+    t = tangent - ns * jnp.sum(tangent * ns, axis=-1, keepdims=True)
+    t_len = jnp.linalg.norm(t, axis=-1, keepdims=True)
+    t = jnp.where(t_len > 1e-6, t / jnp.maximum(t_len, 1e-12), 0.0)
+    b = jnp.cross(ns, t)
+    n2 = nt[:, 0:1] * t + nt[:, 1:2] * b + nt[:, 2:3] * ns
+    n2_len = jnp.linalg.norm(n2, axis=-1, keepdims=True)
+    n2 = jnp.where(n2_len > 1e-6, n2 / jnp.maximum(n2_len, 1e-12), ns)
+    ok = has & (jnp.linalg.norm(tangent, axis=-1) > 1e-6)
+    return jnp.where(ok[:, None], n2, ns)

@@ -55,6 +55,7 @@ from ..ops.traverse import (
     occluded,
     occluded_coherent,
 )
+from ..ops.texture import apply_normal_map, apply_textures
 from ..ops.tonemap import luminance
 
 
@@ -88,7 +89,8 @@ def _interpolate_hit(scene: SceneData, prim, u, v, ray_d):
         axis=-1,
     )
     mat_id = jax.lax.bitcast_convert_type(rowT[24], jnp.int32)
-    return ns, ng, uv, mat_id
+    tangent = jnp.stack([rowT[28], rowT[29], rowT[30]], axis=-1)
+    return ns, ng, uv, mat_id, tangent
 
 
 def _face_forward(n, d_in):
@@ -156,7 +158,12 @@ def camera_rays_pass(
 
     rec = closest_hit_coherent(bvh, o, d, t_min=0.0, active=active)
     hit = rec.prim >= 0
-    ns, ng, uv, mat_id = _interpolate_hit(scene, rec.prim, rec.u, rec.v, d)
+    ns, ng, uv, mat_id, tangent = _interpolate_hit(
+        scene, rec.prim, rec.u, rec.v, d
+    )
+    if scene.textures is not None:
+        nm_mats = scene.materials.at_indices(jnp.maximum(mat_id, 0))
+        ns = apply_normal_map(scene.textures, nm_mats, uv, ns, tangent)
     pos = o + d * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
     backface = jnp.sum(ns * d, axis=-1) > 0.0
 
@@ -337,6 +344,8 @@ def render_sample(
         ng=gbuffer.geometric_normal,
         wo=gbuffer.view_direction,
         mat_id=jnp.maximum(gbuffer.material_id, 0),
+        uv=gbuffer.uv,
+        wavelength=jnp.zeros((n_rays,), jnp.float32),  # 0 = not yet dispersive
         # volume state (reference: RayVolumeState/NestedDielectrics.h; here a
         # single-medium Beer-Lambert tracker — the nested priority stack is
         # layered on in models/nested_dielectrics.py)
@@ -351,20 +360,66 @@ def render_sample(
         throughput = carry["throughput"]
         radiance = carry["radiance"]
         mats = scene.materials.at_indices(carry["mat_id"]).make_safe()
+        if scene.textures is not None:
+            mats = apply_textures(scene.textures, mats, carry["uv"])
+
+        # --- chromatic dispersion: hero wavelength sampled on first contact
+        # with a dispersive dielectric (reference: Dispersion.h + wavelength
+        # sampling at Intersect.h:208-216) ---
+        lam = carry["wavelength"]
+        if options.do_dispersion:
+            from ..models.dispersion import (
+                ior_at_wavelength,
+                sample_wavelength,
+                wavelength_rgb_weight,
+            )
+
+            dispersive = (
+                (mats.dispersion_scale > 0.0)
+                & (mats.specular_transmission > 0.0)
+            )
+            rng_state, u_lam = rng_mod.next_float(rng_state)
+            need_sample = dispersive & (lam <= 0.0) & active
+            lam = jnp.where(need_sample, sample_wavelength(u_lam), lam)
+            w_rgb = wavelength_rgb_weight(lam)
+            throughput = jnp.where(
+                need_sample[..., None], throughput * w_rgb, throughput
+            )
+            eta_mat = jnp.where(
+                dispersive & (lam > 0.0),
+                ior_at_wavelength(
+                    mats.ior, mats.dispersion_abbe_number,
+                    mats.dispersion_scale, lam,
+                ),
+                mats.ior,
+            )
+        else:
+            eta_mat = mats.ior
+
+        # --- stochastic alpha testing: pass through the surface with
+        # probability (1 - alpha) (reference: FilterFunction.h:19-49 — done in
+        # the shading loop here instead of the traversal filter; shadow rays
+        # currently treat alpha surfaces as opaque) ---
+        rng_state, u_alpha = rng_mod.next_float(rng_state)
+        alpha_skip = (
+            active
+            & settings.do_alpha_testing
+            & (u_alpha >= mats.alpha_opacity)
+        )
 
         # --- NEE ---
         eta_rel = jnp.where(
             carry["entering"],
-            jnp.maximum(mats.ior, 1.0 + 1e-3),
-            1.0 / jnp.maximum(mats.ior, 1.0 + 1e-3),
+            jnp.maximum(eta_mat, 1.0 + 1e-3),
+            1.0 / jnp.maximum(eta_mat, 1.0 + 1e-3),
         )
         # with ReSTIR DI, the camera vertex's direct light was already
         # resolved by the reservoir pipeline (direct0); NEE here only serves
         # secondary vertices
         if direct0 is not None:
-            nee_active = active & (bounce > 0)
+            nee_active = active & (bounce > 0) & ~alpha_skip
         else:
-            nee_active = active
+            nee_active = active & ~alpha_skip
         rng_state, direct, n_shadow = _direct_lighting(
             options, scene, bvh, world, settings, mats, p, ns, ng, wo,
             rng_state, nee_active, eta_rel,
@@ -379,17 +434,24 @@ def render_sample(
         rng_state, wi, f, bsdf_pdf, s_aux = bsdf_sample(
             options, mats, ns, wo, rng_state, {"eta_rel": eta_rel}
         )
+        # alpha pass-through: continue straight through without interaction
+        wi = jnp.where(alpha_skip[..., None], -wo, wi)
         cos_i = jnp.sum(ns * wi, axis=-1)
-        valid_sample = active & (bsdf_pdf > 1e-9)
+        valid_sample = active & ((bsdf_pdf > 1e-9) | alpha_skip)
+        factor = jnp.where(
+            alpha_skip,
+            1.0,
+            jnp.abs(cos_i) / jnp.maximum(bsdf_pdf, 1e-12),
+        )
         new_throughput = throughput * jnp.where(
             valid_sample[..., None],
-            f * (jnp.abs(cos_i) / jnp.maximum(bsdf_pdf, 1e-12))[..., None],
+            jnp.where(alpha_skip[..., None], 1.0, f) * factor[..., None],
             0.0,
         )
 
         # --- volume medium update (Beer-Lambert; reference: Dispersion.h +
         # absorption_color/absorption_at_distance semantics) ---
-        refracted = s_aux["refracted"]
+        refracted = s_aux["refracted"] & ~alpha_skip
         sigma_mat = -jnp.log(
             jnp.clip(mats.absorption_color, 1.0 / 512.0, 1.0)
         ) / jnp.maximum(mats.absorption_at_distance, 1e-4)[..., None]
@@ -448,6 +510,8 @@ def render_sample(
                 w_em = jnp.zeros_like(bsdf_pdf)
         else:
             w_em = jnp.ones_like(bsdf_pdf)
+        # a pass-through ray skipped NEE at its vertex → full emitter weight
+        w_em = jnp.where(alpha_skip, 1.0, w_em)
         em_mats = scene.materials.at_indices(
             scene.material_ids[jnp.maximum(rec.prim, 0)]
         )
@@ -478,7 +542,12 @@ def render_sample(
         )
 
         # prepare next vertex
-        ns2, ng2, uv2, mat_id2 = _interpolate_hit(scene, rec.prim, rec.u, rec.v, wi)
+        ns2, ng2, uv2, mat_id2, tan2 = _interpolate_hit(
+            scene, rec.prim, rec.u, rec.v, wi
+        )
+        if scene.textures is not None:
+            nm_mats2 = scene.materials.at_indices(jnp.maximum(mat_id2, 0))
+            ns2 = apply_normal_map(scene.textures, nm_mats2, uv2, ns2, tan2)
         p2 = o_next + wi * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
         next_active = valid_sample & hit
         entering2 = jnp.sum(ns2 * wi, axis=-1) < 0.0
@@ -498,6 +567,8 @@ def render_sample(
             ng=jnp.where(next_active[..., None], _face_forward(ng2, wi), ng),
             wo=jnp.where(next_active[..., None], -wi, wo),
             mat_id=jnp.where(next_active, mat_id2, carry["mat_id"]),
+            uv=jnp.where(next_active[..., None], uv2, carry["uv"]),
+            wavelength=lam,
             entering=jnp.where(next_active, entering2, carry["entering"]),
             medium_sigma=jnp.where(
                 next_active[..., None], medium_sigma, carry["medium_sigma"]

@@ -237,7 +237,7 @@ def initial_candidates(
         lp = o + wi * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[:, None]
         from ..render.integrator import _interpolate_hit
 
-        ns_l, ng_l, _, _ = _interpolate_hit(scene, rec.prim, rec.u, rec.v, wi)
+        ns_l, ng_l, _, _, _ = _interpolate_hit(scene, rec.prim, rec.u, rec.v, wi)
         cos_l = jnp.abs(jnp.sum(ng_l * (-wi), axis=-1))
         d2 = jnp.maximum(rec.t * rec.t, 1e-12)
         pdf_area = pdf_b * cos_l / d2  # solid → area

@@ -45,6 +45,7 @@ from ..lights.light_sampling import (
     emissive_pdf_of_direction,
     sample_emissive_triangle,
 )
+from ..models import nested_dielectrics as nd
 from ..models.dispatcher import bsdf_eval, bsdf_sample
 from ..ops.intersect import offset_ray_origin
 from ..ops.pixel_order import pixel_coords
@@ -346,6 +347,9 @@ def render_sample(
         mat_id=jnp.maximum(gbuffer.material_id, 0),
         uv=gbuffer.uv,
         wavelength=jnp.zeros((n_rays,), jnp.float32),  # 0 = not yet dispersive
+        # nested-dielectric interior stack (reference: NestedDielectrics.h)
+        stack_mat=nd.empty_stack(n_rays, options.nested_dielectrics_stack_size)[0],
+        stack_pri=nd.empty_stack(n_rays, options.nested_dielectrics_stack_size)[1],
         # volume state (reference: RayVolumeState/NestedDielectrics.h; here a
         # single-medium Beer-Lambert tracker — the nested priority stack is
         # layered on in models/nested_dielectrics.py)
@@ -407,12 +411,42 @@ def render_sample(
             & (u_alpha >= mats.alpha_opacity)
         )
 
+        # --- nested dielectrics: priority rules decide true vs false
+        # interfaces and the relative IOR across them (reference:
+        # NestedDielectrics.h, Schmidt 2002 priorities) ---
+        stack_mat, stack_pri = carry["stack_mat"], carry["stack_pri"]
+        entering = carry["entering"]
+        is_trans = mats.specular_transmission > 0.0
+        m_pri = mats.dielectric_priority.astype(jnp.int32)
+        top_pri = nd.top_priority(stack_pri)
+        top_mat = nd.top_material(stack_mat, stack_pri)
+        false_enter = is_trans & entering & (m_pri < top_pri)
+        false_exit = is_trans & ~entering & (top_mat != carry["mat_id"]) & (
+            top_pri >= 0
+        )
+        false_interface = (false_enter | false_exit) & active
+        alpha_skip = alpha_skip | false_interface
+
+        def ior_of(ids):
+            return jnp.where(
+                ids >= 0,
+                scene.materials.ior[jnp.clip(ids, 0, None)],
+                1.0,
+            )
+
+        n_outside_enter = ior_of(top_mat)
+        excl_mat, excl_pri = nd.top_excluding(
+            stack_mat, stack_pri, carry["mat_id"]
+        )
+        n_outside_exit = jnp.where(excl_pri >= 0, ior_of(excl_mat), 1.0)
+
         # --- NEE ---
         eta_rel = jnp.where(
-            carry["entering"],
-            jnp.maximum(eta_mat, 1.0 + 1e-3),
-            1.0 / jnp.maximum(eta_mat, 1.0 + 1e-3),
+            entering,
+            jnp.maximum(eta_mat, 1.0 + 1e-3) / n_outside_enter,
+            n_outside_exit / jnp.maximum(eta_mat, 1.0 + 1e-3),
         )
+        eta_rel = jnp.maximum(eta_rel, 1e-3)
         # with ReSTIR DI, the camera vertex's direct light was already
         # resolved by the reservoir pipeline (direct0); NEE here only serves
         # secondary vertices
@@ -449,17 +483,22 @@ def render_sample(
             0.0,
         )
 
-        # --- volume medium update (Beer-Lambert; reference: Dispersion.h +
-        # absorption_color/absorption_at_distance semantics) ---
+        # --- interior stack update + Beer-Lambert medium from the stack top
+        # (reference: NestedDielectrics.h + absorption semantics) ---
         refracted = s_aux["refracted"] & ~alpha_skip
-        sigma_mat = -jnp.log(
-            jnp.clip(mats.absorption_color, 1.0 / 512.0, 1.0)
-        ) / jnp.maximum(mats.absorption_at_distance, 1e-4)[..., None]
-        medium_sigma = jnp.where(
-            refracted[..., None],
-            jnp.where(carry["entering"][..., None], sigma_mat, 0.0),
-            carry["medium_sigma"],
+        crossed = valid_sample & is_trans & (refracted | false_interface)
+        stack_mat, stack_pri = nd.push(
+            stack_mat, stack_pri, carry["mat_id"], m_pri, crossed & entering
         )
+        stack_mat, stack_pri = nd.remove(
+            stack_mat, stack_pri, carry["mat_id"], crossed & ~entering
+        )
+        new_top = nd.top_material(stack_mat, stack_pri)
+        med_mats = scene.materials.at_indices(jnp.clip(new_top, 0, None))
+        sigma_top = -jnp.log(
+            jnp.clip(med_mats.absorption_color, 1.0 / 512.0, 1.0)
+        ) / jnp.maximum(med_mats.absorption_at_distance, 1e-4)[..., None]
+        medium_sigma = jnp.where((new_top >= 0)[..., None], sigma_top, 0.0)
 
         # --- russian roulette (reference: RussianRoulette.h max-throughput
         # method with throughput clamp) ---
@@ -569,6 +608,8 @@ def render_sample(
             mat_id=jnp.where(next_active, mat_id2, carry["mat_id"]),
             uv=jnp.where(next_active[..., None], uv2, carry["uv"]),
             wavelength=lam,
+            stack_mat=stack_mat,
+            stack_pri=stack_pri,
             entering=jnp.where(next_active, entering2, carry["entering"]),
             medium_sigma=jnp.where(
                 next_active[..., None], medium_sigma, carry["medium_sigma"]

@@ -23,8 +23,11 @@ coat darkening (reference: Principled.h:493,717).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.material import MaterialBank, get_alphas, oren_nayar_AB
 from ..core.settings import RenderOptions
@@ -34,6 +37,41 @@ from . import microfacet as mf
 from .fresnel import f82_tint, fresnel_dielectric, schlick
 
 _MIN_P = 1e-4
+
+# Baked GGX single-scattering directional albedo Ess(roughness, cos_theta) —
+# regenerate with bake/baker.py (reference: data/BRDFsData GGX_Conductor LUT +
+# MicrofacetEnergyCompensation.h Turquin-2019 compensation)
+_ESS_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "bake", "data_ggx_conductor_ess_32.npy"
+)
+try:
+    _GGX_ESS = np.load(_ESS_PATH).astype(np.float32)
+except Exception:  # pragma: no cover — LUT not baked yet
+    _GGX_ESS = np.ones((32, 32), np.float32)
+
+
+def _ess_lookup(rough, cos_o):
+    """Bilinear lookup of Ess(roughness, cos). Both args (N,) in [0,1]."""
+    res_r, res_c = _GGX_ESS.shape
+    table = jnp.asarray(_GGX_ESS.reshape(-1))
+    r = jnp.clip(rough * res_r - 0.5, 0.0, res_r - 1.0)
+    c = jnp.clip(cos_o * res_c - 0.5, 0.0, res_c - 1.0)
+    r0 = jnp.floor(r).astype(jnp.int32)
+    c0 = jnp.floor(c).astype(jnp.int32)
+    r1 = jnp.minimum(r0 + 1, res_r - 1)
+    c1 = jnp.minimum(c0 + 1, res_c - 1)
+    fr = r - r0
+    fc = c - c0
+    t00 = table[r0 * res_c + c0]
+    t01 = table[r0 * res_c + c1]
+    t10 = table[r1 * res_c + c0]
+    t11 = table[r1 * res_c + c1]
+    return (
+        t00 * (1 - fr) * (1 - fc)
+        + t01 * (1 - fr) * fc
+        + t10 * fr * (1 - fc)
+        + t11 * fr * fc
+    )
 
 
 def _to_local(n, w):
@@ -273,7 +311,38 @@ def _eval_lobes(
         mats.metallic_F90_falloff_exponent,
         jnp.maximum(cosh_m, 0.0),
     )
+    if options.do_thin_film:
+        # iridescent coating over the metal/specular lobes (reference:
+        # ThinFilm.h over the F82 metal fresnel)
+        from .thin_film import thin_film_reflectance
+
+        tf_base_ior = jnp.where(
+            mats.thin_film_do_ior_override > 0.5,
+            mats.thin_film_base_ior_override,
+            jnp.maximum(mats.ior, 1.0 + 1e-3),
+        )
+        F_tf = thin_film_reflectance(
+            jnp.maximum(cosh_m, 0.0),
+            mats.thin_film_ior,
+            mats.thin_film_thickness,
+            tf_base_ior,
+            mats.thin_film_hue_shift_degrees,
+        )
+        F_metal = (
+            (1.0 - mats.thin_film[..., None]) * F_metal
+            + mats.thin_film[..., None] * F_tf
+        )
     f_metal = spec_m[..., None] * F_metal
+    if options.do_energy_compensation:
+        # Turquin 2019 multiple-scattering compensation, symmetric in
+        # (wo, wi) to preserve reciprocity: boost by (1-E)/E with
+        # E = sqrt(Ess(mu_o) Ess(mu_i)) (reference:
+        # MicrofacetEnergyCompensation.h reading the baked Ess LUTs)
+        E_o = _ess_lookup(mats.roughness, jnp.abs(wo[..., 2]))
+        E_i = _ess_lookup(mats.roughness, jnp.abs(wi[..., 2]))
+        E = jnp.sqrt(jnp.clip(E_o * E_i, 1e-3, 1.0))
+        ms_boost = 1.0 + mats.base_color * ((1.0 - E) / E)[..., None]
+        f_metal = f_metal * ms_boost
 
     # glass
     f_glass, pdf_g = _glass_lobe(mats.base_color, wo, wi, ax, ay, eta_rel)

@@ -1,0 +1,184 @@
+"""App shell: CLI, screenshots, checkpoint/resume, animation, viewer
+(reference: main.cpp + CommandlineArguments + Screenshoter +
+RendererAnimationState + RenderWindow loop)."""
+
+import os
+import json
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_cli_headless_render(tmp_path):
+    from hiprt_pt_tpu.app.cli import main
+
+    out = tmp_path / "render.png"
+    ck = tmp_path / "state.npz"
+    rc = main([
+        "/root/reference/data/GLTFs/cornell_pbr.gltf",
+        "--samples=4", "--bounces=2", "--w=64", "--h=64",
+        "--spp-per-frame=2", f"--out={out}", f"--checkpoint={ck}",
+        "--strategy=mis", "--cpu",
+    ])
+    assert rc == 0
+    assert out.exists()
+    import imageio.v3 as iio
+
+    img = iio.imread(out)
+    assert img.shape == (64, 64, 3)
+    assert img.mean() > 1
+    assert ck.with_suffix(".npz").exists() or ck.exists()
+
+
+def test_checkpoint_roundtrip(cornell_scene, tmp_path):
+    from hiprt_pt_tpu.core.settings import (
+        AmbientLightType, BSDFOverride, LightSamplingStrategy, RenderOptions,
+    )
+    from hiprt_pt_tpu.render.checkpoint import load_checkpoint, save_checkpoint
+    from hiprt_pt_tpu.render.renderer import Renderer
+
+    scene, camera = cornell_scene
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.MIS,
+        max_bounces_static=2,
+    )
+    def fresh():
+        r = Renderer(scene, camera, 32, 32, options=opts)
+        r.settings = r.settings.replace(
+            nb_bounces=jnp.int32(2), samples_per_frame=jnp.int32(2)
+        )
+        r.world = r.world.replace(
+            ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+        )
+        return r
+
+    r1 = fresh()
+    r1.step(block=True)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, r1.state)
+    r1.step(block=True)
+    ref = r1.hdr_image()
+
+    r2 = fresh()
+    r2.state = load_checkpoint(path, r2.state)
+    assert int(jax.device_get(r2.state.sample_count)) == 2
+    r2.step(block=True)
+    assert np.allclose(r2.hdr_image(), ref, atol=1e-6)
+
+
+def test_screenshot_auto_name(cornell_scene, tmp_path, monkeypatch):
+    from hiprt_pt_tpu.app.screenshot import auto_filename, screenshot
+    from hiprt_pt_tpu.core.settings import (
+        AmbientLightType, BSDFOverride, LightSamplingStrategy, RenderOptions,
+    )
+    from hiprt_pt_tpu.render.renderer import Renderer
+
+    name = auto_filename("scene/foo.gltf", 12, 640, 360, out_dir=str(tmp_path))
+    assert "foo_" in name and "12sp@640x360.png" in name
+
+    scene, camera = cornell_scene
+    r = Renderer(
+        scene, camera, 32, 32,
+        options=RenderOptions(
+            bsdf_override=BSDFOverride.LAMBERTIAN, max_bounces_static=1,
+            direct_light_sampling=LightSamplingStrategy.MIS,
+        ),
+    )
+    r.settings = r.settings.replace(
+        nb_bounces=jnp.int32(1), samples_per_frame=jnp.int32(1)
+    )
+    r.world = r.world.replace(
+        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+    )
+    r.step(block=True)
+    path = screenshot(r, str(tmp_path / "shot.png"))
+    assert os.path.exists(path)
+
+
+def test_animation_sequence(cornell_scene, tmp_path):
+    from hiprt_pt_tpu.core.settings import (
+        AmbientLightType, BSDFOverride, LightSamplingStrategy, RenderOptions,
+    )
+    from hiprt_pt_tpu.render.animation import (
+        CameraOrbitAnimation, render_frame_sequence,
+    )
+    from hiprt_pt_tpu.render.renderer import Renderer
+
+    scene, camera = cornell_scene
+    r = Renderer(
+        scene, camera, 32, 32,
+        options=RenderOptions(
+            bsdf_override=BSDFOverride.LAMBERTIAN, max_bounces_static=1,
+            direct_light_sampling=LightSamplingStrategy.MIS,
+        ),
+    )
+    r.settings = r.settings.replace(
+        nb_bounces=jnp.int32(1), samples_per_frame=jnp.int32(2)
+    )
+    r.world = r.world.replace(
+        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+    )
+    paths = render_frame_sequence(
+        r, num_frames=3, samples_per_frame_image=2,
+        out_dir=str(tmp_path / "anim"),
+        camera_animation=CameraOrbitAnimation(target=(0, 1, 0),
+                                              degrees_per_frame=15),
+    )
+    assert len(paths) == 3
+    assert all(os.path.exists(p) for p in paths)
+    import imageio.v3 as iio
+
+    a = iio.imread(paths[0]).astype(float)
+    b = iio.imread(paths[2]).astype(float)
+    assert np.abs(a - b).mean() > 0.5  # camera moved → frames differ
+
+
+def test_viewer_server(cornell_scene):
+    from hiprt_pt_tpu.app.viewer import ViewerServer
+    from hiprt_pt_tpu.core.settings import (
+        AmbientLightType, BSDFOverride, LightSamplingStrategy, RenderOptions,
+    )
+    from hiprt_pt_tpu.render.renderer import Renderer
+
+    scene, camera = cornell_scene
+    r = Renderer(
+        scene, camera, 32, 32,
+        options=RenderOptions(
+            bsdf_override=BSDFOverride.LAMBERTIAN, max_bounces_static=1,
+            direct_light_sampling=LightSamplingStrategy.MIS,
+        ),
+    )
+    r.settings = r.settings.replace(
+        nb_bounces=jnp.int32(1), samples_per_frame=jnp.int32(1)
+    )
+    r.world = r.world.replace(
+        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+    )
+    r.max_sample_count = 4
+    srv = ViewerServer(r, port=18731)
+    srv.serve(blocking=False)
+    try:
+        import time
+        time.sleep(2.0)
+        html = urllib.request.urlopen(
+            "http://127.0.0.1:18731/", timeout=10
+        ).read()
+        assert b"viewer" in html
+        stats = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/stats", timeout=10
+        ).read())
+        assert stats["resolution"] == [32, 32]
+        png = urllib.request.urlopen(
+            "http://127.0.0.1:18731/image?view=beauty", timeout=30
+        ).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        png2 = urllib.request.urlopen(
+            "http://127.0.0.1:18731/image?view=heatmap", timeout=30
+        ).read()
+        assert png2[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        srv.stop()

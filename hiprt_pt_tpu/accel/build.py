@@ -66,11 +66,22 @@ class BVHData:
 
 
 def build_bvh(
-    vertices: np.ndarray, triangles: np.ndarray, max_leaf: int = MAX_LEAF
+    vertices: np.ndarray,
+    triangles: np.ndarray,
+    max_leaf: int = MAX_LEAF,
+    use_native: bool = True,
 ) -> BVHData:
     vertices = np.asarray(vertices, dtype=np.float32)
     triangles = np.asarray(triangles, dtype=np.int64)
     T = triangles.shape[0]
+
+    if use_native:
+        # C++ builder (role parity with HIPRT's native build); numpy fallback
+        from .native import build_bvh_native
+
+        rows_native = build_bvh_native(vertices, triangles, max_leaf)
+        if rows_native is not None:
+            return BVHData(nodes=jnp.asarray(rows_native))
 
     v0 = vertices[triangles[:, 0]]
     v1 = vertices[triangles[:, 1]]

@@ -171,7 +171,8 @@ def build_scene(
     duv1 = uvs32[triangles[:, 1]] - uvs32[triangles[:, 0]]
     duv2 = uvs32[triangles[:, 2]] - uvs32[triangles[:, 0]]
     det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
-    inv_det = np.where(np.abs(det_uv) > 1e-12, 1.0 / det_uv, 0.0)
+    safe_det = np.where(np.abs(det_uv) > 1e-12, det_uv, 1.0)
+    inv_det = np.where(np.abs(det_uv) > 1e-12, 1.0 / safe_det, 0.0)
     tangent = (te1 * duv2[:, 1:2] - te2 * duv1[:, 1:2]) * inv_det[:, None]
     tlen = np.linalg.norm(tangent, axis=-1, keepdims=True)
     tangent = np.where(tlen > 1e-9, tangent / np.maximum(tlen, 1e-12), 0.0)

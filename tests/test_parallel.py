@@ -1,0 +1,91 @@
+"""Multi-chip sharding (SURVEY.md §2.5/§5.8): pixel-DP over a device mesh must
+produce IDENTICAL results to single-device execution, with collectives
+handling the global counters. Runs on 8 virtual CPU devices (conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hiprt_pt_tpu.core.settings import (
+    AmbientLightType,
+    BSDFOverride,
+    LightSamplingStrategy,
+    RenderOptions,
+    RenderSettings,
+    WorldSettings,
+)
+from hiprt_pt_tpu.core.state import init_render_state
+from hiprt_pt_tpu.parallel.mesh import (
+    distributed_render,
+    init_sharded_render_state,
+    make_mesh,
+)
+from hiprt_pt_tpu.render.renderer import render_step
+from hiprt_pt_tpu.accel.build import build_bvh
+
+
+W, H = 32, 16
+
+
+def _setup(cornell_scene):
+    scene, camera = cornell_scene
+    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
+    options = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.MIS,
+        max_bounces_static=2,
+    )
+    settings = RenderSettings(
+        nb_bounces=jnp.int32(2), samples_per_frame=jnp.int32(1),
+        enable_adaptive_sampling=jnp.bool_(True),
+        adaptive_sampling_min_samples=jnp.int32(1),
+        adaptive_sampling_noise_threshold=jnp.float32(10.0),
+        stop_noise_threshold=jnp.float32(0.1),
+    )
+    world = WorldSettings(
+        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+    )
+    return scene, bvh, camera, options, settings, world
+
+
+def test_sharded_matches_single_device(cornell_scene):
+    assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
+    scene, bvh, camera, options, settings, world = _setup(cornell_scene)
+
+    # single device
+    state1 = init_render_state(W, H)
+    out1 = render_step(options, W, H, (scene, bvh), state1, camera, settings, world)
+    out1 = render_step(options, W, H, (scene, bvh), out1, camera, settings, world)
+
+    # 8-way pixel sharding
+    mesh = make_mesh(jax.devices()[:8])
+    state8 = init_sharded_render_state(W, H, mesh)
+    out8 = distributed_render(
+        options, W, H, scene, bvh, camera, settings, world, mesh, state8
+    )
+    out8 = distributed_render(
+        options, W, H, scene, bvh, camera, settings, world, mesh, out8
+    )
+
+    a1 = np.asarray(jax.device_get(out1.accum))
+    a8 = np.asarray(jax.device_get(out8.accum))
+    assert np.allclose(a1, a8, rtol=1e-5, atol=1e-6)
+    # global reduction (converged counter) agrees — this is the psum path
+    assert int(jax.device_get(out1.nb_pixels_converged)) == int(
+        jax.device_get(out8.nb_pixels_converged)
+    )
+    assert np.isclose(
+        float(jax.device_get(out1.rays_traced)),
+        float(jax.device_get(out8.rays_traced)),
+    )
+
+
+def test_sharding_layout(cornell_scene):
+    mesh = make_mesh(jax.devices()[:8])
+    state = init_sharded_render_state(W, H, mesh)
+    shardings = {
+        len(d.addressable_shards) for d in [state.accum, state.pixel_converged]
+    }
+    assert shardings == {8}  # actually split over 8 devices
+    assert (W * H) % 8 == 0

@@ -59,6 +59,10 @@ class BVHData:
     """
 
     nodes: jax.Array  # (M, 128) f32
+    # per-primitive triangle row [v0 xyz, e1 xyz, e2 xyz, pad x3] — used to
+    # reconstruct barycentrics AFTER traversal so u/v never ride in the hot
+    # loop's carry (ops/traverse.py)
+    tri_rows: jax.Array  # (T, 12) f32
 
     @property
     def num_nodes(self) -> int:
@@ -75,13 +79,22 @@ def build_bvh(
     triangles = np.asarray(triangles, dtype=np.int64)
     T = triangles.shape[0]
 
+    tv0 = vertices[triangles[:, 0]]
+    tri_rows = np.zeros((max(T, 1), 12), np.float32)
+    if T:
+        tri_rows[:, 0:3] = tv0
+        tri_rows[:, 3:6] = vertices[triangles[:, 1]] - tv0
+        tri_rows[:, 6:9] = vertices[triangles[:, 2]] - tv0
+
     if use_native:
         # C++ builder (role parity with HIPRT's native build); numpy fallback
         from .native import build_bvh_native
 
         rows_native = build_bvh_native(vertices, triangles, max_leaf)
         if rows_native is not None:
-            return BVHData(nodes=jnp.asarray(rows_native))
+            return BVHData(
+                nodes=jnp.asarray(rows_native), tri_rows=jnp.asarray(tri_rows)
+            )
 
     v0 = vertices[triangles[:, 0]]
     v1 = vertices[triangles[:, 1]]
@@ -227,4 +240,4 @@ def build_bvh(
             meta[new] = m
 
     rows[:, 12:16] = meta.view(np.float32)
-    return BVHData(nodes=jnp.asarray(rows))
+    return BVHData(nodes=jnp.asarray(rows), tri_rows=jnp.asarray(tri_rows))

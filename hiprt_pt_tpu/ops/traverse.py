@@ -225,7 +225,7 @@ def occluded(bvh, o, d, t_min=1e-4, t_max=jnp.inf, active=None) -> jax.Array:
 PACKET = 128  # rays per packet — full 128-lane width; one shared traversal stack
 
 
-@partial(jax.jit, static_argnames=("any_hit",))
+@partial(jax.jit, static_argnames=("any_hit", "packet"))
 def traverse_packets(
     bvh: BVHData,
     o: jax.Array,
@@ -234,6 +234,7 @@ def traverse_packets(
     t_max=jnp.inf,
     active=None,
     any_hit: bool = False,
+    packet: int = PACKET,
 ) -> HitRecord:
     """Packet traversal for COHERENT rays (camera / shadow wavefronts).
 
@@ -250,6 +251,7 @@ def traverse_packets(
 
     N must be a multiple of 64. Returns per-ray HitRecord like ``traverse``.
     """
+    PACKET = packet
     n = o.shape[0]
     assert n % PACKET == 0, f"packet traversal needs N % {PACKET} == 0"
     p = n // PACKET
@@ -277,18 +279,21 @@ def traverse_packets(
 
     best_t = t_max
     best_prim = jnp.full((p, PACKET), -1, jnp.int32)
-    best_u = jnp.zeros((p, PACKET), jnp.float32)
-    best_v = jnp.zeros((p, PACKET), jnp.float32)
-    # per-ray "still searching" mask (any-hit drains rays individually)
-    searching = ray_active
+    # per-ray "still searching" mask: only mutated for any-hit (rays drain on
+    # first hit); for closest-hit it is the constant active mask, kept OUT of
+    # the loop carry to minimize per-iteration HBM traffic
+    searching0 = ray_active
 
     def cond(carry):
         _, ptr, _, cur_valid, *_ = carry
         return jnp.any(cur_valid | (ptr > 0))
 
     def body(carry):
-        (stack, ptr, cur, cur_valid, best_t, best_prim, best_u, best_v,
-         searching) = carry
+        if any_hit:
+            (stack, ptr, cur, cur_valid, best_t, best_prim, searching) = carry
+        else:
+            (stack, ptr, cur, cur_valid, best_t, best_prim) = carry
+            searching = searching0
 
         need_pop = (~cur_valid) & (ptr > 0)
         top = ptr - 1
@@ -331,7 +336,7 @@ def traverse_packets(
         h1 = jnp.any(h1_ray, axis=1)
 
         def leaf_tests(base, prim_base, gate_cnt, gate_ray,
-                       best_t, best_prim, best_u, best_v, searching):
+                       best_t, best_prim, searching):
             for k in range(MAX_LEAF):
                 off = base + 9 * k
                 v0x = rowT[off][:, None]
@@ -372,19 +377,17 @@ def traverse_packets(
                 )[:, None]
                 best_t = jnp.where(hit, t, best_t)
                 best_prim = jnp.where(hit, prim_k, best_prim)
-                best_u = jnp.where(hit, u, best_u)
-                best_v = jnp.where(hit, v, best_v)
                 if any_hit:
                     searching = searching & ~hit
-            return best_t, best_prim, best_u, best_v, searching
+            return best_t, best_prim, searching
 
-        best_t, best_prim, best_u, best_v, searching = leaf_tests(
+        best_t, best_prim, searching = leaf_tests(
             16, 88, jnp.where(h0, c0_cnt, 0), h0_ray,
-            best_t, best_prim, best_u, best_v, searching,
+            best_t, best_prim, searching,
         )
-        best_t, best_prim, best_u, best_v, searching = leaf_tests(
+        best_t, best_prim, searching = leaf_tests(
             52, 92, jnp.where(h1, c1_cnt, 0), h1_ray,
-            best_t, best_prim, best_u, best_v, searching,
+            best_t, best_prim, searching,
         )
         if any_hit:
             packet_dead = ~jnp.any(searching, axis=1)
@@ -412,22 +415,52 @@ def traverse_packets(
         cur = jnp.where(cur_valid, next_cur, cur)
         cur_valid = cur_valid & next_valid
 
-        return (stack, ptr, cur, cur_valid, best_t, best_prim, best_u, best_v,
-                searching)
+        if any_hit:
+            return (stack, ptr, cur, cur_valid, best_t, best_prim, searching)
+        return (stack, ptr, cur, cur_valid, best_t, best_prim)
 
-    out = jax.lax.while_loop(
-        cond, body,
-        (stack, ptr, cur, cur_valid, best_t, best_prim, best_u, best_v,
-         searching),
-    )
-    best_t, best_prim, best_u, best_v = out[4], out[5], out[6], out[7]
+    init = (stack, ptr, cur, cur_valid, best_t, best_prim)
+    if any_hit:
+        init = init + (searching0,)
+    out = jax.lax.while_loop(cond, body, init)
+    best_t, best_prim = out[4].reshape(n), out[5].reshape(n)
 
     miss = best_prim < 0
+    best_t = jnp.where(miss, jnp.inf, best_t)
+    if any_hit:
+        return HitRecord(
+            t=best_t,
+            prim=best_prim,
+            u=jnp.zeros((n,), jnp.float32),
+            v=jnp.zeros((n,), jnp.float32),
+        )
+
+    # reconstruct barycentrics with ONE post-loop gather + triangle test
+    # (keeps u/v out of the hot loop's carry)
+    rowT = bvh.tri_rows[jnp.maximum(best_prim, 0)].T  # (12, N)
+    oxn, oyn, ozn = o[:, 0], o[:, 1], o[:, 2]
+    dxn, dyn, dzn = d[:, 0], d[:, 1], d[:, 2]
+    v0x, v0y, v0z = rowT[0], rowT[1], rowT[2]
+    e1x, e1y, e1z = rowT[3], rowT[4], rowT[5]
+    e2x, e2y, e2z = rowT[6], rowT[7], rowT[8]
+    px = dyn * e2z - dzn * e2y
+    py = dzn * e2x - dxn * e2z
+    pz = dxn * e2y - dyn * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+    tx = oxn - v0x
+    ty = oyn - v0y
+    tz = ozn - v0z
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dxn * qx + dyn * qy + dzn * qz) * inv_det
     return HitRecord(
-        t=jnp.where(miss, jnp.inf, best_t).reshape(n),
-        prim=best_prim.reshape(n),
-        u=best_u.reshape(n),
-        v=best_v.reshape(n),
+        t=best_t,
+        prim=best_prim,
+        u=jnp.where(miss, 0.0, jnp.clip(u, 0.0, 1.0)),
+        v=jnp.where(miss, 0.0, jnp.clip(v, 0.0, 1.0)),
     )
 
 

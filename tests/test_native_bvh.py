@@ -20,9 +20,7 @@ def test_native_available_and_correct(rng_np):
     verts, tris = _random_tris(500, rng_np)
     rows = build_bvh_native(verts, tris)
     assert rows is not None, "native builder failed to compile/run"
-    from hiprt_pt_tpu.accel.build import BVHData
-
-    bvh = BVHData(nodes=jnp.asarray(rows))
+    bvh = build_bvh(verts, tris)  # wrapper attaches tri_rows
     nrays = 256
     o = rng_np.uniform(-4, 4, (nrays, 3)).astype(np.float32)
     d = rng_np.normal(size=(nrays, 3)).astype(np.float32)

@@ -370,7 +370,17 @@ def spatial_reuse_pass(
     pass_index: int = 0,
 ):
     """One spatial pass: resample from N disk neighbors with similarity
-    heuristics and bias correction (reference: SpatialReuse.h:64)."""
+    heuristics and the configured bias correction (reference: SpatialReuse.h:64
+    + the 6 bias-correction MIS schemes of KernelOptions.h).
+
+    Implemented schemes:
+      M_WEIGHT_1_OVER_M      — confidence weights, biased (cheap)
+      M_WEIGHT_1_OVER_Z      — unbiased Z-counting normalization
+      PAIRWISE_MIS           — pairwise MIS weights vs the canonical sample
+      PAIRWISE_MIS_DEFENSIVE — ditto with the defensive canonical term
+                               (the reference's default)
+    Other enum values fall back to 1/Z.
+    """
     p = gbuf.position
     ns = gbuf.shading_normal
     wo = gbuf.view_direction
@@ -380,18 +390,16 @@ def spatial_reuse_pass(
 
     num_nb = settings.restir_di.num_spatial_neighbors
     radius = settings.restir_di.spatial_radius
-    unbiased = options.restir_di_bias_correction != ReSTIRBiasCorrection.M_WEIGHT_1_OVER_M
+    scheme = options.restir_di_bias_correction
+    pairwise = scheme in (
+        ReSTIRBiasCorrection.PAIRWISE_MIS,
+        ReSTIRBiasCorrection.PAIRWISE_MIS_DEFENSIVE,
+    )
+    defensive = scheme == ReSTIRBiasCorrection.PAIRWISE_MIS_DEFENSIVE
 
-    out = res
-    # Z-counting for 1/Z unbiased normalization starts with our own M where
-    # our winning sample has positive target (it does, by construction)
-    z_count = jnp.where(res.target > 0.0, res.M, 0.0)
-    m_total = res.M
-
-    def nb_body(j, carry):
-        out, z_count, m_total, rng_state = carry
+    def neighbor_tap(j, rng_state):
+        """Pick + validate the j-th neighbor; returns its reservoir, targets."""
         rng_state, u1, u2 = rng_mod.next_float2(rng_state)
-        # uniform disk offset (reference: Hammersley + rotation)
         r = radius * jnp.sqrt(u1)
         theta = 2.0 * jnp.pi * u2
         ox = (r * jnp.cos(theta)).astype(jnp.int32)
@@ -403,7 +411,10 @@ def spatial_reuse_pass(
         nb_r = res.gather(nb_idx)
         nb_n = gbuf.shading_normal[nb_idx]
         nb_p = gbuf.position[nb_idx]
-        normal_ok = jnp.sum(ns * nb_n, axis=-1) > settings.restir_di.normal_similarity_threshold
+        normal_ok = (
+            jnp.sum(ns * nb_n, axis=-1)
+            > settings.restir_di.normal_similarity_threshold
+        )
         plane_ok = (
             jnp.abs(jnp.sum((nb_p - p) * ns, axis=-1))
             < settings.restir_di.plane_distance_threshold
@@ -416,31 +427,88 @@ def spatial_reuse_pass(
             & (nb_r.M > 0.0)
             & (nb_idx != jnp.arange(n))
         )
-
+        # neighbor's sample re-targeted at OUR surface
         ph_here, _, _ = eval_target(
             options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
         )
-        new_out, rng_state = out.combine(
-            rng_state, nb_r, ph_here, nb_r.M, valid
+        # OUR canonical sample targeted at the NEIGHBOR's surface
+        nb_mats = scene.materials.at_indices(
+            jnp.maximum(gbuf.material_id[nb_idx], 0)
+        ).make_safe()
+        ph_at_nb, _, _ = eval_target(
+            options, nb_mats, nb_p, nb_n, gbuf.view_direction[nb_idx],
+            eta_rel, _sample_of(res),
         )
+        return rng_state, nb_r, ph_here, ph_at_nb, valid
+
+    if pairwise:
+        # ---- pairwise MIS (canonical vs each neighbor pairing) ----
+        # m_i(x_i) = phat_i(x_i) / (phat_c(x_i) + K*phat_i(x_i))
+        # m_c(x_c) = (1/K) sum_i phat_c(x_c)/(phat_c(x_c) + K*phat_i(x_c))
+        # (defensive: scale by K/(K+1) and add 1/(K+1) to the canonical term)
+        Kf = jnp.maximum(num_nb.astype(jnp.float32), 1.0)
+        out = Reservoir.empty(n)
+        m_c = jnp.zeros((n,), jnp.float32)
+        m_total = res.M
+
+        def nb_body(j, carry):
+            out, m_c, m_total, rng_state = carry
+            rng_state, nb_r, ph_here, ph_at_nb, valid = neighbor_tap(
+                j, rng_state
+            )
+            m_i = nb_r.target / jnp.maximum(
+                ph_here + Kf * nb_r.target, 1e-12
+            )
+            if defensive:
+                m_i = m_i * (Kf / (Kf + 1.0))
+            new_out, rng_state = out.combine(
+                rng_state, nb_r, ph_here, m_i, valid
+            )
+            out = new_out
+            # canonical MIS accumulation for this pairing
+            term = res.target / jnp.maximum(
+                res.target + Kf * ph_at_nb, 1e-12
+            )
+            m_c = m_c + jnp.where(valid, term, 1.0)  # invalid neighbor: our
+            # sample is the only candidate of that pairing
+            m_total = m_total + jnp.where(valid, nb_r.M, 0.0)
+            return out, m_c, m_total, rng_state
+
+        out, m_c, m_total, rng_state = jax.lax.fori_loop(
+            0, num_nb, nb_body, (out, m_c, m_total, rng_state)
+        )
+        m_c = m_c / Kf
+        if defensive:
+            m_c = m_c * (Kf / (Kf + 1.0)) + 1.0 / (Kf + 1.0)
+        # stream the canonical reservoir's sample with its MIS weight
+        canon_w = m_c * res.target * res.W
+        out, rng_state = out.update(
+            rng_state,
+            canon_w,
+            res.light_point,
+            res.light_normal,
+            res.radiance,
+            res.target,
+            res.is_envmap,
+            active & (res.M > 0.0),
+        )
+        out = out.finalize(normalization=jnp.ones((n,), jnp.float32))
+        out = out.replace(M=m_total)
+        return out, rng_state
+
+    # ---- confidence-weight schemes: 1/M (biased) or 1/Z (unbiased) ----
+    unbiased = scheme != ReSTIRBiasCorrection.M_WEIGHT_1_OVER_M
+    out = res
+    z_count = jnp.where(res.target > 0.0, res.M, 0.0)
+    m_total = res.M
+
+    def nb_body(j, carry):
+        out, z_count, m_total, rng_state = carry
+        rng_state, nb_r, ph_here, ph_at_nb, valid = neighbor_tap(j, rng_state)
+        new_out, rng_state = out.combine(rng_state, nb_r, ph_here, nb_r.M, valid)
         out = new_out
         m_total = m_total + jnp.where(valid, nb_r.M, 0.0)
         if unbiased:
-            # Z: count neighbor confidence only where OUR current winning
-            # sample would be producible (target > 0 at the neighbor) —
-            # 1/Z normalization (reference: bias-correction weights 1/Z)
-            nb_mats = mats  # same material bank; gather at neighbor surface
-            ph_at_nb, _, _ = eval_target(
-                options,
-                scene.materials.at_indices(
-                    jnp.maximum(gbuf.material_id[nb_idx], 0)
-                ).make_safe(),
-                nb_p,
-                nb_n,
-                gbuf.view_direction[nb_idx],
-                eta_rel,
-                _sample_of(out),
-            )
             z_count = z_count + jnp.where(valid & (ph_at_nb > 0.0), nb_r.M, 0.0)
         return out, z_count, m_total, rng_state
 

@@ -198,3 +198,31 @@ def test_restir_di_biased_mode_runs(cornell_scene):
     r.step(block=True)
     img = r.hdr_image()
     assert np.all(np.isfinite(img)) and img.mean() > 0.01
+
+
+def test_restir_pairwise_defensive_agrees(cornell_scene, mis_image):
+    """Pairwise-MIS-defensive spatial reuse (the reference default bias
+    correction) stays unbiased vs MIS NEE."""
+    from hiprt_pt_tpu.core.settings import ReSTIRBiasCorrection
+
+    scene, camera = cornell_scene
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.RESTIR_DI,
+        restir_di_bias_correction=ReSTIRBiasCorrection.PAIRWISE_MIS_DEFENSIVE,
+        max_bounces_static=3,
+    )
+    r = Renderer(scene, camera, RES, RES, options=opts, seed=17)
+    r.settings = r.settings.replace(
+        nb_bounces=jnp.int32(3), samples_per_frame=jnp.int32(8)
+    )
+    r.world = r.world.replace(
+        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+    )
+    for _ in range(8):
+        r.step(block=True)
+    img = r.hdr_image()
+    assert np.all(np.isfinite(img))
+    a = mis_image[4:-4, 4:-4].mean()
+    b = img[4:-4, 4:-4].mean()
+    assert abs(a - b) / max(a, 1e-6) < 0.15, (a, b)

@@ -161,3 +161,58 @@ def generate_camera_rays(
     dirs = world_pt - origins
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     return origins, dirs
+
+
+# --- interactive camera operations (reference: Camera zoom/rotate/translate,
+# src/Scene/Camera.h:27-87 + mouse/keyboard interactors) ---
+
+
+def _decompose(camera: Camera):
+    vi = np.array(jax.device_get(camera.view_inv))  # writable copy
+    proj = np.asarray(jax.device_get(camera.proj))
+    aspect = proj[1, 1] / proj[0, 0]
+    return vi, float(jax.device_get(camera.vfov)), float(aspect), \
+        float(jax.device_get(camera.near)), float(jax.device_get(camera.far))
+
+
+def _recompose(vi, vfov, aspect, near, far) -> Camera:
+    return Camera.create(np.linalg.inv(vi), vfov, aspect, near, far)
+
+
+def camera_rotate(camera: Camera, yaw_rad: float, pitch_rad: float) -> Camera:
+    """First-person look rotation (reference: mouse-drag rotation)."""
+    vi, vfov, aspect, near, far = _decompose(camera)
+    cy, sy = np.cos(yaw_rad), np.sin(yaw_rad)
+    cp, sp = np.cos(pitch_rad), np.sin(pitch_rad)
+    yaw = np.asarray([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+    right = vi[:3, 0]
+    # pitch about the camera's right axis (Rodrigues)
+    k = right / np.linalg.norm(right)
+    K = np.asarray(
+        [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]], np.float32
+    )
+    pitch = np.eye(3, dtype=np.float32) + sp * K + (1 - cp) * (K @ K)
+    vi[:3, :3] = yaw @ pitch @ vi[:3, :3]
+    return _recompose(vi, vfov, aspect, near, far)
+
+
+def camera_translate(camera: Camera, dx: float, dy: float, dz: float) -> Camera:
+    """Walk in camera space: +x right, +y up, -z forward (reference: WASD +
+    QZ/space/shift keyboard walk, RenderWindowKeyboardInteractor.cpp:29-52)."""
+    vi, vfov, aspect, near, far = _decompose(camera)
+    vi[:3, 3] += vi[:3, 0] * dx + vi[:3, 1] * dy + vi[:3, 2] * dz
+    return _recompose(vi, vfov, aspect, near, far)
+
+
+def camera_zoom(camera: Camera, amount: float) -> Camera:
+    """Dolly along the view direction (reference: scroll zoom)."""
+    return camera_translate(camera, 0.0, 0.0, -amount)
+
+
+def auto_camera_speed(scene_min, scene_max) -> float:
+    """Movement speed from the scene bounding box (reference:
+    SceneParser.cpp:206 camera auto speed)."""
+    import numpy as _np
+
+    extent = _np.linalg.norm(_np.asarray(scene_max) - _np.asarray(scene_min))
+    return float(extent) / 100.0

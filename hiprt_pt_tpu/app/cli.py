@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--spp-per-frame", type=int, default=4)
     p.add_argument("--adaptive", action="store_true", help="adaptive sampling")
+    p.add_argument(
+        "--clamp", type=float, default=0.0,
+        help="per-sample contribution clamp (0=off, unbiased; reference: "
+             "direct/indirect contribution clamps)",
+    )
     p.add_argument("--checkpoint", default=None, help="save render state here")
     p.add_argument("--resume", default=None, help="resume render state from here")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -103,6 +108,9 @@ def main(argv=None) -> int:
         nb_bounces=jnp.int32(args.bounces),
         samples_per_frame=jnp.int32(args.spp_per_frame),
         enable_adaptive_sampling=jnp.bool_(args.adaptive),
+        direct_contribution_clamp=jnp.float32(args.clamp),
+        indirect_contribution_clamp=jnp.float32(args.clamp),
+        envmap_contribution_clamp=jnp.float32(args.clamp),
     )
     if envmap is not None:
         r.world = r.world.replace(

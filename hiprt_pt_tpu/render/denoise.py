@@ -25,7 +25,24 @@ import numpy as np
 _KERNEL_1D = np.asarray([1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16])
 
 
-@partial(jax.jit, static_argnames=("iterations",))
+@jax.jit
+def suppress_fireflies(color: jax.Array, k: float = 3.0) -> jax.Array:
+    """Clamp isolated HDR outliers to k x the 3x3 neighbor mean (excluding the
+    center). Russian-roulette boosts + grazing NEE produce rare huge samples;
+    the reference exposes per-category clamps for the same problem
+    (RenderSettings.h contribution clamps)."""
+    acc = jnp.zeros_like(color)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            acc = acc + jnp.roll(color, (dy, dx), axis=(0, 1))
+    nb_mean = acc / 8.0
+    limit = jnp.maximum(k * nb_mean, 0.25)
+    return jnp.minimum(color, limit)
+
+
+@partial(jax.jit, static_argnames=("iterations", "prefilter"))
 def atrous_denoise(
     color: jax.Array,
     albedo: jax.Array | None = None,
@@ -34,10 +51,11 @@ def atrous_denoise(
     sigma_color: float = 0.5,
     sigma_albedo: float = 0.25,
     sigma_normal: float = 0.3,
+    prefilter: bool = True,
 ) -> jax.Array:
     """Denoise an (H, W, 3) HDR image. albedo/normal: optional (H, W, 3) AOVs
     (reference: OIDN albedo/normal auxiliary images)."""
-    img = color
+    img = suppress_fireflies(color) if prefilter else color
 
     def edge_weight(c_center, c_tap, sigma):
         d2 = jnp.sum((c_center - c_tap) ** 2, axis=-1)

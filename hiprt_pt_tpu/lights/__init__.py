@@ -1,3 +1,3 @@
-from . import light_sampling, envmap_sampling
+from . import envmap_sampling, light_sampling, ris
 
-__all__ = ["light_sampling", "envmap_sampling"]
+__all__ = ["envmap_sampling", "light_sampling", "ris"]

@@ -1,3 +1,17 @@
-from . import intersect, traverse, sampling, tonemap
+from . import (
+    intersect,
+    pixel_order,
+    sampling,
+    texture,
+    tonemap,
+    traverse,
+)
 
-__all__ = ["intersect", "traverse", "sampling", "tonemap"]
+__all__ = [
+    "intersect",
+    "pixel_order",
+    "sampling",
+    "texture",
+    "tonemap",
+    "traverse",
+]

@@ -1,1 +1,4 @@
+from .reservoir import Reservoir
+from . import di
 
+__all__ = ["Reservoir", "di"]

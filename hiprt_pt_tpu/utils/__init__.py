@@ -1,4 +1,10 @@
-from .perf import PerformanceMetrics
 from .logger import get_logger
+from .perf import PerformanceMetrics
+from .precompile import Precompiler, common_permutations
 
-__all__ = ["PerformanceMetrics", "get_logger"]
+__all__ = [
+    "get_logger",
+    "PerformanceMetrics",
+    "Precompiler",
+    "common_permutations",
+]

@@ -136,10 +136,10 @@ def generate_camera_rays(
     px/py: optional explicit pixel coordinates (the integrator passes the
     tile-major canonical order, ops/pixel_order.py); default row-major.
     """
-    n = width * height
     if px is None or py is None:
-        idx = jnp.arange(n, dtype=jnp.int32)
+        idx = jnp.arange(width * height, dtype=jnp.int32)
         px, py = idx % width, idx // width
+    n = px.shape[0]  # may be a sub-wavefront (debug_pixel slices)
     px = px.astype(jnp.float32)
     py = py.astype(jnp.float32)
     if jitter is None:

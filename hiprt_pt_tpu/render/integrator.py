@@ -305,6 +305,16 @@ def render_sample(
     camera pass).
     """
     n_rays = gbuffer.position.shape[0]
+    if options.white_furnace_mode:
+        # white-furnace self-test (reference: §4.3, BSDFsData.h white furnace
+        # flags + white_furnace_threshold display): uniform white environment,
+        # emissives and NEE off — any non-uniform output is BSDF energy
+        # gain/loss
+        world = world.replace(
+            ambient_light_type=jnp.int32(int(AmbientLightType.UNIFORM)),
+            uniform_light_color=jnp.ones(3, jnp.float32),
+        )
+    em_scale = 0.0 if options.white_furnace_mode else 1.0
     d0 = gbuffer.ray_dir
     hit0 = gbuffer.prim_index >= 0
 
@@ -321,7 +331,7 @@ def render_sample(
     mats0 = scene.materials.at_indices(
         jnp.maximum(gbuffer.material_id, 0)
     ).make_safe()
-    em0 = mats0.effective_emission()
+    em0 = mats0.effective_emission() * em_scale
     # only front face emits toward the camera... reference treats emissive as
     # two-sided; keep two-sided here (abs cos in pdf conversion matches)
     radiance = radiance + jnp.where(
@@ -454,6 +464,8 @@ def render_sample(
             nee_active = active & (bounce > 0) & ~alpha_skip
         else:
             nee_active = active & ~alpha_skip
+        if options.white_furnace_mode:
+            nee_active = nee_active & False
         rng_state, direct, n_shadow = _direct_lighting(
             options, scene, bvh, world, settings, mats, p, ns, ng, wo,
             rng_state, nee_active, eta_rel,
@@ -554,7 +566,10 @@ def render_sample(
         em_mats = scene.materials.at_indices(
             scene.material_ids[jnp.maximum(rec.prim, 0)]
         )
-        em_c = em_mats.effective_emission() * w_em[..., None] * new_throughput
+        em_c = (
+            em_mats.effective_emission() * em_scale
+            * w_em[..., None] * new_throughput
+        )
         em_c = _clamp_contribution(em_c, settings.indirect_contribution_clamp)
         radiance = radiance + jnp.where(
             (valid_sample & hit & is_em)[..., None], em_c, 0.0

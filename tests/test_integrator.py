@@ -226,3 +226,54 @@ def test_restir_pairwise_defensive_agrees(cornell_scene, mis_image):
     a = mis_image[4:-4, 4:-4].mean()
     b = img[4:-4, 4:-4].mean()
     assert abs(a - b) / max(a, 1e-6) < 0.15, (a, b)
+
+
+def test_white_furnace_mode_option(cornell_scene):
+    """options.white_furnace_mode: uniform white env, emissives off — the
+    rendered image IS the energy-conservation view (reference: white furnace
+    mode + threshold display)."""
+    scene, camera = cornell_scene
+    white = scene.materials.replace(
+        base_color=jnp.ones_like(scene.materials.base_color),
+    )
+    scene_w = scene.replace(materials=white)
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.BSDF_ONLY,
+        white_furnace_mode=True,
+        max_bounces_static=16,
+    )
+    r = Renderer(scene_w, camera, 16, 16, options=opts)
+    r.settings = r.settings.replace(
+        nb_bounces=jnp.int32(16),
+        samples_per_frame=jnp.int32(64),
+        do_russian_roulette=jnp.bool_(False),
+    )
+    # world deliberately NOT configured — furnace mode must override it
+    r.step(block=True)
+    img = r.hdr_image()
+    assert np.all(img <= 1.0 + 1e-3)
+    assert img.mean() > 0.85
+
+
+def test_debug_pixel(cornell_scene):
+    from hiprt_pt_tpu.render.debug import debug_pixel
+
+    r = _make_renderer(cornell_scene, LightSamplingStrategy.MIS, spp=1)
+    r.step(block=True)
+    info = debug_pixel(r, RES // 2, RES // 2, neighborhood=1)
+    assert info["prim"] >= 0
+    assert np.isfinite(info["radiance"]).all()
+    assert info["neighborhood"].shape == (3, 3, 3)
+    assert np.isfinite(info["t"])
+
+
+def test_nan_view(cornell_scene):
+    from hiprt_pt_tpu.render.debug import nan_view
+
+    r = _make_renderer(cornell_scene, LightSamplingStrategy.MIS, spp=2)
+    r.step(block=True)
+    img = nan_view(r)
+    assert img.shape == (RES, RES, 3)
+    # clean render: no pink marks
+    assert not np.any(np.all(img == [1.0, 0.0, 1.0], axis=-1))

@@ -41,6 +41,37 @@ def smith_g2_height_correlated(wo, wi, ax, ay):
     return 1.0 / (1.0 + smith_lambda(wo, ax, ay) + smith_lambda(wi, ax, ay))
 
 
+def sample_vndf(wo, ax, ay, u1, u2):
+    """Classic VNDF sampling (Heitz 2018, "Sampling the GGX Distribution of
+    Visible Normals") — the reference's alternative GGX sampling variant
+    (GGXSamplingVariant.VNDF)."""
+    vh = jnp.stack([ax * wo[..., 0], ay * wo[..., 1], wo[..., 2]], axis=-1)
+    vh = vh / jnp.maximum(jnp.linalg.norm(vh, axis=-1, keepdims=True), 1e-12)
+    # orthonormal basis around vh
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    t1 = jnp.where(
+        (lensq > 1e-9)[..., None],
+        jnp.stack(
+            [-vh[..., 1], vh[..., 0], jnp.zeros_like(lensq)], axis=-1
+        ) / jnp.sqrt(jnp.maximum(lensq, 1e-12))[..., None],
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), vh.shape),
+    )
+    t2 = jnp.cross(vh, t1)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))
+    nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vh
+    h = jnp.stack(
+        [ax * nh[..., 0], ay * nh[..., 1], jnp.maximum(nh[..., 2], 1e-9)],
+        axis=-1,
+    )
+    return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+
+
 def sample_vndf_spherical_caps(wo, ax, ay, u1, u2):
     """Sample a visible normal via the spherical-caps method
     (Dupuy & Benyoub, "Sampling Visible GGX Normals with Spherical Caps", 2023;

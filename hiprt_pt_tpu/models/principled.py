@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.material import MaterialBank, get_alphas, oren_nayar_AB
-from ..core.settings import RenderOptions
+from ..core.settings import GGXSamplingVariant, RenderOptions
 from ..core import rng as rng_mod
 from ..ops.sampling import INV_PI, build_onb
 from . import microfacet as mf
@@ -276,6 +276,11 @@ def _eval_lobes(
     options: RenderOptions, mats: MaterialBank, wo, wi, eta_rel
 ):
     """Evaluate every lobe. Returns (f_total (N,3), [pdf_lobe (N,)] x 6)."""
+    # anisotropy rotation: spin the tangent frame (reference:
+    # anisotropy_rotation, Material.h:143) — isotropic lobes are unaffected
+    rot = mats.anisotropy_rotation * jnp.pi
+    wo = mf.anisotropy_rotate(wo, rot)
+    wi = mf.anisotropy_rotate(wi, rot)
     ax, ay = get_alphas(mats.roughness, mats.anisotropy)
     cax, cay = get_alphas(mats.coat_roughness, mats.coat_anisotropy)
     cos_o = jnp.abs(wo[..., 2])
@@ -302,8 +307,14 @@ def _eval_lobes(
     f_sh_s, pdf_sh = _sheen_lobe(wo, wi, mats.sheen_roughness)
     f_sheen = f_sh_s[..., None] * mats.sheen_color
 
-    # metal
-    spec_m, pdf_m, cosh_m, _ = _ggx_reflection_lobe(wo, wi, ax, ay)
+    # metal — double-roughness blend (reference: second_roughness_weight /
+    # second_roughness, Material.h:144-145): two GGX lobes sharing the Fresnel
+    spec_m1, pdf_m1, cosh_m, _ = _ggx_reflection_lobe(wo, wi, ax, ay)
+    ax2, ay2 = get_alphas(mats.second_roughness, mats.anisotropy)
+    spec_m2, pdf_m2, _, _ = _ggx_reflection_lobe(wo, wi, ax2, ay2)
+    w2 = mats.second_roughness_weight
+    spec_m = (1.0 - w2) * spec_m1 + w2 * spec_m2
+    pdf_m = (1.0 - w2) * pdf_m1 + w2 * pdf_m2
     F_metal = f82_tint(
         mats.base_color,
         mats.metallic_F82,
@@ -417,15 +428,26 @@ def sample(
 
     ax, ay = get_alphas(mats.roughness, mats.anisotropy)
     cax, cay = get_alphas(mats.coat_roughness, mats.coat_anisotropy)
+    sampler = (
+        mf.sample_vndf
+        if options.ggx_sampling == GGXSamplingVariant.VNDF
+        else mf.sample_vndf_spherical_caps
+    )
 
     wo_up = jnp.where(wo_l[..., 2:3] < 0.0, -wo_l, wo_l)  # guard degenerate
+    # sample in the rotated tangent frame, un-rotate the result (must match
+    # the rotation applied inside _eval_lobes)
+    rot = mats.anisotropy_rotation * jnp.pi
+    wo_rot = mf.anisotropy_rotate(wo_up, rot)
 
     # candidate directions per lobe
-    h_coat = mf.sample_vndf_spherical_caps(wo_up, cax, cay, u1, u2)
-    wi_coat = mf.reflect_local(wo_up, h_coat)
+    h_coat = sampler(wo_rot, cax, cay, u1, u2)
+    wi_coat = mf.anisotropy_rotate(mf.reflect_local(wo_rot, h_coat), -rot)
 
-    h_base = mf.sample_vndf_spherical_caps(wo_up, ax, ay, u1, u2)
-    wi_specm = mf.reflect_local(wo_up, h_base)  # metal + specular share
+    h_base = sampler(wo_rot, ax, ay, u1, u2)
+    wi_specm = mf.anisotropy_rotate(
+        mf.reflect_local(wo_rot, h_base), -rot
+    )  # metal + specular share
 
     # cosine for diffuse + sheen
     r = jnp.sqrt(u1)
@@ -436,10 +458,11 @@ def sample(
         axis=-1,
     )
 
-    # glass: reflect or refract through h_base by Fresnel
-    doth = jnp.maximum(jnp.sum(wo_up * h_base, axis=-1), 1e-9)
+    # glass: reflect or refract through h_base by Fresnel (rotated frame)
+    doth = jnp.maximum(jnp.sum(wo_rot * h_base, axis=-1), 1e-9)
     Fg = fresnel_dielectric(doth, eta_rel)
-    wt, tir = mf.refract_local(wo_up, h_base, 1.0 / eta_rel)
+    wt, tir = mf.refract_local(wo_rot, h_base, 1.0 / eta_rel)
+    wt = mf.anisotropy_rotate(wt, -rot)
     choose_reflect = (u3 < Fg) | tir
     wi_glass = jnp.where(choose_reflect[..., None], wi_specm, wt)
 

@@ -251,3 +251,55 @@ def test_energy_compensation_improves_rough_metal():
     off = est(RO(do_energy_compensation=False))
     assert on > off + 0.02, (on, off)
     assert on < 1.15, on  # must not blow past white-furnace bound badly
+
+
+def test_vndf_variant_consistency():
+    """Both GGX sampling variants must stay sample/eval consistent and agree
+    on the furnace estimate."""
+    from hiprt_pt_tpu.core.settings import GGXSamplingVariant, RenderOptions as RO
+
+    mats = _mats(metallic=1.0, roughness=0.4, base_color=[1, 1, 1])
+    wo = _wo(40)
+    import hiprt_pt_tpu.models.principled as P
+
+    def est(opts, seed):
+        s = rng.seed(jnp.arange(N), 0, seed)
+        s, wi, f, pdf, aux = P.sample(opts, mats, _nrm(), wo, s)
+        ok = pdf > 1e-8
+        e = jnp.where(ok[..., None], f * (jnp.abs(wi[..., 2]) / jnp.maximum(pdf, 1e-9))[..., None], 0.0)
+        return float(jnp.mean(e))
+
+    a = est(RO(ggx_sampling=GGXSamplingVariant.VNDF), 3)
+    b = est(RO(ggx_sampling=GGXSamplingVariant.VNDF_SPHERICAL_CAPS), 4)
+    assert abs(a - b) < 0.03, (a, b)
+
+
+def test_anisotropy_rotation_changes_highlight():
+    mats0 = _mats(metallic=1.0, roughness=0.3, anisotropy=0.9,
+                  anisotropy_rotation=0.0)
+    mats1 = _mats(metallic=1.0, roughness=0.3, anisotropy=0.9,
+                  anisotropy_rotation=0.5)
+    nrm = _nrm()
+    wo = _wo(40)
+    # off-specular direction sensitive to the tangent frame
+    wi_np = np.tile([0.2, 0.5, 0.84], (N, 1))
+    wi_np /= np.linalg.norm(wi_np, axis=-1, keepdims=True)
+    wi = jnp.asarray(wi_np, jnp.float32)
+    f0, _ = principled.eval_pdf(OPTS, mats0, nrm, wo, wi)
+    f1, _ = principled.eval_pdf(OPTS, mats1, nrm, wo, wi)
+    assert not np.allclose(np.asarray(f0)[0], np.asarray(f1)[0], rtol=0.05)
+
+
+def test_second_roughness_blend():
+    sharp = _mats(metallic=1.0, roughness=0.1)
+    dual = _mats(metallic=1.0, roughness=0.1, second_roughness=0.8,
+                 second_roughness_weight=0.7)
+    nrm = _nrm()
+    wo = _wo(30)
+    # far off-specular: the wide lobe contributes where the sharp one is ~0
+    wi_np = np.tile([0.7, 0.0, 0.714], (N, 1))
+    wi_np /= np.linalg.norm(wi_np, axis=-1, keepdims=True)
+    wi = jnp.asarray(wi_np, jnp.float32)
+    f_sharp, _ = principled.eval_pdf(OPTS, sharp, nrm, wo, wi)
+    f_dual, _ = principled.eval_pdf(OPTS, dual, nrm, wo, wi)
+    assert float(f_dual[0].sum()) > float(f_sharp[0].sum()) * 2.0

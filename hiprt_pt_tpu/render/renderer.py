@@ -82,6 +82,7 @@ def render_step(
         ):
             from ..restir.di import (
                 final_shading,
+                fused_spatiotemporal_reuse,
                 initial_candidates,
                 presample_lights,
                 spatial_reuse_pass,
@@ -106,27 +107,35 @@ def render_step(
                 gbuf.view_direction, eta0, active0, rng_state,
                 pool=pool, tile_id=tile_id,
             )
-            res, rng_state = temporal_reuse(
-                options, settings, scene, mats0, gbuf, state.prev_gbuffer,
-                state.restir, res, eta0, active0, width, height,
-                state.prev_view_proj, rng_state,
-            )
-
-            def spatial_body(i, carry):
-                res, rng_state = carry
-                return spatial_reuse_pass(
-                    options, settings, scene, mats0, gbuf, res, eta0, active0,
-                    width, height, rng_state,
+            if options.restir_di_fused_spatiotemporal:
+                # single fused pass (reference: FusedSpatiotemporalReuse.h)
+                res, rng_state = fused_spatiotemporal_reuse(
+                    options, settings, scene, mats0, gbuf,
+                    state.prev_gbuffer, state.restir, res, eta0, active0,
+                    width, height, state.prev_view_proj, rng_state,
+                )
+            else:
+                res, rng_state = temporal_reuse(
+                    options, settings, scene, mats0, gbuf, state.prev_gbuffer,
+                    state.restir, res, eta0, active0, width, height,
+                    state.prev_view_proj, rng_state,
                 )
 
-            n_spatial = jnp.where(
-                settings.restir_di.spatial_enabled,
-                settings.restir_di.num_spatial_passes,
-                0,
-            )
-            res, rng_state = jax.lax.fori_loop(
-                0, n_spatial, spatial_body, (res, rng_state)
-            )
+                def spatial_body(i, carry):
+                    res, rng_state = carry
+                    return spatial_reuse_pass(
+                        options, settings, scene, mats0, gbuf, res, eta0,
+                        active0, width, height, rng_state,
+                    )
+
+                n_spatial = jnp.where(
+                    settings.restir_di.spatial_enabled,
+                    settings.restir_di.num_spatial_passes,
+                    0,
+                )
+                res, rng_state = jax.lax.fori_loop(
+                    0, n_spatial, spatial_body, (res, rng_state)
+                )
             direct0, restir_rays = final_shading(
                 options, scene, bvh, world, mats0, gbuf, res, eta0, active0
             )

@@ -397,18 +397,16 @@ def spatial_reuse_pass(
     )
     defensive = scheme == ReSTIRBiasCorrection.PAIRWISE_MIS_DEFENSIVE
 
-    def neighbor_tap(j, rng_state):
-        """Pick + validate the j-th neighbor; returns its reservoir, targets."""
-        rng_state, u1, u2 = rng_mod.next_float2(rng_state)
+    def _nb_index(u1, u2):
         r = radius * jnp.sqrt(u1)
         theta = 2.0 * jnp.pi * u2
         ox = (r * jnp.cos(theta)).astype(jnp.int32)
         oy = (r * jnp.sin(theta)).astype(jnp.int32)
         nx = jnp.clip(px + ox, 0, width - 1)
         ny = jnp.clip(py + oy, 0, height - 1)
-        nb_idx = lin2canon[ny * width + nx]
+        return lin2canon[ny * width + nx]
 
-        nb_r = res.gather(nb_idx)
+    def _nb_valid(nb_idx, nb_M):
         nb_n = gbuf.shading_normal[nb_idx]
         nb_p = gbuf.position[nb_idx]
         normal_ok = (
@@ -419,27 +417,42 @@ def spatial_reuse_pass(
             jnp.abs(jnp.sum((nb_p - p) * ns, axis=-1))
             < settings.restir_di.plane_distance_threshold
         )
-        valid = (
+        return (
             active
             & normal_ok
             & plane_ok
             & (gbuf.prim_index[nb_idx] >= 0)
-            & (nb_r.M > 0.0)
+            & (nb_M > 0.0)
             & (nb_idx != jnp.arange(n))
         )
-        # neighbor's sample re-targeted at OUR surface
+
+    def neighbor_index_at(u1, u2):
+        nb_idx = _nb_index(u1, u2)
+        nb_M = res.M[nb_idx]
+        return nb_idx, _nb_valid(nb_idx, nb_M), nb_M
+
+    def neighbor_tap_at(u1, u2, rng_state):
+        """Validated neighbor + its sample's target at our surface (+ ours at
+        the neighbor's surface, for pairwise)."""
+        nb_idx = _nb_index(u1, u2)
+        nb_r = res.gather(nb_idx)
+        valid = _nb_valid(nb_idx, nb_r.M)
         ph_here, _, _ = eval_target(
             options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
         )
-        # OUR canonical sample targeted at the NEIGHBOR's surface
         nb_mats = scene.materials.at_indices(
             jnp.maximum(gbuf.material_id[nb_idx], 0)
         ).make_safe()
         ph_at_nb, _, _ = eval_target(
-            options, nb_mats, nb_p, nb_n, gbuf.view_direction[nb_idx],
+            options, nb_mats, gbuf.position[nb_idx],
+            gbuf.shading_normal[nb_idx], gbuf.view_direction[nb_idx],
             eta_rel, _sample_of(res),
         )
         return rng_state, nb_r, ph_here, ph_at_nb, valid
+
+    def neighbor_tap(j, rng_state):
+        rng_state, u1, u2 = rng_mod.next_float2(rng_state)
+        return neighbor_tap_at(u1, u2, rng_state)
 
     if pairwise:
         # ---- pairwise MIS (canonical vs each neighbor pairing) ----
@@ -498,28 +511,193 @@ def spatial_reuse_pass(
 
     # ---- confidence-weight schemes: 1/M (biased) or 1/Z (unbiased) ----
     unbiased = scheme != ReSTIRBiasCorrection.M_WEIGHT_1_OVER_M
+    # dedicated tap stream so the Z pass can REPLAY the same neighbor picks
+    # (Z must be counted against the FINAL winner, not the evolving one)
+    tap_rng0 = rng_mod.pcg_hash(rng_state ^ jnp.uint32(0x5F3759DF))
     out = res
-    z_count = jnp.where(res.target > 0.0, res.M, 0.0)
     m_total = res.M
 
-    def nb_body(j, carry):
-        out, z_count, m_total, rng_state = carry
-        rng_state, nb_r, ph_here, ph_at_nb, valid = neighbor_tap(j, rng_state)
+    def combine_body(j, carry):
+        out, m_total, rng_state, tap_rng = carry
+        tap_rng, u1 = rng_mod.next_float(tap_rng)
+        tap_rng, u2 = rng_mod.next_float(tap_rng)
+        rng_state, nb_r, ph_here, _, valid = neighbor_tap_at(u1, u2, rng_state)
         new_out, rng_state = out.combine(rng_state, nb_r, ph_here, nb_r.M, valid)
-        out = new_out
         m_total = m_total + jnp.where(valid, nb_r.M, 0.0)
-        if unbiased:
-            z_count = z_count + jnp.where(valid & (ph_at_nb > 0.0), nb_r.M, 0.0)
-        return out, z_count, m_total, rng_state
+        return new_out, m_total, rng_state, tap_rng
 
-    out, z_count, m_total, rng_state = jax.lax.fori_loop(
-        0, num_nb, nb_body, (out, z_count, m_total, rng_state)
+    out, m_total, rng_state, _ = jax.lax.fori_loop(
+        0, num_nb, combine_body, (out, m_total, rng_state, tap_rng0)
     )
+
     if unbiased:
+        # second pass: count confidence of every participant whose surface
+        # could produce the final winner (target > 0 there)
+        z0 = jnp.where(res.target > 0.0, res.M, 0.0)
+
+        def z_body(j, carry):
+            z, tap_rng = carry
+            tap_rng, u1 = rng_mod.next_float(tap_rng)
+            tap_rng, u2 = rng_mod.next_float(tap_rng)
+            nb_idx, nb_valid, nb_M = neighbor_index_at(u1, u2)
+            nb_mats = scene.materials.at_indices(
+                jnp.maximum(gbuf.material_id[nb_idx], 0)
+            ).make_safe()
+            ph_at_nb, _, _ = eval_target(
+                options, nb_mats, gbuf.position[nb_idx],
+                gbuf.shading_normal[nb_idx], gbuf.view_direction[nb_idx],
+                eta_rel, _sample_of(out),
+            )
+            z = z + jnp.where(nb_valid & (ph_at_nb > 0.0), nb_M, 0.0)
+            return z, tap_rng
+
+        z_count, _ = jax.lax.fori_loop(0, num_nb, z_body, (z0, tap_rng0))
         out = out.finalize(normalization=jnp.maximum(z_count, 1e-6))
         out = out.replace(M=m_total)
     else:
         out = out.replace(M=m_total).finalize()
+    return out, rng_state
+
+
+def fused_spatiotemporal_reuse(
+    options: RenderOptions,
+    settings,
+    scene: SceneData,
+    mats,
+    gbuf,
+    prev_gbuf,
+    prev_res: Reservoir,
+    cur_res: Reservoir,
+    eta_rel,
+    active,
+    width: int,
+    height: int,
+    prev_view_proj,
+    rng_state,
+):
+    """Fused spatiotemporal reuse — one pass streaming the back-projected
+    temporal reservoir AND spatial neighbors (taken from the previous frame's
+    reservoirs, since the current frame's are not finished) into the initial-
+    candidate reservoir (reference: FusedSpatiotemporalReuse.h:135 +
+    ReSTIRDIRenderPass.cpp:475-506). Pairwise-MIS-defensive weights between
+    the canonical (initial-candidate) sample and every tap keep it unbiased
+    without a separate normalization pass."""
+    p = gbuf.position
+    ns = gbuf.shading_normal
+    wo = gbuf.view_direction
+    n = p.shape[0]
+    lin2canon = jnp.argsort(linear_index(width, height))
+
+    # back-project the current hit into the previous frame
+    ph4 = jnp.concatenate([p, jnp.ones((n, 1), jnp.float32)], axis=-1)
+    clip = ph4 @ prev_view_proj.T
+    ndc = clip[:, :2] / jnp.maximum(jnp.abs(clip[:, 3:4]), 1e-12) * jnp.sign(
+        clip[:, 3:4]
+    )
+    prev_px = jnp.clip(
+        ((ndc[:, 0] * 0.5 + 0.5) * width).astype(jnp.int32), 0, width - 1
+    )
+    prev_py = jnp.clip(
+        ((ndc[:, 1] * 0.5 + 0.5) * height).astype(jnp.int32), 0, height - 1
+    )
+    in_screen = (
+        (ndc[:, 0] > -1.0) & (ndc[:, 0] < 1.0)
+        & (ndc[:, 1] > -1.0) & (ndc[:, 1] < 1.0)
+        & (clip[:, 3] > 0.0)
+    )
+
+    Kf = settings.restir_di.num_spatial_neighbors.astype(jnp.float32) + 1.0
+
+    def tap(rng_state, tap_px, tap_py, tap_valid, out, m_c, m_total):
+        idx = lin2canon[
+            jnp.clip(tap_py, 0, height - 1) * width
+            + jnp.clip(tap_px, 0, width - 1)
+        ]
+        r_n = prev_res.gather(idx).m_capped(settings.restir_di.m_cap)
+        nb_n = prev_gbuf.shading_normal[idx]
+        nb_p = prev_gbuf.position[idx]
+        normal_ok = (
+            jnp.sum(ns * nb_n, axis=-1)
+            > settings.restir_di.normal_similarity_threshold
+        )
+        plane_ok = (
+            jnp.abs(jnp.sum((nb_p - p) * ns, axis=-1))
+            < settings.restir_di.plane_distance_threshold
+        )
+        valid = (
+            tap_valid
+            & active
+            & normal_ok
+            & plane_ok
+            & (prev_gbuf.prim_index[idx] >= 0)
+            & (r_n.M > 0.0)
+        )
+        # pairwise MIS: the tap's own-domain target is stored in r_n.target
+        ph_here, _, _ = eval_target(
+            options, mats, p, ns, wo, eta_rel, _sample_of(r_n)
+        )
+        m_i = r_n.target / jnp.maximum(ph_here + Kf * r_n.target, 1e-12)
+        m_i = m_i * (Kf / (Kf + 1.0))  # defensive
+        new_out, rng_state = out.combine(rng_state, r_n, ph_here, m_i, valid)
+        # canonical pairing term: OUR canonical sample at the tap's surface
+        nb_mats = scene.materials.at_indices(
+            jnp.maximum(prev_gbuf.material_id[idx], 0)
+        ).make_safe()
+        ph_at_nb, _, _ = eval_target(
+            options, nb_mats, nb_p, nb_n, prev_gbuf.view_direction[idx],
+            eta_rel, _sample_of(cur_res),
+        )
+        term = cur_res.target / jnp.maximum(
+            cur_res.target + Kf * ph_at_nb, 1e-12
+        )
+        m_c = m_c + jnp.where(valid, term, 1.0)
+        m_total = m_total + jnp.where(valid, r_n.M, 0.0)
+        return rng_state, new_out, m_c, m_total
+
+    out = Reservoir.empty(n)
+    m_c = jnp.zeros((n,), jnp.float32)
+    m_total = cur_res.M
+
+    # temporal center tap
+    rng_state, out, m_c, m_total = tap(
+        rng_state, prev_px, prev_py,
+        in_screen & settings.restir_di.temporal_enabled,
+        out, m_c, m_total,
+    )
+
+    # spatial neighbor taps around the reprojected position
+    def nb_body(j, carry):
+        out, m_c, m_total, rng_state = carry
+        rng_state, u1, u2 = rng_mod.next_float2(rng_state)
+        r = settings.restir_di.spatial_radius * jnp.sqrt(u1)
+        theta = 2.0 * jnp.pi * u2
+        ox = (r * jnp.cos(theta)).astype(jnp.int32)
+        oy = (r * jnp.sin(theta)).astype(jnp.int32)
+        rng_state, out, m_c, m_total = tap(
+            rng_state, prev_px + ox, prev_py + oy, in_screen,
+            out, m_c, m_total,
+        )
+        return out, m_c, m_total, rng_state
+
+    out, m_c, m_total, rng_state = jax.lax.fori_loop(
+        0, settings.restir_di.num_spatial_neighbors, nb_body,
+        (out, m_c, m_total, rng_state),
+    )
+    m_c = m_c / Kf
+    m_c = m_c * (Kf / (Kf + 1.0)) + 1.0 / (Kf + 1.0)  # defensive floor
+    canon_w = m_c * cur_res.target * cur_res.W
+    out, rng_state = out.update(
+        rng_state,
+        canon_w,
+        cur_res.light_point,
+        cur_res.light_normal,
+        cur_res.radiance,
+        cur_res.target,
+        cur_res.is_envmap,
+        active & (cur_res.M > 0.0),
+    )
+    out = out.finalize(normalization=jnp.ones((n,), jnp.float32))
+    out = out.replace(M=m_total)
     return out, rng_state
 
 

@@ -277,3 +277,56 @@ def test_nan_view(cornell_scene):
     assert img.shape == (RES, RES, 3)
     # clean render: no pink marks
     assert not np.any(np.all(img == [1.0, 0.0, 1.0], axis=-1))
+
+
+def test_restir_fused_spatiotemporal_agrees(cornell_scene, mis_image):
+    """Fused spatiotemporal pass (reference: FusedSpatiotemporalReuse.h)
+    stays unbiased vs MIS NEE."""
+    scene, camera = cornell_scene
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.RESTIR_DI,
+        restir_di_fused_spatiotemporal=True,
+        max_bounces_static=3,
+    )
+    r = Renderer(scene, camera, RES, RES, options=opts, seed=23)
+    r.settings = r.settings.replace(
+        nb_bounces=jnp.int32(3), samples_per_frame=jnp.int32(8)
+    )
+    r.world = r.world.replace(
+        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+    )
+    for _ in range(8):
+        r.step(block=True)
+    img = r.hdr_image()
+    assert np.all(np.isfinite(img))
+    a = mis_image[4:-4, 4:-4].mean()
+    b = img[4:-4, 4:-4].mean()
+    assert abs(a - b) / max(a, 1e-6) < 0.15, (a, b)
+
+
+def test_restir_1overz_agrees(cornell_scene, mis_image):
+    """The replayed-Z unbiased normalization must also match MIS."""
+    from hiprt_pt_tpu.core.settings import ReSTIRBiasCorrection
+
+    scene, camera = cornell_scene
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.RESTIR_DI,
+        restir_di_bias_correction=ReSTIRBiasCorrection.M_WEIGHT_1_OVER_Z,
+        max_bounces_static=3,
+    )
+    r = Renderer(scene, camera, RES, RES, options=opts, seed=29)
+    r.settings = r.settings.replace(
+        nb_bounces=jnp.int32(3), samples_per_frame=jnp.int32(8)
+    )
+    r.world = r.world.replace(
+        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+    )
+    for _ in range(8):
+        r.step(block=True)
+    img = r.hdr_image()
+    assert np.all(np.isfinite(img))
+    a = mis_image[4:-4, 4:-4].mean()
+    b = img[4:-4, 4:-4].mean()
+    assert abs(a - b) / max(a, 1e-6) < 0.15, (a, b)

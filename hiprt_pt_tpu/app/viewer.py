@@ -24,6 +24,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 import numpy as np
+import jax
 
 _PAGE = """<!doctype html><html><head><title>hiprt_pt_tpu viewer</title></head>
 <body style="background:#111;color:#ddd;font-family:monospace">
@@ -33,8 +34,20 @@ _PAGE = """<!doctype html><html><head><title>hiprt_pt_tpu viewer</title></head>
  <option value="beauty">beauty</option><option value="denoised">denoised</option>
  <option value="albedo">albedo</option><option value="normal">normal</option>
  <option value="heatmap">sample heatmap</option></select>
+ bounces <input id="bounces" type="number" min="1" max="16" value="4" style="width:3em"
+  onchange="setp('nb_bounces', this.value)"/>
+ spp/frame <input id="spf" type="number" min="1" max="64" value="1" style="width:3em"
+  onchange="setp('samples_per_frame', this.value)"/>
+ clamp <input id="clamp" type="number" min="0" step="0.5" value="0" style="width:4em"
+  onchange="setp('clamp', this.value)"/>
+ <button onclick="cam('orbit',15)">orbit</button>
+ <button onclick="cam('zoom',0.3)">zoom+</button>
+ <button onclick="cam('zoom',-0.3)">zoom-</button>
+ <button onclick="fetch('/control?cmd=reset')">reset</button>
 <br/><img id="img" style="max-width:95vw"/>
 <script>
+function setp(k,v){ fetch('/control?cmd=set&key='+k+'&value='+v); }
+function cam(k,v){ fetch('/control?cmd='+k+'&value='+v); }
 async function refresh(){
   const v=document.getElementById('view').value;
   document.getElementById('img').src='/image?view='+v+'&t='+Date.now();
@@ -95,6 +108,46 @@ class ViewerServer:
         iio.imwrite(buf, (img * 255).astype(np.uint8), extension=".png")
         return buf.getvalue()
 
+    def _control(self, q) -> str:
+        """Runtime parameter edits + camera interaction (reference: ImGui
+        settings window writing tier-2 settings + interactors; every edit
+        resets accumulation like RenderWindow::reset_render)."""
+        import jax.numpy as jnp
+
+        cmd = q.get("cmd", [""])[0]
+        r = self.renderer
+        if cmd == "reset":
+            r.reset()
+        elif cmd == "orbit":
+            from ..render.animation import CameraOrbitAnimation
+
+            deg = float(q.get("value", ["15"])[0])
+            anim = CameraOrbitAnimation(
+                target=tuple(map(float, jax.device_get(r.camera.position) * 0)),
+                degrees_per_frame=deg,
+            )
+            r.set_camera(anim.step(r.camera))
+        elif cmd == "zoom":
+            from ..core.camera import camera_zoom
+
+            r.set_camera(camera_zoom(r.camera, float(q.get("value", ["0.3"])[0])))
+        elif cmd == "set":
+            key = q.get("key", [""])[0]
+            val = float(q.get("value", ["0"])[0])
+            if key == "nb_bounces":
+                r.settings = r.settings.replace(nb_bounces=jnp.int32(int(val)))
+            elif key == "samples_per_frame":
+                r.settings = r.settings.replace(
+                    samples_per_frame=jnp.int32(int(val))
+                )
+            elif key == "clamp":
+                r.settings = r.settings.replace(
+                    direct_contribution_clamp=jnp.float32(val),
+                    indirect_contribution_clamp=jnp.float32(val),
+                )
+            r.reset()
+        return json.dumps({"ok": True, "cmd": cmd})
+
     def _stats(self) -> str:
         import jax
 
@@ -131,6 +184,9 @@ class ViewerServer:
                     ctype = "image/png"
                 elif u.path == "/stats":
                     body = viewer._stats().encode()
+                    ctype = "application/json"
+                elif u.path == "/control":
+                    body = viewer._control(parse_qs(u.query)).encode()
                     ctype = "application/json"
                 else:
                     self.send_response(404)

@@ -16,14 +16,12 @@ from __future__ import annotations
 import base64
 import json
 import os
-import struct as pystruct
 from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
 
-from ..core.camera import Camera, camera_from_gltf_node, camera_from_lookat
-from ..core.material import MaterialBank, NO_TEXTURE
+from ..core.camera import Camera, camera_from_lookat
 
 _COMPONENT_DTYPES = {
     5120: np.int8,

@@ -15,8 +15,6 @@ the surrounding elementwise work; there is no per-thread struct load.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np

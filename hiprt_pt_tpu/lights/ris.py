@@ -30,7 +30,6 @@ from ..core import rng as rng_mod
 from ..core.settings import RenderOptions
 from ..models.dispatcher import bsdf_eval, bsdf_sample
 from ..ops.intersect import offset_ray_origin
-from ..ops.sampling import TWO_PI
 from ..ops.traverse import closest_hit_coherent, occluded_coherent
 from ..ops.tonemap import luminance
 from .light_sampling import emissive_pdf_of_direction, sample_emissive_triangle

@@ -17,7 +17,6 @@ aux may carry 'eta_rel' (relative IOR for transmission); sample_aux carries a
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from ..core.settings import BSDFOverride, RenderOptions

@@ -12,7 +12,6 @@ Functions", JCGT 2013 — multi-lobe Gaussian fits) instead of lookup tables.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

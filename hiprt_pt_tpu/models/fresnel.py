@@ -7,7 +7,6 @@ the reference uses for metals (Material.h:136-141).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -9,7 +9,6 @@ in the local frame.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

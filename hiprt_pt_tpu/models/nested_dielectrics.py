@@ -21,7 +21,6 @@ Boundary rules at a transmissive surface of material m:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 EMPTY = -1

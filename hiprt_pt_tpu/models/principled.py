@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,7 +33,7 @@ from ..core.settings import GGXSamplingVariant, RenderOptions
 from ..core import rng as rng_mod
 from ..ops.sampling import INV_PI, build_onb
 from . import microfacet as mf
-from .fresnel import f82_tint, fresnel_dielectric, schlick
+from .fresnel import f82_tint, fresnel_dielectric
 
 _MIN_P = 1e-4
 

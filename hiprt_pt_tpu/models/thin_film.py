@@ -17,7 +17,6 @@ wavelengths (reference: thin_film_hue_shift_degrees).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .fresnel import fresnel_dielectric

@@ -10,7 +10,6 @@ octree BVH, src/Renderer/BVH.h:24-266, as the independent second implementation)
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 INF = jnp.inf

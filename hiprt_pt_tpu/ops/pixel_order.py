@@ -19,7 +19,6 @@ through px/py coordinates computed here.
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 TILE_W = 16

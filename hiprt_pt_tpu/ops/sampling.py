@@ -7,7 +7,6 @@ heuristics, uniform triangle/area-light sampling (LightUtils.h:13-101).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 TWO_PI = 2.0 * jnp.pi

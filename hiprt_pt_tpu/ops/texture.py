@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..assets.scene import TextureAtlas
-from ..core.material import MaterialBank, NO_TEXTURE
+from ..core.material import MaterialBank
 
 
 def fetch_bilinear(atlas: TextureAtlas, tex_idx: jax.Array, uv: jax.Array):

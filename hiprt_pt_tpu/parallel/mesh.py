@@ -15,8 +15,6 @@ are psum-merged — useful when the image is too small to saturate many chips.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..core import rng as rng_mod
 from ..core.camera import generate_camera_rays
-from ..render.integrator import camera_rays_pass, render_sample
+from ..render.integrator import render_sample
 
 
 def debug_pixel(

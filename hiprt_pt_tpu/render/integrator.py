@@ -17,8 +17,6 @@ math XLA fuses. The BVH walk (ops/traverse.py) is the only stack-y loop.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -50,12 +48,7 @@ from ..models.dispatcher import bsdf_eval, bsdf_sample
 from ..ops.intersect import offset_ray_origin
 from ..ops.pixel_order import pixel_coords
 from ..ops.sampling import balance_heuristic
-from ..ops.traverse import (
-    closest_hit,
-    closest_hit_coherent,
-    occluded,
-    occluded_coherent,
-)
+from ..ops.traverse import closest_hit_coherent, occluded_coherent
 from ..ops.texture import apply_normal_map, apply_textures
 from ..ops.tonemap import luminance
 

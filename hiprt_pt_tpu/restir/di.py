@@ -28,13 +28,12 @@ import jax.numpy as jnp
 from ..assets.scene import SceneData
 from ..core import rng as rng_mod
 from ..core.settings import (
-    AmbientLightType,
     EnvmapSamplingStrategy,
     ReSTIRBiasCorrection,
     RenderOptions,
     WorldSettings,
 )
-from ..lights.envmap_sampling import eval_envmap, sample_envmap
+from ..lights.envmap_sampling import sample_envmap
 from ..lights.light_sampling import searchsorted_cdf
 from ..models.dispatcher import bsdf_eval, bsdf_sample
 from ..ops.intersect import offset_ray_origin

@@ -354,8 +354,19 @@ def _eval_lobes(
         ms_boost = 1.0 + mats.base_color * ((1.0 - E) / E)[..., None]
         f_metal = f_metal * ms_boost
 
-    # glass
-    f_glass, pdf_g = _glass_lobe(mats.base_color, wo, wi, ax, ay, eta_rel)
+    # glass — thin-walled surfaces transmit straight through (no bend, no
+    # medium entry) with the remapped roughness of a double interface
+    # (reference: thin_walled + get_thin_walled_roughness, Material.h:87-111)
+    from ..core.material import thin_walled_roughness
+
+    r_thin = thin_walled_roughness(
+        mats.thin_walled, mats.roughness, jnp.maximum(eta_rel, 1.0 + 1e-3)
+    )
+    axt, ayt = get_alphas(r_thin, mats.anisotropy)
+    ax_g = jnp.where(mats.thin_walled > 0.5, axt, ax)
+    ay_g = jnp.where(mats.thin_walled > 0.5, ayt, ay)
+    eta_g = jnp.where(mats.thin_walled > 0.5, 1.0 + 1e-3, eta_rel)
+    f_glass, pdf_g = _glass_lobe(mats.base_color, wo, wi, ax_g, ay_g, eta_g)
 
     # specular dielectric reflection on the base
     F_s_h = fresnel_dielectric(
@@ -457,10 +468,12 @@ def sample(
         axis=-1,
     )
 
-    # glass: reflect or refract through h_base by Fresnel (rotated frame)
+    # glass: reflect or refract through h_base by Fresnel (rotated frame);
+    # thin-walled surfaces use eta~1 → straight-through transmission
+    eta_g = jnp.where(mats.thin_walled > 0.5, 1.0 + 1e-3, eta_rel)
     doth = jnp.maximum(jnp.sum(wo_rot * h_base, axis=-1), 1e-9)
-    Fg = fresnel_dielectric(doth, eta_rel)
-    wt, tir = mf.refract_local(wo_rot, h_base, 1.0 / eta_rel)
+    Fg = fresnel_dielectric(doth, eta_g)
+    wt, tir = mf.refract_local(wo_rot, h_base, 1.0 / eta_g)
     wt = mf.anisotropy_rotate(wt, -rot)
     choose_reflect = (u3 < Fg) | tir
     wi_glass = jnp.where(choose_reflect[..., None], wi_specm, wt)

@@ -491,7 +491,10 @@ def render_sample(
         # --- interior stack update + Beer-Lambert medium from the stack top
         # (reference: NestedDielectrics.h + absorption semantics) ---
         refracted = s_aux["refracted"] & ~alpha_skip
-        crossed = valid_sample & is_trans & (refracted | false_interface)
+        not_thin = mats.thin_walled < 0.5
+        crossed = (
+            valid_sample & is_trans & not_thin & (refracted | false_interface)
+        )
         stack_mat, stack_pri = nd.push(
             stack_mat, stack_pri, carry["mat_id"], m_pri, crossed & entering
         )

@@ -89,3 +89,66 @@ def test_sharding_layout(cornell_scene):
     }
     assert shardings == {8}  # actually split over 8 devices
     assert (W * H) % 8 == 0
+
+
+def test_frame_assignment_partition():
+    from hiprt_pt_tpu.parallel.frames import frame_assignment
+
+    all_frames = set()
+    for p in range(4):
+        mine = frame_assignment(10, p, 4)
+        assert all_frames.isdisjoint(mine)
+        all_frames.update(mine)
+    assert all_frames == set(range(10))
+
+
+def test_distributed_sequence_matches_frames(cornell_scene, tmp_path):
+    """Two 'processes' rendering their shares produce the same frames a single
+    process would (deterministic animation advance)."""
+    import jax.numpy as jnp
+    import imageio.v3 as iio
+    from hiprt_pt_tpu.core.settings import (
+        AmbientLightType, BSDFOverride, LightSamplingStrategy, RenderOptions,
+    )
+    from hiprt_pt_tpu.parallel.frames import render_distributed_sequence
+    from hiprt_pt_tpu.render.animation import CameraOrbitAnimation
+    from hiprt_pt_tpu.render.renderer import Renderer
+
+    scene, camera = cornell_scene
+
+    def fresh():
+        r = Renderer(
+            scene, camera, 32, 32,
+            options=RenderOptions(
+                bsdf_override=BSDFOverride.LAMBERTIAN, max_bounces_static=1,
+                direct_light_sampling=LightSamplingStrategy.MIS,
+            ),
+        )
+        r.settings = r.settings.replace(
+            nb_bounces=jnp.int32(1), samples_per_frame=jnp.int32(2)
+        )
+        r.world = r.world.replace(
+            ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+        )
+        return r
+
+    anim = CameraOrbitAnimation(target=(0, 1, 0), degrees_per_frame=20)
+    p0 = render_distributed_sequence(
+        fresh(), 4, 2, str(tmp_path / "p0"), camera_animation=anim,
+        process_index=0, process_count=2,
+    )
+    p1 = render_distributed_sequence(
+        fresh(), 4, 2, str(tmp_path / "p1"), camera_animation=anim,
+        process_index=1, process_count=2,
+    )
+    single = render_distributed_sequence(
+        fresh(), 4, 2, str(tmp_path / "all"), camera_animation=anim,
+        process_index=0, process_count=1,
+    )
+    assert len(p0) == 2 and len(p1) == 2 and len(single) == 4
+    import os
+    for path in p0 + p1:
+        f = os.path.basename(path)
+        a = iio.imread(path)
+        b = iio.imread(str(tmp_path / "all" / f))
+        assert np.array_equal(a, b), f

@@ -303,3 +303,20 @@ def test_second_roughness_blend():
     f_sharp, _ = principled.eval_pdf(OPTS, sharp, nrm, wo, wi)
     f_dual, _ = principled.eval_pdf(OPTS, dual, nrm, wo, wi)
     assert float(f_dual[0].sum()) > float(f_sharp[0].sum()) * 2.0
+
+
+def test_thin_walled_transmits_straight():
+    """Thin-walled smooth glass: refracted rays continue ~straight through
+    (reference: thin_walled, Material.h:191 + roughness remap)."""
+    mats = _mats(specular_transmission=1.0, roughness=0.01, ior=1.5,
+                 thin_walled=1.0, specular=0.0, base_color=[1, 1, 1])
+    wo = _wo(35)
+    s = rng.seed(jnp.arange(N), 0, 41)
+    s, wi, f, pdf, aux = principled.sample(OPTS, mats, _nrm(), wo, s)
+    wi_np = np.asarray(wi)
+    refr = wi_np[:, 2] < 0
+    assert refr.mean() > 0.5
+    # transmitted direction ~ -wo (straight through)
+    wo_np = np.asarray(wo)[0]
+    dots = -(wi_np[refr] @ wo_np)
+    assert (dots > 0.995).mean() > 0.9, dots.mean()

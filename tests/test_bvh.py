@@ -123,3 +123,23 @@ def test_packet_traversal_active_mask(cornell_scene):
     active = np.zeros(512, bool); active[::3] = True
     rec = closest_hit_coherent(bvh, o, d, t_min=0.0, active=jnp.asarray(active))
     assert np.all(np.asarray(rec.prim)[~active] == -1)
+
+
+def test_pallas_traversal_matches_xla(cornell_scene):
+    """Experimental Pallas VMEM-resident traversal (interpreter mode) must
+    produce identical hits to the XLA traversal."""
+    import jax.numpy as jnp
+    from hiprt_pt_tpu.core.camera import generate_camera_rays
+    from hiprt_pt_tpu.ops.pallas_traverse import traverse_pallas
+
+    scene, camera = cornell_scene
+    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
+    o, d = generate_camera_rays(camera, 64, 32)  # 2048 rays = 2 programs
+    rec_p = traverse_pallas(bvh, o, d, t_min=0.0, interpret=True)
+    rec_r = closest_hit(bvh, o, d, t_min=0.0)
+    assert np.array_equal(np.asarray(rec_p.prim), np.asarray(rec_r.prim))
+    m = np.asarray(rec_r.prim) >= 0
+    assert np.allclose(np.asarray(rec_p.t)[m], np.asarray(rec_r.t)[m], rtol=1e-5)
+    # any-hit variant
+    rec_a = traverse_pallas(bvh, o, d, t_min=0.0, any_hit=True, interpret=True)
+    assert np.array_equal(np.asarray(rec_a.prim) >= 0, m)

@@ -301,6 +301,20 @@ def _eval_lobes(
     coat_att = 1.0 - mats.coat * (
         0.5 * (Fc_o + Fc_i) * mats.coat_darkening
     )
+    # coat medium absorption: Beer-Lambert tint over the in-coat path length
+    # ~ thickness·(1/cos_o + 1/cos_i) (reference: coat_medium_absorption /
+    # coat_medium_thickness, Material.h:160-163)
+    coat_path = mats.coat_medium_thickness * 0.01 * (
+        1.0 / jnp.maximum(cos_o, 0.1)
+        + 1.0 / jnp.maximum(jnp.abs(cos_i_signed), 0.1)
+    )
+    coat_tint = jnp.exp(
+        jnp.log(jnp.clip(mats.coat_medium_absorption, 1e-3, 1.0))
+        * coat_path[..., None]
+    )
+    coat_att_rgb = coat_att[..., None] * (
+        (1.0 - mats.coat[..., None]) + mats.coat[..., None] * coat_tint
+    )
 
     # sheen
     f_sh_s, pdf_sh = _sheen_lobe(wo, wi, mats.sheen_roughness)
@@ -393,7 +407,7 @@ def _eval_lobes(
     w_glass = (1.0 - mats.metallic) * trans
     w_base = (1.0 - mats.metallic) * (1.0 - trans)
 
-    f_total = mats.coat[..., None] * f_coat + coat_att[..., None] * (
+    f_total = mats.coat[..., None] * f_coat + coat_att_rgb * (
         mats.sheen[..., None] * f_sheen
         + w_metal[..., None] * f_metal
         + w_glass[..., None] * f_glass

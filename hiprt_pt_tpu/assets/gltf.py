@@ -208,12 +208,55 @@ def _load_images(doc: dict, buffers: list[bytes], base_dir: str) -> list:
     return images
 
 
+def _read_glb(path: str):
+    """Parse a binary .glb container → (json doc, [bin chunk]) (GLTF 2.0
+    spec §4: 12-byte header + JSON/BIN chunks)."""
+    import struct
+
+    with open(path, "rb") as f:
+        data = f.read()
+    magic, version, length = struct.unpack_from("<4sII", data, 0)
+    if magic != b"glTF":
+        raise ValueError(f"{path}: not a GLB container")
+    off = 12
+    doc = None
+    bin_chunks = []
+    while off < length:
+        chunk_len, chunk_type = struct.unpack_from("<I4s", data, off)
+        off += 8
+        payload = data[off : off + chunk_len]
+        off += chunk_len
+        if chunk_type == b"JSON":
+            doc = json.loads(payload.decode("utf-8"))
+        elif chunk_type == b"BIN\x00":
+            bin_chunks.append(payload)
+    if doc is None:
+        raise ValueError(f"{path}: GLB missing JSON chunk")
+    return doc, bin_chunks
+
+
 def load_gltf(path: str, aspect_override: Optional[float] = None) -> ParsedScene:
-    """Parse a .gltf file into flattened world-space SoA arrays."""
-    with open(path) as f:
-        doc = json.load(f)
+    """Parse a .gltf (JSON) or .glb (binary container) file into flattened
+    world-space SoA arrays."""
     base_dir = os.path.dirname(os.path.abspath(path))
-    buffers = _read_buffers(doc, base_dir)
+    with open(path, "rb") as f:
+        head = f.read(4)
+    if head == b"glTF":
+        doc, bin_chunks = _read_glb(path)
+        buffers = []
+        for i, buf in enumerate(doc.get("buffers", [])):
+            uri = buf.get("uri")
+            if uri is None:
+                buffers.append(bin_chunks[0] if bin_chunks else b"")
+            elif uri.startswith("data:"):
+                buffers.append(base64.b64decode(uri.split(",", 1)[1]))
+            else:
+                with open(os.path.join(base_dir, uri), "rb") as f:
+                    buffers.append(f.read())
+    else:
+        with open(path) as f:
+            doc = json.load(f)
+        buffers = _read_buffers(doc, base_dir)
 
     material_rows = [
         _gltf_material_row(m, lambda i: i) for m in doc.get("materials", [])

@@ -70,3 +70,36 @@ def test_alias_table_zero_importance_texels():
     u = g.uniform(size=10000)
     chosen = np.where(u < probas[idx], idx, aliases[idx])
     assert np.all(chosen == 2 * 16 + 3)
+
+
+def test_glb_container_roundtrip(tmp_path):
+    """Pack cornell_pbr into a .glb and verify identical parse (GLTF 2.0
+    binary container support)."""
+    import json as _json
+    import struct as _struct
+
+    src_gltf = "/root/reference/data/GLTFs/cornell_pbr.gltf"
+    with open(src_gltf) as f:
+        doc = _json.load(f)
+    with open("/root/reference/data/GLTFs/cornell_pbr.bin", "rb") as f:
+        blob = f.read()
+    doc["buffers"] = [{"byteLength": len(blob)}]
+    js = _json.dumps(doc).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    blob_p = blob + b"\x00" * ((4 - len(blob) % 4) % 4)
+    total = 12 + 8 + len(js) + 8 + len(blob_p)
+    glb = (
+        _struct.pack("<4sII", b"glTF", 2, total)
+        + _struct.pack("<I4s", len(js), b"JSON") + js
+        + _struct.pack("<I4s", len(blob_p), b"BIN\x00") + blob_p
+    )
+    path = tmp_path / "cornell.glb"
+    path.write_bytes(glb)
+
+    from hiprt_pt_tpu.assets.gltf import load_gltf
+
+    a = load_gltf(str(path), aspect_override=1.0)
+    b = load_gltf(src_gltf, aspect_override=1.0)
+    assert np.array_equal(a.vertices, b.vertices)
+    assert np.array_equal(a.triangles, b.triangles)
+    assert a.material_rows == b.material_rows

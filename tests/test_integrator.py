@@ -330,3 +330,33 @@ def test_restir_1overz_agrees(cornell_scene, mis_image):
     a = mis_image[4:-4, 4:-4].mean()
     b = img[4:-4, 4:-4].mean()
     assert abs(a - b) / max(a, 1e-6) < 0.15, (a, b)
+
+
+def test_low_res_interaction_mode(cornell_scene):
+    """Low-res preview traces one pixel per scale^2 block
+    (reference: CameraRays.h:60-76)."""
+    r = _make_renderer(cornell_scene, LightSamplingStrategy.MIS, spp=2)
+    r.settings = r.settings.replace(
+        render_low_resolution=jnp.bool_(True),
+        low_resolution_scale=jnp.int32(4),
+    )
+    r.step(block=True)
+    counts = np.asarray(jax.device_get(r.state.pixel_sample_count))
+    frac = (counts > 0).mean()
+    assert abs(frac - 1.0 / 16.0) < 0.02, frac
+
+
+def test_no_accumulate_mode(cornell_scene):
+    """accumulate=False overwrites instead of summing (interactive preview,
+    reference: RenderSettings.accumulate)."""
+    r = _make_renderer(cornell_scene, LightSamplingStrategy.MIS, spp=1)
+    r.settings = r.settings.replace(accumulate=jnp.bool_(False))
+    r.step(block=True)
+    a1 = np.asarray(jax.device_get(r.state.accum)).copy()
+    r.step(block=True)
+    a2 = np.asarray(jax.device_get(r.state.accum))
+    # overwritten with a different sample, not summed: the mean stays in the
+    # single-sample ballpark (accumulation would double it)
+    assert a2.mean() < a1.mean() * 1.6
+    assert not np.array_equal(a1, a2)
+    assert int(jax.device_get(r.state.sample_count)) == 2

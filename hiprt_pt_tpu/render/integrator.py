@@ -48,7 +48,40 @@ from ..models.dispatcher import bsdf_eval, bsdf_sample
 from ..ops.intersect import offset_ray_origin
 from ..ops.pixel_order import pixel_coords
 from ..ops.sampling import balance_heuristic
-from ..ops.traverse import closest_hit_coherent, occluded_coherent
+from ..ops.traverse import (
+    closest_hit_coherent as _xla_closest,
+    occluded_coherent as _xla_occluded,
+)
+
+
+def _make_tracers(options: RenderOptions):
+    """Select the traversal backend: XLA packet traversal (production) or the
+    experimental Pallas VMEM kernel (RenderOptions.use_pallas_traversal; see
+    ops/pallas_traverse.py for environment caveats)."""
+    if options.use_pallas_traversal:
+        from ..ops.pallas_traverse import traverse_pallas
+
+        def closest(bvh, o, d, t_min=1e-4, t_max=None, active=None):
+            import jax.numpy as _jnp
+
+            tm = _jnp.inf if t_max is None else t_max
+            if o.shape[0] % 1024 == 0:
+                return traverse_pallas(bvh, o, d, t_min, tm, active,
+                                       any_hit=False)
+            return _xla_closest(bvh, o, d, t_min, tm, active)
+
+        def occluded(bvh, o, d, t_min=1e-4, t_max=None, active=None):
+            import jax.numpy as _jnp
+
+            tm = _jnp.inf if t_max is None else t_max
+            if o.shape[0] % 1024 == 0:
+                rec = traverse_pallas(bvh, o, d, t_min, tm, active,
+                                      any_hit=True)
+                return rec.prim >= 0
+            return _xla_occluded(bvh, o, d, t_min, tm, active)
+
+        return closest, occluded
+    return _xla_closest, _xla_occluded
 from ..ops.texture import apply_normal_map, apply_textures
 from ..ops.tonemap import luminance
 
@@ -130,6 +163,7 @@ def camera_rays_pass(
     height: int,
     sample_number,
     rng_state,
+    options: RenderOptions = RenderOptions(),
 ):
     """Primary-ray pass filling the G-buffer. Returns (rng_state, GBuffer,
     pixel_active)."""
@@ -150,7 +184,8 @@ def camera_rays_pass(
     adaptive_keep = ~(settings.enable_adaptive_sampling & state.pixel_converged)
     active = active & adaptive_keep
 
-    rec = closest_hit_coherent(bvh, o, d, t_min=0.0, active=active)
+    closest, _ = _make_tracers(options)
+    rec = closest(bvh, o, d, t_min=0.0, active=active)
     hit = rec.prim >= 0
     ns, ng, uv, mat_id, tangent = _interpolate_hit(
         scene, rec.prim, rec.u, rec.v, d
@@ -226,7 +261,8 @@ def _direct_lighting(
         cand = active & ls["valid"] & (cos_i > 0.0) & (ls["pdf"] > 0.0)
         # shadow ray
         so = offset_ray_origin(p, ng, wi)
-        shadow_blocked = occluded_coherent(
+        _, occl = _make_tracers(options)
+        shadow_blocked = occl(
             bvh, so, wi, t_max=ls["dist"] * (1.0 - 1e-3), active=cand
         )
         n_shadow = n_shadow + jnp.sum(cand.astype(jnp.float32))
@@ -265,7 +301,8 @@ def _direct_lighting(
             & (world.ambient_light_type == int(AmbientLightType.ENVMAP))
         )
         so_e = offset_ray_origin(p, ng, wi_e)
-        blocked_e = occluded_coherent(bvh, so_e, wi_e, active=cand_e)
+        _, occl_e = _make_tracers(options)
+        blocked_e = occl_e(bvh, so_e, wi_e, active=cand_e)
         n_shadow = n_shadow + jnp.sum(cand_e.astype(jnp.float32))
         vis_e = cand_e & ~blocked_e
         if options.envmap_bsdf_mis:
@@ -529,7 +566,8 @@ def render_sample(
         # bounce rays: tile packets still win on TPU — per-ray traversal is
         # gather-bound (~2 cyc/ray/node) while packets amortize the fetch over
         # 128 rays sharing origin locality from their 16x8 screen tile
-        rec = closest_hit_coherent(bvh, o_next, wi, t_min=0.0, active=valid_sample)
+        closest_b, _ = _make_tracers(options)
+        rec = closest_b(bvh, o_next, wi, t_min=0.0, active=valid_sample)
         hit = rec.prim >= 0
 
         # Beer-Lambert absorption along the segment inside a medium

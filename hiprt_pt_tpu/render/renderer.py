@@ -67,7 +67,7 @@ def render_step(
 
         rng_state, gbuf, active = camera_rays_pass(
             scene, bvh, camera, settings, state, width, height, sample_number,
-            rng_state,
+            rng_state, options,
         )
 
         # --- ReSTIR DI pipeline for the camera vertex (reference:

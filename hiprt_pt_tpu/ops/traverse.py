@@ -477,3 +477,71 @@ def occluded_coherent(bvh, o, d, t_min=1e-4, t_max=jnp.inf, active=None):
     else:
         rec = traverse(bvh, o, d, t_min, t_max, active, any_hit=True)
     return rec.prim >= 0
+
+
+def occluded_alpha(
+    bvh,
+    scene,
+    options,
+    settings,
+    o,
+    d,
+    rng_state,
+    t_min=1e-4,
+    t_max=jnp.inf,
+    active=None,
+    max_segments: int = 4,
+):
+    """Alpha-aware shadow test (reference: stochastic alpha in the traversal
+    filter function, FilterFunction.h:19-49): march up to `max_segments`
+    closest hits, passing through each surface with probability (1 - alpha).
+
+    Only worth the extra traversals when the scene actually has alpha-mapped
+    materials; callers gate on that. Returns (rng_state, occluded (N,) bool).
+    """
+    from ..core import rng as rng_mod
+    from .texture import apply_textures
+
+    n = o.shape[0]
+    if active is None:
+        active = jnp.ones((n,), jnp.bool_)
+    searching = jnp.asarray(active)
+    occluded_mask = jnp.zeros((n,), jnp.bool_)
+    cur_o = o
+    remaining = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+
+    for _ in range(max_segments):
+        rec = traverse_packets(
+            bvh, cur_o, d, t_min, remaining, searching, any_hit=False
+        ) if n % PACKET == 0 else traverse(
+            bvh, cur_o, d, t_min, remaining, searching, any_hit=False
+        )
+        hit = (rec.prim >= 0) & searching
+        # fetch the hit material's alpha (with base-color texture alpha)
+        safe = jnp.maximum(rec.prim, 0)
+        rowT = scene.tri_data[safe].T
+        mat_id = jax.lax.bitcast_convert_type(rowT[24], jnp.int32)
+        w = 1.0 - rec.u - rec.v
+        uv = jnp.stack(
+            [
+                rowT[9] * w + rowT[11] * rec.u + rowT[13] * rec.v,
+                rowT[10] * w + rowT[12] * rec.u + rowT[14] * rec.v,
+            ],
+            axis=-1,
+        )
+        mats = scene.materials.at_indices(mat_id)
+        if scene.textures is not None:
+            mats = apply_textures(scene.textures, mats, uv)
+        rng_state, u_a = rng_mod.next_float(rng_state)
+        opaque_hit = hit & (u_a < mats.alpha_opacity)
+        occluded_mask = occluded_mask | opaque_hit
+        # pass-through rays continue from just past the hit
+        passthrough = hit & ~opaque_hit
+        seg = jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)
+        cur_o = jnp.where(
+            passthrough[:, None], cur_o + d * (seg + 1e-4)[:, None], cur_o
+        )
+        remaining = jnp.where(passthrough, remaining - seg - 1e-4, remaining)
+        searching = passthrough
+    # anything still passing after max_segments is treated as unoccluded
+    return rng_state, occluded_mask

@@ -259,12 +259,21 @@ def _direct_lighting(
             {"eta_rel": eta_rel} if eta_rel is not None else None,
         )
         cand = active & ls["valid"] & (cos_i > 0.0) & (ls["pdf"] > 0.0)
-        # shadow ray
+        # shadow ray — alpha-aware when the scene carries alpha textures
+        # (reference: stochastic alpha in the shadow filter function)
         so = offset_ray_origin(p, ng, wi)
-        _, occl = _make_tracers(options)
-        shadow_blocked = occl(
-            bvh, so, wi, t_max=ls["dist"] * (1.0 - 1e-3), active=cand
-        )
+        if scene.textures is not None:
+            from ..ops.traverse import occluded_alpha
+
+            rng_state, shadow_blocked = occluded_alpha(
+                bvh, scene, options, settings, so, wi, rng_state,
+                t_max=ls["dist"] * (1.0 - 1e-3), active=cand,
+            )
+        else:
+            _, occl = _make_tracers(options)
+            shadow_blocked = occl(
+                bvh, so, wi, t_max=ls["dist"] * (1.0 - 1e-3), active=cand
+            )
         n_shadow = n_shadow + jnp.sum(cand.astype(jnp.float32))
         vis = cand & ~shadow_blocked
         if _nee_uses_mis(options):

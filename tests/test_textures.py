@@ -111,3 +111,43 @@ def test_textured_scene_renders(cornell_scene):
     # red/blue checker: both channels present, green suppressed
     assert img[..., 0].mean() > img[..., 1].mean()
     assert img[..., 2].mean() > img[..., 1].mean()
+
+
+def test_alpha_aware_shadow_rays(cornell_scene):
+    """A half-transparent occluder passes ~half the shadow rays
+    (reference: stochastic alpha testing in the shadow filter)."""
+    import jax
+    import jax.numpy as jnp
+    from hiprt_pt_tpu.accel.build import build_bvh
+    from hiprt_pt_tpu.core.settings import RenderOptions, RenderSettings
+    from hiprt_pt_tpu.ops.traverse import occluded_alpha, occluded
+    from hiprt_pt_tpu.core import rng as rng_mod
+
+    scene, camera = cornell_scene
+    # make EVERY material half transparent
+    mats = scene.materials.replace(
+        alpha_opacity=jnp.full_like(scene.materials.alpha_opacity, 0.5)
+    )
+    atlas = build_texture_atlas([_checker(8)], srgb_indices=set(), layer_size=8)
+    scene_a = scene.replace(materials=mats, textures=atlas)
+    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
+
+    n = 2048
+    g = np.random.default_rng(0)
+    o = jnp.asarray(np.tile([0.0, 1.0, 0.0], (n, 1)).astype(np.float32))
+    d = g.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d = jnp.asarray(d)
+    rng_state = rng_mod.seed(jnp.arange(n, dtype=jnp.uint32), 0, 3)
+    _, occ_a = occluded_alpha(
+        bvh, scene_a, RenderOptions(), RenderSettings(), o, d, rng_state,
+        t_max=100.0,
+    )
+    occ_opaque = occluded(bvh, o, d, t_max=100.0)
+    fa = float(np.asarray(occ_a).mean())
+    fo = float(np.asarray(occ_opaque).mean())
+    assert fo > 0.95  # box interior: everything occluded when opaque
+    # inside a closed box each pass-through meets further 0.5-alpha walls:
+    # occlusion = 1 - 0.5^k for k surfaces met -> strictly between one-surface
+    # (0.5) and opaque (1.0)
+    assert 0.6 < fa < fo, (fa, fo)

@@ -126,6 +126,14 @@ class RenderOptions:
     )
     restir_di_confidence_weights: bool = True
     restir_di_fused_spatiotemporal: bool = False
+    # light presampling pool geometry (reference: ReSTIRDISettings.h
+    # LightPresamplingSettings number_of_subsets=128 x subset_size=1024;
+    # static here because the pool is a fixed-shape device array)
+    restir_presample_subset_count: int = 32
+    restir_presample_subset_size: int = 256
+    # toggle the presampled pool entirely (reference:
+    # ReSTIR_DI_DoLightsPresampling kernel option)
+    restir_do_light_presampling: bool = True
     # BSDF feature gates (cheap to disable for perf experiments)
     do_energy_compensation: bool = True
     do_dispersion: bool = True
@@ -178,6 +186,11 @@ class ReSTIRDISettings:
     temporal_neighbor_search_radius: jax.Array = struct.field(
         default_factory=lambda: jnp.float32(4.0)
     )
+    # permutation sampling of the exact reprojected tap (reference:
+    # TemporalReuse settings use_permutation_sampling + random bits)
+    temporal_use_permutation_sampling: jax.Array = struct.field(
+        default_factory=lambda: jnp.bool_(False)
+    )
     m_cap: jax.Array = struct.field(default_factory=lambda: jnp.int32(25))
     # spatial pass
     spatial_enabled: jax.Array = struct.field(
@@ -205,13 +218,9 @@ class ReSTIRDISettings:
     roughness_similarity_threshold: jax.Array = struct.field(
         default_factory=lambda: jnp.float32(0.25)
     )
-    # light presampling (reference: 128 subsets x 1024)
-    presample_subset_count: jax.Array = struct.field(
-        default_factory=lambda: jnp.int32(128)
-    )
-    presample_subset_size: jax.Array = struct.field(
-        default_factory=lambda: jnp.int32(1024)
-    )
+    # NOTE: light-presampling pool geometry moved to RenderOptions
+    # (restir_presample_subset_count/size) — the pool is a fixed-shape
+    # device array, so the sizes are tier-3 static options.
 
 
 @struct.dataclass
@@ -274,6 +283,9 @@ class RenderSettings:
     do_alpha_testing: jax.Array = struct.field(
         default_factory=lambda: jnp.bool_(True)
     )
+    # russian-roulette method (reference: RenderSettings.h
+    # path_russian_roulette_method; values of RussianRouletteMethod)
+    rr_method: jax.Array = struct.field(default_factory=lambda: jnp.int32(0))
     # number of NEE light samples per vertex (NEE++ amortization)
     number_of_light_samples: jax.Array = struct.field(
         default_factory=lambda: jnp.int32(1)

@@ -150,17 +150,26 @@ def ris_direct_lighting(
 
     res, rng_state = jax.lax.fori_loop(0, M_b, bsdf_body, (res, rng_state))
 
-    # --- final shading of the winner with one visibility ray ---
+    # --- final shading of the winner with one visibility ray (alpha-aware
+    # when the scene has alpha textures; reference: FilterFunction.h applies
+    # the stochastic alpha test to every shadow ray) ---
     W = res["w_sum"] / jnp.maximum(res["p_hat"], 1e-12)
     has_winner = active & (res["p_hat"] > 0.0) & (res["w_sum"] > 0.0)
     so = offset_ray_origin(p, ng, res["wi"])
-    blocked = occluded_coherent(
-        bvh,
-        so,
-        res["wi"],
-        t_max=jnp.where(jnp.isfinite(res["dist"]), res["dist"] * (1.0 - 1e-3), 1e30),
-        active=has_winner,
+    t_max_w = jnp.where(
+        jnp.isfinite(res["dist"]), res["dist"] * (1.0 - 1e-3), 1e30
     )
+    if scene.textures is not None:
+        from ..ops.traverse import occluded_alpha
+
+        rng_state, blocked = occluded_alpha(
+            bvh, scene, options, settings, so, res["wi"], rng_state,
+            t_max=t_max_w, active=has_winner,
+        )
+    else:
+        blocked = occluded_coherent(
+            bvh, so, res["wi"], t_max=t_max_w, active=has_winner
+        )
     n_rays = res["n_rays"] + jnp.sum(has_winner.astype(jnp.float32))
     contrib = jnp.where(
         (has_winner & ~blocked)[..., None], res["integrand"] * W[..., None], 0.0

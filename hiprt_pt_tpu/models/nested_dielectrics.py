@@ -72,6 +72,14 @@ def top_excluding(stack_mat, stack_pri, excl_mat):
     return out, best
 
 
+def contains(stack_mat, stack_pri, mat):
+    """(N,) bool — is material ``mat`` present in any occupied slot?
+    (Used by the automatic strategy's parity test, reference:
+    InteriorStackImpl<ISS_AUTOMATIC>::push odd-parity scan,
+    NestedDielectrics.h:33-60.)"""
+    return jnp.any((stack_mat == mat[:, None]) & (stack_pri >= 0), axis=1)
+
+
 def push(stack_mat, stack_pri, mat, pri, mask):
     """Insert (mat, pri) into the first empty slot where mask (overflow drops
     the entry, matching the reference's fixed-size stack)."""

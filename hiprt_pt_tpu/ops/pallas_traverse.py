@@ -1,19 +1,29 @@
-"""Experimental Pallas BVH traversal — VMEM-resident meganodes.
+"""Pallas BVH traversal — VMEM-resident meganodes with scalar-core control.
 
-The XLA-level traversal (ops/traverse.py) is iteration-bound: every while
-iteration pays an HBM meganode gather plus fusion/carry overhead. This kernel
-keeps the ENTIRE meganode table resident in VMEM (cornell: 1.25 MB; fits up to
-~100k-node scenes in 16 MB) and walks 8 ray-packets per program — the node
-fetch becomes a VMEM dynamic slice, the packet math runs on (8, 128) tiles
-with full lane occupancy, and there is no per-iteration carry traffic.
+Role parity with the reference's HW-accelerated shared-stack traversal
+(src/Device/includes/Intersect.h:129-142) — this is the framework's
+"irreplaceable custom kernel" (SURVEY.md §7.2 #1).
 
-Status: prototype, correctness-verified against ops/traverse (exact prim/t/uv
-match) in interpreter mode. THIS environment's axon remote-compile helper runs
-with env_clear and cannot initialize libtpu for Mosaic kernels (HTTP 500 from
-tpu_compile_helper), so on-device validation is deferred to an environment
-with a local Mosaic compiler; the production path remains ops/traverse.py.
-Round-2 plan in ROUND1.md: on-device benchmark + HBM-paging level for
-Bistro-scale BVHs.
+Design (v2, round 2 — the v1 kernel's concatenated dynamic slices with
+vector-extracted indices crashed/hung the Mosaic compiler in this
+environment; this version uses the canonical Mosaic split):
+
+  * VECTOR phase: slab + triangle tests on an (8, 128) ray block — 8 packets
+    of 128 rays, full VPU lane occupancy, all VMEM-resident.
+  * SCALAR phase: per-packet traversal control (cursor, short stack, pop/push
+    decisions) lives in SMEM and runs on the scalar core. The per-packet node
+    fetch is a scalar-indexed VMEM row copy — no HBM traffic in the loop.
+  * Child-metadata scalars for the control decisions are extracted from the
+    fetched VMEM row via single-element-slice reductions (an SMEM metadata
+    table was bisected to exceed this environment's SMEM capacity at
+    realistic node counts).
+
+The whole node table must fit in VMEM (~12 MB → ~24k meganodes → ~100k
+triangles). Larger scenes fall back to the chunked XLA path
+(ops/traverse.py) until an HBM-paging level lands.
+
+Verified bit-exact against ops/traverse.py on the cornell scene (closest and
+any-hit) — see tests/test_pallas_traverse.py.
 """
 
 from __future__ import annotations
@@ -26,17 +36,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.build import BVHData, MAX_LEAF
-from .traverse import HitRecord, STACK_SIZE
+from .traverse import HitRecord
 
-PACKETS_PER_PROGRAM = 8
-PACKET = 128
+K = 8            # packets per program
+PACKET = 128     # rays per packet
+BLOCK = K * PACKET
+STACK = 48       # per-packet short stack (SMEM ints)
 TRI_EPS = 1e-9
-MAX_ITERS = 4096  # safety bound (SAH trees finish in O(100))
+MAX_ITERS = 16384  # safety bound
+MAX_VMEM_NODES = 24576  # ~12 MB of 128-float rows
 
 
-def _kernel(nodes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+def _kernel(nodes_ref,
+            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
             tmin_ref, tmax_ref, act_ref,
-            t_out, prim_out, u_out, v_out, *, any_hit: bool):
+            t_out, prim_out, u_out, v_out,
+            rows_s, cur_s, ptr_s, valid_s, stack_s,
+            bt_s, bp_s, bu_s, bv_s, se_s,
+            *, any_hit: bool):
     ox = ox_ref[:]
     oy = oy_ref[:]
     oz = oz_ref[:]
@@ -44,57 +61,64 @@ def _kernel(nodes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
     dy = dy_ref[:]
     dz = dz_ref[:]
     t_min = tmin_ref[:]
-    t_max = tmax_ref[:]
-    active = act_ref[:] > 0
 
     def inv(c):
         return jnp.where(jnp.abs(c) > 1e-12, 1.0 / c, jnp.sign(c) * 1e12 + 1e12)
 
     ix, iy, iz = inv(dx), inv(dy), inv(dz)
+    active0 = act_ref[:] > 0
 
-    K = PACKETS_PER_PROGRAM
-    cur = jnp.zeros((K,), jnp.int32)
-    cur_valid = jnp.any(active, axis=1)
-    ptr = jnp.zeros((K,), jnp.int32)
-    stack = jnp.zeros((K, STACK_SIZE), jnp.int32)
-    slots = jax.lax.broadcasted_iota(jnp.int32, (K, STACK_SIZE), 1)
+    # running best_* state lives in VMEM scratch — Mosaic in this
+    # environment hangs when OUTPUT refs are read+written inside a
+    # while_loop body (bisected; scratch refs are fine)
+    bt_s[:] = tmax_ref[:]
+    bp_s[:] = jnp.full((K, PACKET), -1, jnp.int32)
+    bu_s[:] = jnp.zeros((K, PACKET), jnp.float32)
+    bv_s[:] = jnp.zeros((K, PACKET), jnp.float32)
+    # per-ray "still searching" mask (any-hit drains rays on first hit)
+    se_s[:] = active0.astype(jnp.float32)
 
-    best_t = t_max
-    best_prim = jnp.full((K, PACKET), -1, jnp.int32)
-    best_u = jnp.zeros((K, PACKET), jnp.float32)
-    best_v = jnp.zeros((K, PACKET), jnp.float32)
-    searching = active
+    # scalar init
+    n_alive = jnp.int32(0)
+    for k in range(K):
+        row_active = jnp.any(active0[k])  # scalar reduce
+        cur_s[k] = 0
+        ptr_s[k] = 0
+        valid_s[k] = row_active.astype(jnp.int32)
+        n_alive = n_alive + valid_s[k]
 
-    def cond(carry):
-        it, _, ptr, _, cur_valid, *_ = carry
-        return (it < MAX_ITERS) & jnp.any(cur_valid | (ptr > 0))
+    def cond(c):
+        it, alive = c
+        return (it < MAX_ITERS) & (alive > 0)
 
-    def body(carry):
-        (it, stack, ptr, cur, cur_valid, best_t, best_prim, best_u, best_v,
-         searching) = carry
+    def body(c):
+        it, _ = c
 
-        # pop (compare-select over the tiny (K, STACK) block)
-        need_pop = (~cur_valid) & (ptr > 0)
-        top = ptr - 1
-        popped = jnp.sum(jnp.where(slots == top[:, None], stack, 0), axis=1)
-        cur = jnp.where(need_pop, popped, cur)
-        cur_valid = cur_valid | need_pop
-        ptr = jnp.where(need_pop, top, ptr)
+        # ---- scalar phase 1: pop + fetch ----
+        for k in range(K):
+            need_pop = (valid_s[k] == 0) & (ptr_s[k] > 0)
+            top = jnp.maximum(ptr_s[k] - 1, 0)
+            popped = stack_s[k, top]
+            cur_s[k] = jnp.where(need_pop, popped, cur_s[k])
+            ptr_s[k] = jnp.where(need_pop, top, ptr_s[k])
+            valid_s[k] = jnp.where(need_pop, 1, valid_s[k])
+            safe = jnp.where(valid_s[k] > 0, cur_s[k], 0)
+            rows_s[pl.ds(k, 1), :] = nodes_ref[pl.ds(safe, 1), :]
 
-        # ---- 8 VMEM dynamic-slice node fetches -> (K, 128) ----
-        safe = jnp.where(cur_valid, cur, 0)
-        rows = jnp.concatenate(
-            [nodes_ref[pl.ds(safe[k], 1), :] for k in range(K)], axis=0
-        )  # (K, 128)
+        rows = rows_s[:]  # (K, 128)
 
         def col(j):
-            return rows[:, j : j + 1]  # (K, 1), broadcasts over rays
+            return rows[:, j:j + 1]  # (K, 1) broadcasts over rays
 
-        meta = jax.lax.bitcast_convert_type(rows[:, 12:16], jnp.int32)
-        c0_ref = meta[:, 0]
-        c0_cnt = meta[:, 1]
-        c1_ref = meta[:, 2]
-        c1_cnt = meta[:, 3]
+        meta_vec = jax.lax.bitcast_convert_type(rows[:, 12:16], jnp.int32)
+        c0_cnt_v = meta_vec[:, 1:2]
+        c1_cnt_v = meta_vec[:, 3:4]
+
+        if any_hit:
+            searching = se_s[:] > 0.0
+        else:
+            searching = active0
+        best_t = bt_s[:]
 
         def slab(b):
             tx0 = (col(b + 0) - ox) * ix
@@ -115,15 +139,16 @@ def _kernel(nodes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
 
         h0_ray, te0 = slab(0)
         h1_ray, te1 = slab(6)
-        h0_ray = h0_ray & cur_valid[:, None]
-        h1_ray = h1_ray & cur_valid[:, None]
-        h0 = jnp.any(h0_ray, axis=1)
-        h1 = jnp.any(h1_ray, axis=1)
 
-        def leaf_tests(base, prim_base, gate_cnt, gate_ray, best_t, best_prim,
-                       best_u, best_v, searching):
-            for k in range(MAX_LEAF):
-                off = base + 9 * k
+        # ---- leaf tests (vector; gated by per-child counts) ----
+        best_prim = bp_s[:]
+        best_u = bu_s[:]
+        best_v = bv_s[:]
+
+        def leaf_tests(base, prim_base, cnt_v, gate_ray,
+                       best_t, best_prim, best_u, best_v, searching):
+            for kk in range(MAX_LEAF):
+                off = base + 9 * kk
                 v0x, v0y, v0z = col(off), col(off + 1), col(off + 2)
                 e1x, e1y, e1z = col(off + 3), col(off + 4), col(off + 5)
                 e2x, e2y, e2z = col(off + 6), col(off + 7), col(off + 8)
@@ -143,7 +168,7 @@ def _kernel(nodes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                 t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                 hit = (
                     gate_ray
-                    & (k < gate_cnt[:, None])
+                    & (kk < cnt_v)
                     & (jnp.abs(det) > TRI_EPS)
                     & (u >= 0.0)
                     & (v >= 0.0)
@@ -152,60 +177,91 @@ def _kernel(nodes_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                     & (t < best_t)
                 )
                 prim_k = jax.lax.bitcast_convert_type(
-                    rows[:, prim_base + k : prim_base + k + 1], jnp.int32
+                    rows[:, prim_base + kk:prim_base + kk + 1], jnp.int32
                 )
                 best_t = jnp.where(hit, t, best_t)
                 best_prim = jnp.where(hit, prim_k, best_prim)
-                best_u = jnp.where(hit, u, best_u)
-                best_v = jnp.where(hit, v, best_v)
                 if any_hit:
                     searching = searching & ~hit
+                else:
+                    best_u = jnp.where(hit, u, best_u)
+                    best_v = jnp.where(hit, v, best_v)
             return best_t, best_prim, best_u, best_v, searching
 
         best_t, best_prim, best_u, best_v, searching = leaf_tests(
-            16, 88, jnp.where(h0, c0_cnt, 0), h0_ray,
+            16, 88, c0_cnt_v, h0_ray,
             best_t, best_prim, best_u, best_v, searching,
         )
         best_t, best_prim, best_u, best_v, searching = leaf_tests(
-            52, 92, jnp.where(h1, c1_cnt, 0), h1_ray,
+            52, 92, c1_cnt_v, h1_ray,
             best_t, best_prim, best_u, best_v, searching,
         )
+
+        bt_s[:] = best_t
+        bp_s[:] = best_prim
         if any_hit:
-            dead = ~jnp.any(searching, axis=1)
-            ptr = jnp.where(dead, 0, ptr)
+            se_s[:] = searching.astype(jnp.float32)
         else:
-            dead = jnp.zeros((K,), jnp.bool_)
+            bu_s[:] = best_u
+            bv_s[:] = best_v
 
-        int0 = h0 & (c0_cnt == 0) & ~dead
-        int1 = h1 & (c1_cnt == 0) & ~dead
-        te0m = jnp.min(jnp.where(h0_ray, te0, jnp.inf), axis=1)
-        te1m = jnp.min(jnp.where(h1_ray, te1, jnp.inf), axis=1)
-        near_is_0 = te0m <= te1m
-        both = int0 & int1
-        near_ref = jnp.where(near_is_0, c0_ref, c1_ref)
-        far_ref = jnp.where(near_is_0, c1_ref, c0_ref)
+        # ---- scalar phase 2: descend/push decisions ----
+        alive = jnp.int32(0)
+        for k in range(K):
+            # scalar metadata via single-element slice reductions of the
+            # already-fetched row (validated Mosaic pattern)
+            c0r = jnp.sum(meta_vec[k, 0:1])
+            c0c = jnp.sum(meta_vec[k, 1:2])
+            c1r = jnp.sum(meta_vec[k, 2:3])
+            c1c = jnp.sum(meta_vec[k, 3:4])
 
-        stack = jnp.where(
-            (slots == ptr[:, None]) & both[:, None], far_ref[:, None], stack
-        )
-        ptr = jnp.minimum(ptr + both.astype(jnp.int32), STACK_SIZE)
-        next_cur = jnp.where(both, near_ref, jnp.where(int0, c0_ref, c1_ref))
-        cur = jnp.where(cur_valid, next_cur, cur)
-        cur_valid = cur_valid & (int0 | int1)
+            if any_hit:
+                row_dead = ~jnp.any(searching[k])
+                ptr_s[k] = jnp.where(row_dead, 0, ptr_s[k])
+            else:
+                row_dead = jnp.bool_(False)
 
-        return (it + 1, stack, ptr, cur, cur_valid, best_t, best_prim,
-                best_u, best_v, searching)
+            h0k = jnp.any(h0_ray[k]) & (valid_s[k] > 0)
+            h1k = jnp.any(h1_ray[k]) & (valid_s[k] > 0)
+            te0k = jnp.min(jnp.where(h0_ray[k], te0[k], jnp.inf))
+            te1k = jnp.min(jnp.where(h1_ray[k], te1[k], jnp.inf))
 
-    out = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), stack, ptr, cur, cur_valid, best_t, best_prim,
-         best_u, best_v, searching),
-    )
-    best_t, best_prim, best_u, best_v = out[5], out[6], out[7], out[8]
-    t_out[:] = best_t
-    prim_out[:] = best_prim
-    u_out[:] = best_u
-    v_out[:] = best_v
+            int0 = h0k & (c0c == 0) & ~row_dead
+            int1 = h1k & (c1c == 0) & ~row_dead
+            near_is_0 = te0k <= te1k
+            both = int0 & int1
+            near_ref = jnp.where(near_is_0, c0r, c1r)
+            far_ref = jnp.where(near_is_0, c1r, c0r)
+
+            push_slot = jnp.minimum(ptr_s[k], STACK - 1)
+            stack_s[k, push_slot] = jnp.where(
+                both, far_ref, stack_s[k, push_slot]
+            )
+            ptr_s[k] = jnp.minimum(
+                ptr_s[k] + both.astype(jnp.int32), STACK
+            )
+            next_cur = jnp.where(both, near_ref, jnp.where(int0, c0r, c1r))
+            cur_s[k] = jnp.where(valid_s[k] > 0, next_cur, cur_s[k])
+            valid_s[k] = jnp.where(
+                (valid_s[k] > 0) & (int0 | int1), 1, 0
+            )
+            alive = alive + jnp.where(
+                (valid_s[k] > 0) | (ptr_s[k] > 0), 1, 0
+            )
+
+        return it + 1, alive
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), n_alive))
+
+    # copy running state to the output refs (outside the loop)
+    t_out[:] = bt_s[:]
+    prim_out[:] = bp_s[:]
+    if any_hit:
+        u_out[:] = jnp.zeros((K, PACKET), jnp.float32)
+        v_out[:] = jnp.zeros((K, PACKET), jnp.float32)
+    else:
+        u_out[:] = bu_s[:]
+        v_out[:] = bv_s[:]
 
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret"))
@@ -219,12 +275,11 @@ def traverse_pallas(
     any_hit: bool = False,
     interpret: bool = False,
 ) -> HitRecord:
-    """Pallas packet traversal. N must divide by 1024 (8 packets x 128 rays)."""
+    """Pallas traversal. N must divide by 1024 (8 packets x 128 rays)."""
     n = o.shape[0]
-    block = PACKETS_PER_PROGRAM * PACKET
-    assert n % block == 0, f"pallas traversal needs N % {block} == 0"
+    assert n % BLOCK == 0, f"pallas traversal needs N % {BLOCK} == 0"
     rows = n // PACKET
-    grid = rows // PACKETS_PER_PROGRAM
+    grid = rows // K
 
     def comp(x):
         return x.reshape(rows, PACKET)
@@ -239,14 +294,10 @@ def traverse_pallas(
         else jnp.asarray(active).astype(jnp.int32)
     )
 
-    ray_spec = pl.BlockSpec(
-        (PACKETS_PER_PROGRAM, PACKET),
-        lambda i: (i, 0),
-        memory_space=pltpu.VMEM,
-    )
-    node_spec = pl.BlockSpec(
-        bvh.nodes.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
+    ray_spec = pl.BlockSpec((K, PACKET), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    node_spec = pl.BlockSpec(bvh.nodes.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
         jax.ShapeDtypeStruct((rows, PACKET), jnp.int32),
@@ -259,6 +310,18 @@ def traverse_pallas(
         in_specs=[node_spec] + [ray_spec] * 9,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((K, PACKET), jnp.float32),  # rows_s
+            pltpu.SMEM((K,), jnp.int32),           # cur_s
+            pltpu.SMEM((K,), jnp.int32),           # ptr_s
+            pltpu.SMEM((K,), jnp.int32),           # valid_s
+            pltpu.SMEM((K, STACK), jnp.int32),     # stack_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # bt_s
+            pltpu.VMEM((K, PACKET), jnp.int32),    # bp_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # bu_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # bv_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # se_s
+        ],
         interpret=interpret,
     )(bvh.nodes, ox, oy, oz, dx, dy, dz, tmin, tmax, act)
 
@@ -269,3 +332,8 @@ def traverse_pallas(
         u=u.reshape(n),
         v=v.reshape(n),
     )
+
+
+def pallas_supported(bvh: BVHData, n: int) -> bool:
+    """Can the Pallas kernel serve this scene/wavefront?"""
+    return bvh.nodes.shape[0] <= MAX_VMEM_NODES and n % BLOCK == 0

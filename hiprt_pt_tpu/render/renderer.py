@@ -99,7 +99,11 @@ def render_step(
                 jnp.maximum(mats0.ior, 1.0 + 1e-3),
                 1.0 / jnp.maximum(mats0.ior, 1.0 + 1e-3),
             )
-            pool = presample_lights(scene, sample_number)
+            pool = (
+                presample_lights(scene, sample_number, options)
+                if options.restir_do_light_presampling
+                else None
+            )
             tile_id = jnp.arange(width * height, dtype=jnp.int32) // 128
             res, rng_state = initial_candidates(
                 options, scene, bvh, world, settings, mats0,
@@ -121,23 +125,25 @@ def render_step(
                     state.prev_view_proj, rng_state,
                 )
 
-                def spatial_body(i, carry):
-                    res, rng_state = carry
-                    return spatial_reuse_pass(
-                        options, settings, scene, mats0, gbuf, res, eta0,
-                        active0, width, height, rng_state,
-                    )
-
                 n_spatial = jnp.where(
                     settings.restir_di.spatial_enabled,
                     settings.restir_di.num_spatial_passes,
                     0,
                 )
+
+                def spatial_body(i, carry):
+                    res, rng_state = carry
+                    return spatial_reuse_pass(
+                        options, settings, scene, mats0, gbuf, res, eta0,
+                        active0, width, height, rng_state,
+                        bvh=bvh, is_last_pass=(i == n_spatial - 1),
+                    )
                 res, rng_state = jax.lax.fori_loop(
                     0, n_spatial, spatial_body, (res, rng_state)
                 )
-            direct0, restir_rays = final_shading(
-                options, scene, bvh, world, mats0, gbuf, res, eta0, active0
+            direct0, restir_rays, rng_state = final_shading(
+                options, scene, bvh, world, mats0, gbuf, res, eta0, active0,
+                rng_state=rng_state, settings=settings,
             )
             new_restir = res
 

@@ -28,13 +28,21 @@ import jax.numpy as jnp
 from ..assets.scene import SceneData
 from ..core import rng as rng_mod
 from ..core.settings import (
+    AmbientLightType,
     EnvmapSamplingStrategy,
     ReSTIRBiasCorrection,
     RenderOptions,
     WorldSettings,
 )
-from ..lights.envmap_sampling import sample_envmap
-from ..lights.light_sampling import searchsorted_cdf
+from ..lights.envmap_sampling import (
+    envmap_pdf_of_direction,
+    eval_envmap,
+    sample_envmap,
+)
+from ..lights.light_sampling import (
+    emissive_pdf_of_direction,
+    searchsorted_cdf,
+)
 from ..models.dispatcher import bsdf_eval, bsdf_sample
 from ..ops.intersect import offset_ray_origin
 from ..ops.pixel_order import pixel_coords, linear_index
@@ -47,10 +55,11 @@ from .reservoir import Reservoir
 # ----------------------------------------------------------------- target fn
 
 
-def eval_target(options, mats, p, ns, wo, eta_rel, res_or_sample, scene=None,
-                world=None):
+def eval_target_full(options, mats, p, ns, wo, eta_rel, res_or_sample):
     """p_hat of a (light_point, light_normal, radiance, is_envmap) sample at
-    surface (p, ns, wo). Returns (p_hat (N,), wi (N,3), dist (N,))."""
+    surface (p, ns, wo), plus the geometry/pdf terms MIS needs.
+
+    Returns dict(ph, wi, dist, bsdf_pdf [solid angle], cos_l, d2)."""
     lp = res_or_sample["light_point"]
     ln = res_or_sample["light_normal"]
     rad = res_or_sample["radiance"]
@@ -65,11 +74,39 @@ def eval_target(options, mats, p, ns, wo, eta_rel, res_or_sample, scene=None,
 
     cos_i = jnp.maximum(jnp.sum(ns * wi, axis=-1), 0.0)
     cos_l = jnp.abs(jnp.sum(ln * (-wi), axis=-1))
-    f, _ = bsdf_eval(options, mats, ns, wo, wi, {"eta_rel": eta_rel})
+    f, bsdf_pdf = bsdf_eval(options, mats, ns, wo, wi, {"eta_rel": eta_rel})
     base = luminance(f * rad) * cos_i
     ph_area = base * cos_l / jnp.maximum(d2, 1e-12)
     ph = jnp.where(is_env, base, ph_area)
-    return jnp.where(jnp.isfinite(ph) & (ph >= 0.0), ph, 0.0), wi, dist
+    return {
+        "ph": jnp.where(jnp.isfinite(ph) & (ph >= 0.0), ph, 0.0),
+        "wi": wi,
+        "dist": dist,
+        "bsdf_pdf": bsdf_pdf,
+        "cos_l": cos_l,
+        "d2": d2,
+    }
+
+
+def eval_target(options, mats, p, ns, wo, eta_rel, res_or_sample, scene=None,
+                world=None):
+    """p_hat of a sample at surface (p, ns, wo).
+    Returns (p_hat (N,), wi (N,3), dist (N,))."""
+    tf = eval_target_full(options, mats, p, ns, wo, eta_rel, res_or_sample)
+    return tf["ph"], tf["wi"], tf["dist"]
+
+
+def _power_heuristic_counts(pdf_a, count_a, pdf_b, count_b):
+    """Count-weighted power heuristic, with the MIS estimator's 1/count_a
+    already folded in (reference: Sampling.h:75-87 power_heuristic —
+    returns n_a·p_a² / ((n_a·p_a)² + (n_b·p_b)²))."""
+    a = count_a * pdf_a
+    b = count_b * pdf_b
+    return jnp.where(
+        a > 0.0,
+        count_a * pdf_a * pdf_a / jnp.maximum(a * a + b * b, 1e-24),
+        0.0,
+    )
 
 
 def _sample_of(res: Reservoir):
@@ -84,14 +121,18 @@ def _sample_of(res: Reservoir):
 # ------------------------------------------------------------- presampling
 
 
-def presample_lights(scene: SceneData, sample_number):
+def presample_lights(scene: SceneData, sample_number,
+                     options: RenderOptions = RenderOptions()):
     """Presampled light pool (reference: LightsPresampling.h — subsets x
     subset-size light table regenerated per frame, tile-coherent access).
 
+    Pool geometry comes from the static options
+    (RenderOptions.restir_presample_subset_count/size ≡ the reference's
+    ReSTIRDISettings.h LightPresamplingSettings).
+
     Returns a pool dict of (S*K,) arrays with area-measure pdfs."""
-    S = 32  # subsets (reference: 128x1024; scaled to the pool's per-sample
-            # regeneration here)
-    K = 256
+    S = options.restir_presample_subset_count
+    K = options.restir_presample_subset_size
     n = S * K
     pool_rng = rng_mod.seed(
         jnp.arange(n, dtype=jnp.uint32), sample_number, jnp.uint32(977)
@@ -206,9 +247,22 @@ def initial_candidates(
             "radiance": rad,
             "is_envmap": is_env,
         }
-        ph, wi, dist = eval_target(options, mats, p, ns, wo, eta_rel, sample)
+        tf = eval_target_full(options, mats, p, ns, wo, eta_rel, sample)
+        ph = tf["ph"]
         valid = active & lvalid & (pdf_area > 0.0)
-        w = ph / jnp.maximum(pdf_area, 1e-12) / M_l.astype(jnp.float32)
+        # MIS against the BSDF candidate stream, in the candidate's own
+        # measure (area for surface lights, solid angle for envmap)
+        # (reference: InitialCandidates.h:241 power_heuristic with counts)
+        pdf_b_meas = jnp.where(
+            is_env,
+            tf["bsdf_pdf"],
+            tf["bsdf_pdf"] * tf["cos_l"] / jnp.maximum(tf["d2"], 1e-12),
+        )
+        mis_w = _power_heuristic_counts(
+            pdf_area, M_l.astype(jnp.float32),
+            pdf_b_meas, M_b.astype(jnp.float32),
+        )
+        w = mis_w * ph / jnp.maximum(pdf_area, 1e-12)
         res, rng_state = res.update(
             rng_state, w, lp, ln, rad, ph, is_env, valid
         )
@@ -216,7 +270,7 @@ def initial_candidates(
 
     res, rng_state = jax.lax.fori_loop(0, M_l, light_body, (res, rng_state))
 
-    # BSDF candidates: trace to find the emitter they hit
+    # BSDF candidates: trace to find the emitter (or envmap) they hit
     def bsdf_body(i, carry):
         res, rng_state = carry
         rng_state, wi, f, pdf_b, _aux = bsdf_sample(
@@ -248,18 +302,57 @@ def initial_candidates(
         }
         ph, _, _ = eval_target(options, mats, p, ns, wo, eta_rel, sample)
         valid = cand & is_em & (pdf_area > 0.0)
-        w = ph / jnp.maximum(pdf_area, 1e-12) / jnp.maximum(
-            M_b.astype(jnp.float32), 1.0
+        # light-domain pdf of this point for MIS (area measure, mixed by the
+        # envmap-candidate probability) — reference: InitialCandidates.h:350
+        pdf_l_solid, _ = emissive_pdf_of_direction(
+            scene, o, rec.prim, rec.t, wi
         )
+        pdf_l_area = pdf_l_solid * cos_l / d2
+        if has_env:
+            pdf_l_area = pdf_l_area * (1.0 - p_env)
+        mis_w = _power_heuristic_counts(
+            pdf_area, M_b.astype(jnp.float32),
+            pdf_l_area, M_l.astype(jnp.float32),
+        )
+        w = mis_w * ph / jnp.maximum(pdf_area, 1e-12)
         res, rng_state = res.update(
             rng_state, w,
             lp, ng_l, rad, ph, jnp.zeros((n,), jnp.bool_), valid,
         )
+
+        if has_env:
+            # miss → envmap candidate (solid-angle measure; reference:
+            # InitialCandidates.h:377-405)
+            env_rad = eval_envmap(world, scene.envmap, wi)
+            env_sample = {
+                "light_point": wi,
+                "light_normal": -wi,
+                "radiance": env_rad,
+                "is_envmap": jnp.ones((n,), jnp.bool_),
+            }
+            ph_e, _, _ = eval_target(
+                options, mats, p, ns, wo, eta_rel, env_sample
+            )
+            pdf_e_l = envmap_pdf_of_direction(
+                options, world, scene.envmap, wi
+            ) * p_env
+            mis_e = _power_heuristic_counts(
+                pdf_b, M_b.astype(jnp.float32),
+                pdf_e_l, M_l.astype(jnp.float32),
+            )
+            w_e = mis_e * ph_e / jnp.maximum(pdf_b, 1e-12)
+            env_on = world.ambient_light_type == int(AmbientLightType.ENVMAP)
+            res, rng_state = res.update(
+                rng_state, w_e, wi, -wi, env_rad, ph_e,
+                jnp.ones((n,), jnp.bool_), cand & ~hit & env_on,
+            )
         return res, rng_state
 
     res, rng_state = jax.lax.fori_loop(0, M_b, bsdf_body, (res, rng_state))
 
-    res = res.finalize()  # 1/M over the candidate streams
+    # MIS weights already sum to 1 across streams → UCW = w_sum / p_hat(y)
+    # (reference: Reservoir.h end(); no extra 1/M)
+    res = res.finalize(normalization=jnp.ones((n,), jnp.float32))
     res = res.replace(M=jnp.where(res.M > 0, 1.0, 0.0))  # confidence = 1
 
     # optional visibility reuse: kill occluded winners before any reuse
@@ -281,6 +374,24 @@ def initial_candidates(
 # ------------------------------------------------------------ temporal reuse
 
 
+def _similarity_ok(settings, ns, p, rough_here, nb_n, nb_p, nb_rough):
+    """Neighbor similarity heuristics — normal cone, plane distance, roughness
+    (reference: check_neighbor_similarity_heuristics, ReSTIR/DI/Utils.h)."""
+    normal_ok = (
+        jnp.sum(ns * nb_n, axis=-1)
+        > settings.restir_di.normal_similarity_threshold
+    )
+    plane_ok = (
+        jnp.abs(jnp.sum((nb_p - p) * ns, axis=-1))
+        < settings.restir_di.plane_distance_threshold
+    )
+    rough_ok = (
+        jnp.abs(nb_rough - rough_here)
+        <= settings.restir_di.roughness_similarity_threshold
+    )
+    return normal_ok & plane_ok & rough_ok
+
+
 def temporal_reuse(
     options: RenderOptions,
     settings,
@@ -297,12 +408,20 @@ def temporal_reuse(
     prev_view_proj,
     rng_state,
 ):
-    """Combine each pixel's reservoir with its back-projected previous-frame
-    reservoir (reference: TemporalReuse.h:48 — M-cap + similarity heuristics)."""
+    """Combine each pixel's reservoir with a valid back-projected
+    previous-frame reservoir (reference: TemporalReuse.h:48).
+
+    Implements the reference's full temporal-neighbor machinery
+    (find_temporal_neighbor_index, ReSTIR/DI/Utils.h:426): the exact
+    reprojected tap (optionally permutation-sampled) plus up to
+    ``temporal_max_neighbor_search`` random taps in a disk until one passes
+    the similarity heuristics (normal / plane distance / roughness), then an
+    M-capped combine with the configured bias-correction scheme."""
     p = gbuf.position
     ns = gbuf.shading_normal
     wo = gbuf.view_direction
     n = p.shape[0]
+    rough_here = mats.roughness
 
     # back-project current hit into the previous frame's screen
     ph4 = jnp.concatenate([p, jnp.ones((n, 1), jnp.float32)], axis=-1)
@@ -310,8 +429,8 @@ def temporal_reuse(
     ndc = clip[:, :2] / jnp.maximum(jnp.abs(clip[:, 3:4]), 1e-12) * jnp.sign(
         clip[:, 3:4]
     )
-    prev_px = jnp.clip(((ndc[:, 0] * 0.5 + 0.5) * width).astype(jnp.int32), 0, width - 1)
-    prev_py = jnp.clip(((ndc[:, 1] * 0.5 + 0.5) * height).astype(jnp.int32), 0, height - 1)
+    fx = (ndc[:, 0] * 0.5 + 0.5) * width
+    fy = (ndc[:, 1] * 0.5 + 0.5) * height
     in_screen = (
         (ndc[:, 0] > -1.0) & (ndc[:, 0] < 1.0)
         & (ndc[:, 1] > -1.0) & (ndc[:, 1] < 1.0)
@@ -319,36 +438,133 @@ def temporal_reuse(
     )
     # row-major pixel → canonical order index
     lin2canon = jnp.argsort(linear_index(width, height))
-    prev_idx = lin2canon[prev_py * width + prev_px]
 
-    prev_r = prev_res.gather(prev_idx)
-    prev_n = prev_gbuf.shading_normal[prev_idx]
-    prev_p = prev_gbuf.position[prev_idx]
-    prev_mat = prev_gbuf.material_id[prev_idx]
+    prev_rough_bank = scene.materials.roughness
 
-    # similarity heuristics (reference: normal / plane-distance / roughness)
-    normal_ok = jnp.sum(ns * prev_n, axis=-1) > settings.restir_di.normal_similarity_threshold
-    plane_d = jnp.abs(jnp.sum((prev_p - p) * ns, axis=-1))
-    plane_ok = plane_d < settings.restir_di.plane_distance_threshold
+    def tap_valid_at(idx):
+        nb_n = prev_gbuf.shading_normal[idx]
+        nb_p = prev_gbuf.position[idx]
+        nb_rough = prev_rough_bank[
+            jnp.clip(prev_gbuf.material_id[idx], 0, None)
+        ]
+        sim = _similarity_ok(settings, ns, p, rough_here, nb_n, nb_p, nb_rough)
+        return sim & (prev_gbuf.prim_index[idx] >= 0) & (prev_res.M[idx] > 0.0)
+
+    # --- neighbor search: tap 0 = exact reprojection (± permutation
+    # sampling), taps 1..max = random disk offsets; keep the FIRST valid ---
+    # (reference: find_temporal_neighbor_index + apply_permutation_sampling)
+    max_search = settings.restir_di.temporal_max_neighbor_search
+    radius = settings.restir_di.temporal_neighbor_search_radius
+    # frame-constant permutation bits (reference: permutation_sampling_random_bits)
+    perm_bits = (rng_state[0] >> jnp.uint32(8)).astype(jnp.int32) & 15
+
+    def search_body(i, carry):
+        found_idx, rng_state = carry
+        rng_state, u1, u2 = rng_mod.next_float2(rng_state)
+        off_x = jnp.where(i > 0, (u1 - 0.5) * radius, 0.0)
+        off_y = jnp.where(i > 0, (u2 - 0.5) * radius, 0.0)
+        tx = jnp.round(fx - 0.5 + off_x).astype(jnp.int32)
+        ty = jnp.round(fy - 0.5 + off_y).astype(jnp.int32)
+        # permutation sampling of the exact tap only
+        do_perm = settings.restir_di.temporal_use_permutation_sampling & (i == 0)
+        ox_p = perm_bits & 3
+        oy_p = (perm_bits >> 2) & 3
+        tx = jnp.where(do_perm, ((tx + ox_p) ^ 3) - ox_p, tx)
+        ty = jnp.where(do_perm, ((ty + oy_p) ^ 3) - oy_p, ty)
+        inside = (tx >= 0) & (tx < width) & (ty >= 0) & (ty < height)
+        idx = lin2canon[
+            jnp.clip(ty, 0, height - 1) * width + jnp.clip(tx, 0, width - 1)
+        ]
+        ok = inside & tap_valid_at(idx)
+        found_idx = jnp.where((found_idx < 0) & ok, idx, found_idx)
+        return found_idx, rng_state
+
+    found_idx, rng_state = jax.lax.fori_loop(
+        0, jnp.maximum(max_search, 0) + 1, search_body,
+        (jnp.full((n,), -1, jnp.int32), rng_state),
+    )
+
     valid = (
         active
         & settings.restir_di.temporal_enabled
         & in_screen
-        & normal_ok
-        & plane_ok
-        & (prev_gbuf.prim_index[prev_idx] >= 0)
-        & (prev_r.M > 0.0)
+        & (found_idx >= 0)
     )
+    prev_idx = jnp.maximum(found_idx, 0)
+    prev_r = prev_res.gather(prev_idx).m_capped(settings.restir_di.m_cap)
 
-    prev_r = prev_r.m_capped(settings.restir_di.m_cap)
     ph_here, _, _ = eval_target(
         options, mats, p, ns, wo, eta_rel, _sample_of(prev_r)
     )
-    combined, rng_state = cur_res.combine(
-        rng_state, prev_r, ph_here, prev_r.M, valid
+
+    scheme = options.restir_di_bias_correction
+    use_conf = options.restir_di_confidence_weights
+    M_t = jnp.where(valid, prev_r.M, 0.0)
+    M_c = jnp.maximum(cur_res.M, 0.0)
+    c_t = M_t if use_conf else jnp.where(valid, 1.0, 0.0)
+    c_c = M_c if use_conf else jnp.where(M_c > 0, 1.0, 0.0)
+
+    if scheme in (
+        ReSTIRBiasCorrection.M_WEIGHT_1_OVER_M,
+        ReSTIRBiasCorrection.M_WEIGHT_1_OVER_Z,
+    ):
+        combined, rng_state = cur_res.combine(
+            rng_state, prev_r, ph_here, M_t, valid
+        )
+        if scheme == ReSTIRBiasCorrection.M_WEIGHT_1_OVER_Z:
+            # Z = confidence of participants whose surface CAN produce the
+            # final winner (reference: TemporalNormalizationWeight 1/Z)
+            prev_mats = scene.materials.at_indices(
+                jnp.clip(prev_gbuf.material_id[prev_idx], 0, None)
+            ).make_safe()
+            ph_win_at_prev, _, _ = eval_target(
+                options, prev_mats, prev_gbuf.position[prev_idx],
+                prev_gbuf.shading_normal[prev_idx],
+                prev_gbuf.view_direction[prev_idx],
+                eta_rel, _sample_of(combined),
+            )
+            z = jnp.where(combined.target > 0.0, M_c, 0.0) + jnp.where(
+                valid & (ph_win_at_prev > 0.0), M_t, 0.0
+            )
+            combined = combined.finalize(normalization=jnp.maximum(z, 1e-6))
+            combined = combined.replace(M=M_c + M_t)
+        else:
+            combined = combined.finalize()
+        return combined, rng_state
+
+    # --- proper two-candidate MIS (MIS_LIKE / GBH / pairwise±defensive all
+    # reduce to the confidence-weighted balance heuristic at 2 participants;
+    # reference: TemporalMISWeight.h) ---
+    prev_mats = scene.materials.at_indices(
+        jnp.clip(prev_gbuf.material_id[prev_idx], 0, None)
+    ).make_safe()
+    # temporal candidate x_t: target at its own surface is stored
+    ph_t_at_prev = prev_r.target
+    m_t = c_t * ph_t_at_prev / jnp.maximum(
+        c_t * ph_t_at_prev + c_c * ph_here, 1e-12
     )
-    combined = combined.finalize()
-    return combined, rng_state
+    # canonical candidate x_c evaluated at the temporal surface
+    ph_c_at_prev, _, _ = eval_target(
+        options, prev_mats, prev_gbuf.position[prev_idx],
+        prev_gbuf.shading_normal[prev_idx],
+        prev_gbuf.view_direction[prev_idx],
+        eta_rel, _sample_of(cur_res),
+    )
+    m_c = c_c * cur_res.target / jnp.maximum(
+        c_c * cur_res.target + c_t * jnp.where(valid, ph_c_at_prev, 0.0), 1e-12
+    )
+
+    out = Reservoir.empty(n)
+    out, rng_state = out.combine(rng_state, prev_r, ph_here, m_t, valid)
+    canon_w = m_c * cur_res.target * cur_res.W
+    out, rng_state = out.update(
+        rng_state, canon_w, cur_res.light_point, cur_res.light_normal,
+        cur_res.radiance, cur_res.target, cur_res.is_envmap,
+        active & (cur_res.M > 0.0),
+    )
+    out = out.finalize(normalization=jnp.ones((n,), jnp.float32))
+    out = out.replace(M=M_c + M_t)
+    return out, rng_state
 
 
 # ------------------------------------------------------------- spatial reuse
@@ -366,19 +582,34 @@ def spatial_reuse_pass(
     width: int,
     height: int,
     rng_state,
-    pass_index: int = 0,
+    bvh=None,
+    is_last_pass=False,
 ):
     """One spatial pass: resample from N disk neighbors with similarity
-    heuristics and the configured bias correction (reference: SpatialReuse.h:64
-    + the 6 bias-correction MIS schemes of KernelOptions.h).
+    heuristics (normal / plane / roughness) and the configured bias correction
+    (reference: SpatialReuse.h:64 + all 6 bias-correction MIS schemes of
+    KernelOptions.h — SpatialMISWeight.h / SpatialNormalizationWeight.h).
 
     Implemented schemes:
       M_WEIGHT_1_OVER_M      — confidence weights, biased (cheap)
       M_WEIGHT_1_OVER_Z      — unbiased Z-counting normalization
-      PAIRWISE_MIS           — pairwise MIS weights vs the canonical sample
+      MIS_LIKE               — confidence resampling + winner-normalization
+                               over participant surfaces
+      MIS_GBH                — full generalized balance heuristic
+                               ((K+1)² target evaluations)
+      PAIRWISE_MIS           — pairwise MIS vs the canonical sample, with
+                               confidence weights inside the m-terms
       PAIRWISE_MIS_DEFENSIVE — ditto with the defensive canonical term
                                (the reference's default)
-    Other enum values fall back to 1/Z.
+
+    Disocclusion boost (reference: SpatialReuse.h:112-114): pixels whose
+    reservoir has M ≤ 1 reuse ``disocclusion_boost_candidates`` neighbors
+    instead of ``num_spatial_neighbors``.
+
+    When ``options.restir_di_spatial_visibility_last_pass`` and a ``bvh`` is
+    given, the winner of the last pass (``is_last_pass``, traced bool) is
+    visibility-tested and its W zeroed if occluded (reference:
+    ReSTIR_DI_DoSpatialVisibilityReuse on the last spatial pass).
     """
     p = gbuf.position
     ns = gbuf.shading_normal
@@ -386,10 +617,19 @@ def spatial_reuse_pass(
     n = p.shape[0]
     px, py = pixel_coords(width, height)
     lin2canon = jnp.argsort(linear_index(width, height))
+    rough_here = mats.roughness
 
-    num_nb = settings.restir_di.num_spatial_neighbors
+    base_nb = settings.restir_di.num_spatial_neighbors
+    boost = settings.restir_di.disocclusion_boost_candidates
+    # per-pixel neighbor count with disocclusion boost
+    px_nb = jnp.where(
+        (res.M <= 1.0) & (boost > 0), jnp.maximum(boost, base_nb), base_nb
+    ).astype(jnp.float32)
+    loop_nb = jnp.maximum(base_nb, jnp.where(boost > 0, boost, base_nb))
+
     radius = settings.restir_di.spatial_radius
     scheme = options.restir_di_bias_correction
+    use_conf = options.restir_di_confidence_weights
     pairwise = scheme in (
         ReSTIRBiasCorrection.PAIRWISE_MIS,
         ReSTIRBiasCorrection.PAIRWISE_MIS_DEFENSIVE,
@@ -405,156 +645,357 @@ def spatial_reuse_pass(
         ny = jnp.clip(py + oy, 0, height - 1)
         return lin2canon[ny * width + nx]
 
-    def _nb_valid(nb_idx, nb_M):
-        nb_n = gbuf.shading_normal[nb_idx]
-        nb_p = gbuf.position[nb_idx]
-        normal_ok = (
-            jnp.sum(ns * nb_n, axis=-1)
-            > settings.restir_di.normal_similarity_threshold
-        )
-        plane_ok = (
-            jnp.abs(jnp.sum((nb_p - p) * ns, axis=-1))
-            < settings.restir_di.plane_distance_threshold
+    def _nb_valid(j, nb_idx, nb_M):
+        nb_rough = scene.materials.roughness[
+            jnp.clip(gbuf.material_id[nb_idx], 0, None)
+        ]
+        sim = _similarity_ok(
+            settings, ns, p, rough_here,
+            gbuf.shading_normal[nb_idx], gbuf.position[nb_idx], nb_rough,
         )
         return (
             active
-            & normal_ok
-            & plane_ok
+            & sim
             & (gbuf.prim_index[nb_idx] >= 0)
             & (nb_M > 0.0)
             & (nb_idx != jnp.arange(n))
+            & (j < px_nb)  # disocclusion-boost gating
         )
 
-    def neighbor_index_at(u1, u2):
+    # dedicated REPLAYABLE tap stream: every pass below sees the same
+    # neighbor picks (needed for pre-counts, Z-counting, GBH, MIS-like)
+    tap_rng0 = rng_mod.pcg_hash(rng_state ^ jnp.uint32(0x5F3759DF))
+
+    def taps_draw(tap_rng):
+        tap_rng, u1 = rng_mod.next_float(tap_rng)
+        tap_rng, u2 = rng_mod.next_float(tap_rng)
+        return tap_rng, u1, u2
+
+    def neighbor_index_at(j, u1, u2):
         nb_idx = _nb_index(u1, u2)
         nb_M = res.M[nb_idx]
-        return nb_idx, _nb_valid(nb_idx, nb_M), nb_M
+        return nb_idx, _nb_valid(j, nb_idx, nb_M), nb_M
 
-    def neighbor_tap_at(u1, u2, rng_state):
-        """Validated neighbor + its sample's target at our surface (+ ours at
-        the neighbor's surface, for pairwise)."""
-        nb_idx = _nb_index(u1, u2)
-        nb_r = res.gather(nb_idx)
-        valid = _nb_valid(nb_idx, nb_r.M)
-        ph_here, _, _ = eval_target(
-            options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
-        )
+    def nb_surface(nb_idx):
         nb_mats = scene.materials.at_indices(
             jnp.maximum(gbuf.material_id[nb_idx], 0)
         ).make_safe()
-        ph_at_nb, _, _ = eval_target(
-            options, nb_mats, gbuf.position[nb_idx],
-            gbuf.shading_normal[nb_idx], gbuf.view_direction[nb_idx],
-            eta_rel, _sample_of(res),
+        return (
+            nb_mats, gbuf.position[nb_idx], gbuf.shading_normal[nb_idx],
+            gbuf.view_direction[nb_idx],
         )
-        return rng_state, nb_r, ph_here, ph_at_nb, valid
 
-    def neighbor_tap(j, rng_state):
-        rng_state, u1, u2 = rng_mod.next_float2(rng_state)
-        return neighbor_tap_at(u1, u2, rng_state)
+    # ---- pre-pass: valid-neighbor count and confidence sum (no target
+    # evals; reference: count_valid_spatial_neighbors) ----
+    def count_body(j, carry):
+        cnt, msum, tap_rng = carry
+        tap_rng, u1, u2 = taps_draw(tap_rng)
+        _, valid, nb_M = neighbor_index_at(j, u1, u2)
+        cnt = cnt + jnp.where(valid, 1.0, 0.0)
+        msum = msum + jnp.where(valid, nb_M, 0.0)
+        return cnt, msum, tap_rng
+
+    valid_cnt, M_sum, _ = jax.lax.fori_loop(
+        0, loop_nb, count_body,
+        (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32), tap_rng0),
+    )
+    M_c = res.M
 
     if pairwise:
-        # ---- pairwise MIS (canonical vs each neighbor pairing) ----
-        # m_i(x_i) = phat_i(x_i) / (phat_c(x_i) + K*phat_i(x_i))
-        # m_c(x_c) = (1/K) sum_i phat_c(x_c)/(phat_c(x_c) + K*phat_i(x_c))
-        # (defensive: scale by K/(K+1) and add 1/(K+1) to the canonical term)
-        Kf = jnp.maximum(num_nb.astype(jnp.float32), 1.0)
+        # ---- pairwise MIS with confidence weights inside the m-terms
+        # (reference: SpatialMISWeight.h PAIRWISE(±DEFENSIVE), Eq. 7.6/7.7 of
+        # "A Gentle Introduction to ReSTIR") ----
+        conf_nb_sum = M_sum if use_conf else jnp.ones((n,), jnp.float32)
+        conf_c = M_c if use_conf else jnp.ones((n,), jnp.float32)
+        div = (
+            jnp.ones((n,), jnp.float32) if use_conf
+            else jnp.maximum(valid_cnt, 1.0)
+        )
+
         out = Reservoir.empty(n)
-        m_c = jnp.zeros((n,), jnp.float32)
+        m_c_acc = jnp.zeros((n,), jnp.float32)
         m_total = res.M
 
         def nb_body(j, carry):
-            out, m_c, m_total, rng_state = carry
-            rng_state, nb_r, ph_here, ph_at_nb, valid = neighbor_tap(
-                j, rng_state
+            out, m_c_acc, m_total, rng_state, tap_rng = carry
+            tap_rng, u1, u2 = taps_draw(tap_rng)
+            nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
+            nb_r = res.gather(nb_idx)
+            ph_here, _, _ = eval_target(
+                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
             )
-            m_i = nb_r.target / jnp.maximum(
-                ph_here + Kf * nb_r.target, 1e-12
-            )
+            conf_i = nb_r.M if use_conf else jnp.ones((n,), jnp.float32)
+            t_nb = nb_r.target  # neighbor sample at its own surface
+            # balance-heuristic denominator for x_i: neighbor-domain term
+            # (lumped via the confidence sum) + canonical-domain term — the
+            # canonical term evaluates x_i AT THE CENTER surface (ph_here)
+            denom = t_nb * conf_nb_sum + (ph_here / div) * conf_c
+            m_i = jnp.where(denom > 0.0, t_nb * conf_i / jnp.maximum(denom, 1e-12), 0.0)
             if defensive:
-                m_i = m_i * (Kf / (Kf + 1.0))
+                if use_conf:
+                    m_i = m_i * conf_nb_sum / jnp.maximum(
+                        conf_nb_sum + conf_c, 1e-12
+                    )
+                else:
+                    m_i = m_i / jnp.maximum(valid_cnt + 1.0, 1.0)
+            else:
+                m_i = m_i / div
             new_out, rng_state = out.combine(
                 rng_state, nb_r, ph_here, m_i, valid
             )
             out = new_out
-            # canonical MIS accumulation for this pairing
-            term = res.target / jnp.maximum(
-                res.target + Kf * ph_at_nb, 1e-12
+            # canonical accumulation for this pairing: our sample at the
+            # neighbor's surface
+            nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface(nb_idx)
+            ph_c_at_nb, _, _ = eval_target(
+                options, nb_m, nb_p_, nb_n_, nb_wo_, eta_rel, _sample_of(res)
             )
-            m_c = m_c + jnp.where(valid, term, 1.0)  # invalid neighbor: our
-            # sample is the only candidate of that pairing
+            t_cc = res.target
+            nume_mc = (t_cc / div) * conf_c
+            denom_mc = ph_c_at_nb * conf_nb_sum + (t_cc / div) * conf_c
+            if defensive:
+                conf_mult = (
+                    conf_i / jnp.maximum(conf_c + conf_nb_sum, 1e-12)
+                    if use_conf else jnp.ones((n,), jnp.float32)
+                )
+                term = jnp.where(
+                    denom_mc > 0.0,
+                    nume_mc / jnp.maximum(denom_mc, 1e-12) * conf_mult,
+                    0.0,
+                )
+            else:
+                conf_mult = (
+                    conf_i / jnp.maximum(conf_nb_sum, 1e-12)
+                    if use_conf else jnp.ones((n,), jnp.float32)
+                )
+                term = jnp.where(
+                    denom_mc > 0.0,
+                    nume_mc / jnp.maximum(denom_mc, 1e-12) / div * conf_mult,
+                    0.0,
+                )
+            m_c_acc = m_c_acc + jnp.where(valid, term, 0.0)
             m_total = m_total + jnp.where(valid, nb_r.M, 0.0)
-            return out, m_c, m_total, rng_state
+            return out, m_c_acc, m_total, rng_state, tap_rng
 
-        out, m_c, m_total, rng_state = jax.lax.fori_loop(
-            0, num_nb, nb_body, (out, m_c, m_total, rng_state)
+        out, m_c_acc, m_total, rng_state, _ = jax.lax.fori_loop(
+            0, loop_nb, nb_body,
+            (out, m_c_acc, m_total, rng_state, tap_rng0),
         )
-        m_c = m_c / Kf
+        # canonical MIS weight (reference: resampling_canonical branch)
+        no_nb = valid_cnt <= 0.0
         if defensive:
-            m_c = m_c * (Kf / (Kf + 1.0)) + 1.0 / (Kf + 1.0)
-        # stream the canonical reservoir's sample with its MIS weight
-        canon_w = m_c * res.target * res.W
+            if use_conf:
+                m_canon = m_c_acc + M_c / jnp.maximum(M_c + M_sum, 1e-12)
+            else:
+                m_canon = (1.0 + m_c_acc) / jnp.maximum(valid_cnt + 1.0, 1.0)
+        else:
+            m_canon = m_c_acc
+        m_canon = jnp.where(no_nb, 1.0, m_canon)
+        canon_w = m_canon * res.target * res.W
         out, rng_state = out.update(
-            rng_state,
-            canon_w,
-            res.light_point,
-            res.light_normal,
-            res.radiance,
-            res.target,
-            res.is_envmap,
-            active & (res.M > 0.0),
+            rng_state, canon_w, res.light_point, res.light_normal,
+            res.radiance, res.target, res.is_envmap, active & (res.M > 0.0),
         )
         out = out.finalize(normalization=jnp.ones((n,), jnp.float32))
         out = out.replace(M=m_total)
-        return out, rng_state
 
-    # ---- confidence-weight schemes: 1/M (biased) or 1/Z (unbiased) ----
-    unbiased = scheme != ReSTIRBiasCorrection.M_WEIGHT_1_OVER_M
-    # dedicated tap stream so the Z pass can REPLAY the same neighbor picks
-    # (Z must be counted against the FINAL winner, not the evolving one)
-    tap_rng0 = rng_mod.pcg_hash(rng_state ^ jnp.uint32(0x5F3759DF))
-    out = res
-    m_total = res.M
+    elif scheme == ReSTIRBiasCorrection.MIS_GBH:
+        # ---- generalized balance heuristic (reference: SpatialMISWeight.h
+        # MIS_GBH — (K+1)² target evaluations) ----
+        # participants: j = 0..K-1 neighbors (replayed stream) + canonical.
+        # m_j = t_j(x_j)·c_j / Σ_k t_k(x_j)·c_k  with t_k = target at
+        # participant k's surface.
+        out = Reservoir.empty(n)
+        m_total = res.M
 
-    def combine_body(j, carry):
-        out, m_total, rng_state, tap_rng = carry
-        tap_rng, u1 = rng_mod.next_float(tap_rng)
-        tap_rng, u2 = rng_mod.next_float(tap_rng)
-        rng_state, nb_r, ph_here, _, valid = neighbor_tap_at(u1, u2, rng_state)
-        new_out, rng_state = out.combine(rng_state, nb_r, ph_here, nb_r.M, valid)
-        m_total = m_total + jnp.where(valid, nb_r.M, 0.0)
-        return new_out, m_total, rng_state, tap_rng
+        def denom_for(sample):
+            """Σ_k t_k(x)·c_k over all participants (canonical + neighbors),
+            where t_k = target of `sample` at participant k's surface."""
+            ph_c, _, _ = eval_target(options, mats, p, ns, wo, eta_rel, sample)
+            conf_c = M_c if use_conf else jnp.where(M_c > 0, 1.0, 0.0)
+            dn = ph_c * conf_c
 
-    out, m_total, rng_state, _ = jax.lax.fori_loop(
-        0, num_nb, combine_body, (out, m_total, rng_state, tap_rng0)
-    )
+            def k_body(k, carry):
+                dn, tap_rng = carry
+                tap_rng, u1, u2 = taps_draw(tap_rng)
+                nb_idx, valid, nb_M = neighbor_index_at(k, u1, u2)
+                nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface(nb_idx)
+                ph_k, _, _ = eval_target(
+                    options, nb_m, nb_p_, nb_n_, nb_wo_, eta_rel, sample
+                )
+                conf_k = nb_M if use_conf else 1.0
+                dn = dn + jnp.where(valid, ph_k * conf_k, 0.0)
+                return dn, tap_rng
 
-    if unbiased:
-        # second pass: count confidence of every participant whose surface
-        # could produce the final winner (target > 0 there)
-        z0 = jnp.where(res.target > 0.0, res.M, 0.0)
+            dn, _ = jax.lax.fori_loop(0, loop_nb, k_body, (dn, tap_rng0))
+            return dn
 
-        def z_body(j, carry):
-            z, tap_rng = carry
-            tap_rng, u1 = rng_mod.next_float(tap_rng)
-            tap_rng, u2 = rng_mod.next_float(tap_rng)
-            nb_idx, nb_valid, nb_M = neighbor_index_at(u1, u2)
-            nb_mats = scene.materials.at_indices(
-                jnp.maximum(gbuf.material_id[nb_idx], 0)
-            ).make_safe()
-            ph_at_nb, _, _ = eval_target(
-                options, nb_mats, gbuf.position[nb_idx],
-                gbuf.shading_normal[nb_idx], gbuf.view_direction[nb_idx],
-                eta_rel, _sample_of(out),
+        def nb_body(j, carry):
+            out, m_total, rng_state, tap_rng = carry
+            tap_rng, u1, u2 = taps_draw(tap_rng)
+            nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
+            nb_r = res.gather(nb_idx)
+            ph_here, _, _ = eval_target(
+                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
             )
-            z = z + jnp.where(nb_valid & (ph_at_nb > 0.0), nb_M, 0.0)
-            return z, tap_rng
+            conf_j = nb_r.M if use_conf else jnp.ones((n,), jnp.float32)
+            dn = denom_for(_sample_of(nb_r))
+            m_j = jnp.where(
+                dn > 0.0,
+                nb_r.target * conf_j / jnp.maximum(dn, 1e-12),
+                0.0,
+            )
+            new_out, rng_state = out.combine(
+                rng_state, nb_r, ph_here, m_j, valid
+            )
+            m_total = m_total + jnp.where(valid, nb_r.M, 0.0)
+            return new_out, m_total, rng_state, tap_rng
 
-        z_count, _ = jax.lax.fori_loop(0, num_nb, z_body, (z0, tap_rng0))
-        out = out.finalize(normalization=jnp.maximum(z_count, 1e-6))
+        out, m_total, rng_state, _ = jax.lax.fori_loop(
+            0, loop_nb, nb_body, (out, m_total, rng_state, tap_rng0)
+        )
+        # canonical candidate
+        dn_c = denom_for(_sample_of(res))
+        conf_c = M_c if use_conf else jnp.where(M_c > 0, 1.0, 0.0)
+        m_canon = jnp.where(
+            dn_c > 0.0, res.target * conf_c / jnp.maximum(dn_c, 1e-12), 0.0
+        )
+        canon_w = m_canon * res.target * res.W
+        out, rng_state = out.update(
+            rng_state, canon_w, res.light_point, res.light_normal,
+            res.radiance, res.target, res.is_envmap, active & (res.M > 0.0),
+        )
+        out = out.finalize(normalization=jnp.ones((n,), jnp.float32))
         out = out.replace(M=m_total)
+
+    elif scheme == ReSTIRBiasCorrection.MIS_LIKE:
+        # ---- MIS-like: cheap confidence resampling, then normalize by the
+        # winner's target over all participant surfaces (reference:
+        # SpatialMISWeight.h MIS_LIKE + SpatialNormalizationWeight.h:109) ----
+        # stream the center explicitly with ITS confidence weight so the
+        # resampling weights match the normalization's confidence terms
+        conf_c0 = M_c if use_conf else jnp.where(M_c > 0, 1.0, 0.0)
+        out = Reservoir.empty(n)
+        out, rng_state = out.update(
+            rng_state, conf_c0 * res.target * res.W,
+            res.light_point, res.light_normal, res.radiance, res.target,
+            res.is_envmap, active & (res.M > 0.0),
+        )
+        m_total = res.M
+        # selected participant: -1 = canonical (center)
+        sel = jnp.full((n,), -1, jnp.int32)
+
+        def combine_body(j, carry):
+            out, m_total, sel, rng_state, tap_rng = carry
+            tap_rng, u1, u2 = taps_draw(tap_rng)
+            nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
+            nb_r = res.gather(nb_idx)
+            ph_here, _, _ = eval_target(
+                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
+            )
+            m_w = nb_r.M if use_conf else jnp.ones((n,), jnp.float32)
+            new_out, rng_state, take = out.combine_tracked(
+                rng_state, nb_r, ph_here, m_w, valid
+            )
+            sel = jnp.where(take, j, sel)
+            m_total = m_total + jnp.where(valid, nb_r.M, 0.0)
+            return new_out, m_total, sel, rng_state, tap_rng
+
+        out, m_total, sel, rng_state, _ = jax.lax.fori_loop(
+            0, loop_nb, combine_body, (out, m_total, sel, rng_state, tap_rng0)
+        )
+
+        # normalization: nume = t_sel(y) (confidence was already applied in
+        # the resampling weight — reference: SpatialNormalizationWeight.h
+        # MIS_LIKE "Not multiplying by M here"), denom = Σ_j t_j(y)·c_j
+        conf_c = M_c if use_conf else jnp.where(M_c > 0, 1.0, 0.0)
+        # center participates if OUR original reservoir had a sample
+        center_ok = (res.M > 0.0) & (out.target > 0.0)
+        denom0 = jnp.where(center_ok, out.target * conf_c, 0.0)
+        nume0 = jnp.where((sel < 0) & center_ok, out.target, 0.0)
+
+        def norm_body(j, carry):
+            nume, denom, tap_rng = carry
+            tap_rng, u1, u2 = taps_draw(tap_rng)
+            nb_idx, valid, nb_M = neighbor_index_at(j, u1, u2)
+            nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface(nb_idx)
+            ph_j, _, _ = eval_target(
+                options, nb_m, nb_p_, nb_n_, nb_wo_, eta_rel, _sample_of(out)
+            )
+            conf_j = nb_M if use_conf else 1.0
+            ok = valid & (ph_j > 0.0)
+            denom = denom + jnp.where(ok, ph_j * conf_j, 0.0)
+            nume = nume + jnp.where(ok & (sel == j), ph_j, 0.0)
+            return nume, denom, tap_rng
+
+        nume, denom, _ = jax.lax.fori_loop(
+            0, loop_nb, norm_body, (nume0, denom0, tap_rng0)
+        )
+        norm = jnp.where(nume > 0.0, denom / jnp.maximum(nume, 1e-12), 1e12)
+        out = out.finalize(normalization=norm)
+        out = out.replace(M=m_total)
+
     else:
-        out = out.replace(M=m_total).finalize()
+        # ---- confidence-weight schemes: 1/M (biased) or 1/Z (unbiased) ----
+        unbiased = scheme == ReSTIRBiasCorrection.M_WEIGHT_1_OVER_Z
+        out = res
+        m_total = res.M
+
+        def combine_body(j, carry):
+            out, m_total, rng_state, tap_rng = carry
+            tap_rng, u1, u2 = taps_draw(tap_rng)
+            nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
+            nb_r = res.gather(nb_idx)
+            ph_here, _, _ = eval_target(
+                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
+            )
+            new_out, rng_state = out.combine(
+                rng_state, nb_r, ph_here, nb_r.M, valid
+            )
+            m_total = m_total + jnp.where(valid, nb_r.M, 0.0)
+            return new_out, m_total, rng_state, tap_rng
+
+        out, m_total, rng_state, _ = jax.lax.fori_loop(
+            0, loop_nb, combine_body, (out, m_total, rng_state, tap_rng0)
+        )
+
+        if unbiased:
+            # second pass: count confidence of every participant whose
+            # surface could produce the final winner (target > 0 there)
+            z0 = jnp.where(res.target > 0.0, res.M, 0.0)
+
+            def z_body(j, carry):
+                z, tap_rng = carry
+                tap_rng, u1, u2 = taps_draw(tap_rng)
+                nb_idx, nb_valid, nb_M = neighbor_index_at(j, u1, u2)
+                nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface(nb_idx)
+                ph_at_nb, _, _ = eval_target(
+                    options, nb_m, nb_p_, nb_n_, nb_wo_, eta_rel,
+                    _sample_of(out),
+                )
+                z = z + jnp.where(nb_valid & (ph_at_nb > 0.0), nb_M, 0.0)
+                return z, tap_rng
+
+            z_count, _ = jax.lax.fori_loop(0, loop_nb, z_body, (z0, tap_rng0))
+            out = out.finalize(normalization=jnp.maximum(z_count, 1e-6))
+            out = out.replace(M=m_total)
+        else:
+            out = out.replace(M=m_total).finalize()
+
+    # ---- last-pass visibility reuse (reference: visibility reuse after the
+    # final spatial pass) ----
+    if options.restir_di_spatial_visibility_last_pass and bvh is not None:
+        ph, wi, dist = eval_target(
+            options, mats, p, ns, wo, eta_rel, _sample_of(out)
+        )
+        do_vis = active & (out.W > 0.0) & jnp.asarray(is_last_pass)
+        so = offset_ray_origin(p, gbuf.geometric_normal, wi)
+        blocked = occluded_coherent(
+            bvh, so, wi,
+            t_max=jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), 1e30),
+            active=do_vis,
+        )
+        out = out.replace(W=jnp.where(do_vis & blocked, 0.0, out.W))
     return out, rng_state
 
 
@@ -615,19 +1056,16 @@ def fused_spatiotemporal_reuse(
         r_n = prev_res.gather(idx).m_capped(settings.restir_di.m_cap)
         nb_n = prev_gbuf.shading_normal[idx]
         nb_p = prev_gbuf.position[idx]
-        normal_ok = (
-            jnp.sum(ns * nb_n, axis=-1)
-            > settings.restir_di.normal_similarity_threshold
-        )
-        plane_ok = (
-            jnp.abs(jnp.sum((nb_p - p) * ns, axis=-1))
-            < settings.restir_di.plane_distance_threshold
+        nb_rough = scene.materials.roughness[
+            jnp.clip(prev_gbuf.material_id[idx], 0, None)
+        ]
+        sim = _similarity_ok(
+            settings, ns, p, mats.roughness, nb_n, nb_p, nb_rough
         )
         valid = (
             tap_valid
             & active
-            & normal_ok
-            & plane_ok
+            & sim
             & (prev_gbuf.prim_index[idx] >= 0)
             & (r_n.M > 0.0)
         )
@@ -713,9 +1151,14 @@ def final_shading(
     res: Reservoir,
     eta_rel,
     active,
+    rng_state=None,
+    settings=None,
 ):
     """Shade the winning reservoir sample with (optional) final visibility
-    (reference: FinalShading.h:117). Returns (radiance (N,3), rays scalar)."""
+    (reference: FinalShading.h:117). The visibility ray is alpha-aware when
+    the scene has textures and an rng_state is provided (reference:
+    FilterFunction.h alpha testing applies to ReSTIR shadow rays too).
+    Returns (radiance (N,3), rays scalar, rng_state)."""
     p = gbuf.position
     ns = gbuf.shading_normal
     ng = gbuf.geometric_normal
@@ -739,12 +1182,17 @@ def final_shading(
     n_rays = jnp.float32(0.0)
     if options.restir_di_final_visibility:
         so = offset_ray_origin(p, ng, wi)
-        blocked = occluded_coherent(
-            bvh, so, wi,
-            t_max=jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), 1e30),
-            active=has,
-        )
+        t_max = jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), 1e30)
+        if scene.textures is not None and rng_state is not None:
+            from ..ops.traverse import occluded_alpha
+
+            rng_state, blocked = occluded_alpha(
+                bvh, scene, options, settings, so, wi, rng_state,
+                t_max=t_max, active=has,
+            )
+        else:
+            blocked = occluded_coherent(bvh, so, wi, t_max=t_max, active=has)
         has = has & ~blocked
         n_rays = jnp.sum(has.astype(jnp.float32))
     ok = res.sanity_mask()
-    return jnp.where((has & ok)[:, None], contrib, 0.0), n_rays
+    return jnp.where((has & ok)[:, None], contrib, 0.0), n_rays, rng_state

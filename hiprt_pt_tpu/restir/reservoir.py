@@ -50,10 +50,11 @@ class Reservoir:
             is_envmap=jnp.zeros((n,), jnp.bool_),
         )
 
-    def update(self, rng_state, w, light_point, light_normal, radiance,
-               target, is_envmap, valid):
+    def update_tracked(self, rng_state, w, light_point, light_normal,
+                       radiance, target, is_envmap, valid):
         """Stream one candidate into each reservoir (masked).
-        Returns (reservoir, rng_state)."""
+        Returns (reservoir, rng_state, take (N,) bool — did the candidate
+        become the winner?)."""
         w = jnp.where(valid & jnp.isfinite(w) & (w >= 0.0), w, 0.0)
         new_sum = self.weight_sum + w
         new_M = self.M + jnp.where(valid, 1.0, 0.0)
@@ -71,16 +72,27 @@ class Reservoir:
             target=jnp.where(take, target, self.target),
             is_envmap=jnp.where(take, is_envmap, self.is_envmap),
         )
+        return res, rng_state, take
+
+    def update(self, rng_state, w, light_point, light_normal, radiance,
+               target, is_envmap, valid):
+        """Stream one candidate into each reservoir (masked).
+        Returns (reservoir, rng_state)."""
+        res, rng_state, _ = self.update_tracked(
+            rng_state, w, light_point, light_normal, radiance, target,
+            is_envmap, valid,
+        )
         return res, rng_state
 
-    def combine(self, rng_state, other: "Reservoir", target_here, m_weight,
-                valid):
+    def combine_tracked(self, rng_state, other: "Reservoir", target_here,
+                        m_weight, valid):
         """Merge another reservoir's winning sample into this one
         (reference: Reservoir.h combine_with).
 
         target_here: (N,) p_hat of other's sample evaluated at THIS pixel.
         m_weight: (N,) MIS/confidence weight for the incoming sample
         (e.g. other.M for confidence weights, or a pairwise-MIS weight).
+        Returns (reservoir, rng_state, take (N,) bool).
         """
         w = m_weight * target_here * other.W
         w = jnp.where(valid & jnp.isfinite(w) & (w > 0.0), w, 0.0)
@@ -101,6 +113,14 @@ class Reservoir:
             radiance=jnp.where(take[:, None], other.radiance, self.radiance),
             target=jnp.where(take, target_here, self.target),
             is_envmap=jnp.where(take, other.is_envmap, self.is_envmap),
+        )
+        return res, rng_state, take
+
+    def combine(self, rng_state, other: "Reservoir", target_here, m_weight,
+                valid):
+        """combine_tracked without the winner flag."""
+        res, rng_state, _ = self.combine_tracked(
+            rng_state, other, target_here, m_weight, valid
         )
         return res, rng_state
 

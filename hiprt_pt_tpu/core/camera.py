@@ -156,10 +156,13 @@ def generate_camera_rays(
     )
     view_pt = ndc @ camera.proj_inv.T
     view_pt = view_pt[:, :3] / view_pt[:, 3:4]
-    world_pt = view_pt @ camera.view_inv[:3, :3].T + camera.view_inv[:3, 3]
-    origins = jnp.broadcast_to(camera.position, (n, 3))
-    dirs = world_pt - origins
+    # Direction from the view_inv frame alone (rotation applied to the
+    # near-plane offset); the ray origin is camera.position. Keeping the two
+    # independent makes `camera.replace(position=...)` a consistent rigid
+    # translation instead of skewing rays toward a stale near plane.
+    dirs = view_pt @ camera.view_inv[:3, :3].T
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(camera.position, (n, 3))
     return origins, dirs
 
 

@@ -140,7 +140,9 @@ class RenderOptions:
     do_thin_film: bool = True
     # Wavefront knobs (TPU-native; no reference equivalent)
     max_bounces_static: int = 8          # static unroll bound for the bounce scan
-    use_pallas_traversal: bool = False   # Pallas BVH kernel vs jnp while_loop
+    # Pallas VMEM BVH kernel (default) with automatic XLA fallback for
+    # scenes/wavefronts it cannot serve (ops/pallas_traverse.pallas_supported)
+    use_pallas_traversal: bool = True
     white_furnace_mode: bool = False     # uniform white env, BSDF-only (§4.3)
 
     def replace(self, **kw) -> "RenderOptions":

@@ -54,15 +54,19 @@ def top_material(stack_mat, stack_pri):
 
 def top_excluding(stack_mat, stack_pri, excl_mat):
     """Highest-priority entry ignoring ONE instance of excl_mat.
-    Returns (mat (N,), priority (N,))."""
+    Returns (mat (N,), priority (N,)).
+
+    Column-functional (no .at[] scatters — TPU scatters on (N,K) arrays cost
+    ~10 ms/1M rays each; where-selects fuse for free)."""
     k = stack_pri.shape[1]
     # mask out the last occurrence of excl_mat
     excl_done = jnp.zeros((stack_mat.shape[0],), jnp.bool_)
-    keep = jnp.ones_like(stack_pri, jnp.bool_)
+    keep_cols = [None] * k
     for j in reversed(range(k)):
         is_excl = (stack_mat[:, j] == excl_mat) & (stack_pri[:, j] >= 0) & ~excl_done
-        keep = keep.at[:, j].set(~is_excl & keep[:, j])
+        keep_cols[j] = ~is_excl
         excl_done = excl_done | is_excl
+    keep = jnp.stack(keep_cols, axis=1)
     pri_masked = jnp.where(keep, stack_pri, EMPTY)
     best = jnp.max(pri_masked, axis=1)
     out = jnp.full((stack_mat.shape[0],), EMPTY, jnp.int32)
@@ -85,26 +89,24 @@ def push(stack_mat, stack_pri, mat, pri, mask):
     the entry, matching the reference's fixed-size stack)."""
     k = stack_pri.shape[1]
     placed = ~mask
+    cols_m, cols_p = [], []
     for j in range(k):
         slot_free = stack_pri[:, j] < 0
         do = mask & slot_free & ~placed
-        stack_mat = stack_mat.at[:, j].set(jnp.where(do, mat, stack_mat[:, j]))
-        stack_pri = stack_pri.at[:, j].set(jnp.where(do, pri, stack_pri[:, j]))
+        cols_m.append(jnp.where(do, mat, stack_mat[:, j]))
+        cols_p.append(jnp.where(do, pri, stack_pri[:, j]))
         placed = placed | do
-    return stack_mat, stack_pri
+    return jnp.stack(cols_m, axis=1), jnp.stack(cols_p, axis=1)
 
 
 def remove(stack_mat, stack_pri, mat, mask):
     """Remove the LAST occurrence of mat where mask."""
     k = stack_pri.shape[1]
     done = ~mask
+    cols_m, cols_p = [None] * k, [None] * k
     for j in reversed(range(k)):
         hit = (stack_mat[:, j] == mat) & (stack_pri[:, j] >= 0) & ~done
-        stack_mat = stack_mat.at[:, j].set(
-            jnp.where(hit, EMPTY, stack_mat[:, j])
-        )
-        stack_pri = stack_pri.at[:, j].set(
-            jnp.where(hit, EMPTY, stack_pri[:, j])
-        )
+        cols_m[j] = jnp.where(hit, EMPTY, stack_mat[:, j])
+        cols_p[j] = jnp.where(hit, EMPTY, stack_pri[:, j])
         done = done | hit
-    return stack_mat, stack_pri
+    return jnp.stack(cols_m, axis=1), jnp.stack(cols_p, axis=1)

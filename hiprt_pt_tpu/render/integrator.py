@@ -57,17 +57,21 @@ from ..ops.traverse import (
 
 
 def _make_tracers(options: RenderOptions):
-    """Select the traversal backend: XLA packet traversal (production) or the
-    experimental Pallas VMEM kernel (RenderOptions.use_pallas_traversal; see
-    ops/pallas_traverse.py for environment caveats)."""
+    """Select the traversal backend: the Pallas VMEM kernel (production when
+    the scene + wavefront qualify) or the chunked XLA packet traversal.
+
+    Both checks (node count, wavefront divisibility) are static at trace
+    time, so each jit specialization contains exactly one backend — the TPU
+    analog of the reference recompiling kernels per option set
+    (KernelOptions.h)."""
     if options.use_pallas_traversal:
-        from ..ops.pallas_traverse import traverse_pallas
+        from ..ops.pallas_traverse import pallas_supported, traverse_pallas
 
         def closest(bvh, o, d, t_min=1e-4, t_max=None, active=None):
             import jax.numpy as _jnp
 
             tm = _jnp.inf if t_max is None else t_max
-            if o.shape[0] % 1024 == 0:
+            if pallas_supported(bvh, o.shape[0]):
                 return traverse_pallas(bvh, o, d, t_min, tm, active,
                                        any_hit=False)
             return _xla_closest(bvh, o, d, t_min, tm, active)
@@ -76,7 +80,7 @@ def _make_tracers(options: RenderOptions):
             import jax.numpy as _jnp
 
             tm = _jnp.inf if t_max is None else t_max
-            if o.shape[0] % 1024 == 0:
+            if pallas_supported(bvh, o.shape[0]):
                 rec = traverse_pallas(bvh, o, d, t_min, tm, active,
                                       any_hit=True)
                 return rec.prim >= 0

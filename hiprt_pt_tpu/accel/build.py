@@ -63,10 +63,189 @@ class BVHData:
     # reconstruct barycentrics AFTER traversal so u/v never ride in the hot
     # loop's carry (ops/traverse.py)
     tri_rows: jax.Array  # (T, 12) f32
+    # --- compact split layout (big-scene Pallas path) -------------------
+    # nodes16 (M,16): cols 0:16 of the meganode with leaf children
+    #   re-encoded as ref = -(leaf_id + 1) into leaf_rows (count>0 still
+    #   marks leaf-ness). VMEM-resident at ~64 B/row.
+    # leaf_rows (L,128): [0:108] up to 12 tris [v0,e1,e2] (NaN padded),
+    #   [108:120] prim ids (bitcast i32, -1 padded), [120] leaf flag = 1.0,
+    #   [121] tri count as float. Row 0 is a reserved all-zero dummy (DMA
+    #   target for non-leaf packets). HBM-resident, DMA'd per visit.
+    nodes16: jax.Array | None = None  # (M, 16) f32
+    leaf_rows: jax.Array | None = None  # (L, 128) f32
+    # BVH4 collapse of nodes16 (see _collapse4) for the wide compact kernel
+    nodes4: jax.Array | None = None  # (M4, 32) f32
 
     @property
     def num_nodes(self) -> int:
         return self.nodes.shape[0]
+
+
+def _compact_split(rows: np.ndarray):
+    """Meganode rows → (nodes16 (M,16), leaf_rows (L,128)) — the compact
+    split layout for the big-scene Pallas path (see BVHData docstring).
+    Vectorized host numpy; row 0 of leaf_rows is the reserved zero dummy."""
+    M = rows.shape[0]
+    meta = rows[:, 12:16].view(np.int32).copy()
+    c0_cnt = meta[:, 1]
+    c1_cnt = meta[:, 3]
+    leaf0 = c0_cnt > 0
+    leaf1 = c1_cnt > 0
+    n0 = int(leaf0.sum())
+    n1 = int(leaf1.sum())
+    L = n0 + n1 + 1
+    lrows = np.zeros((L, 128), np.float32)
+    # child-0 leaves
+    ids0 = np.zeros((M,), np.int64)
+    ids0[leaf0] = 1 + np.arange(n0)
+    ids1 = np.zeros((M,), np.int64)
+    ids1[leaf1] = 1 + n0 + np.arange(n1)
+    if n0:
+        lrows[ids0[leaf0], 0:36] = rows[leaf0, 16:52]
+        lrows[ids0[leaf0], 108:112] = rows[leaf0, 88:92]
+        lrows[ids0[leaf0], 120] = 1.0
+        lrows[ids0[leaf0], 121] = c0_cnt[leaf0].astype(np.float32)
+    if n1:
+        lrows[ids1[leaf1], 0:36] = rows[leaf1, 52:88]
+        lrows[ids1[leaf1], 108:112] = rows[leaf1, 92:96]
+        lrows[ids1[leaf1], 120] = 1.0
+        lrows[ids1[leaf1], 121] = c1_cnt[leaf1].astype(np.float32)
+    # unfilled prim-id slots must read -1 (bitcast), not 0
+    neg1 = np.float32(np.asarray([-1], np.int32).view(np.float32)[0])
+    for base in range(108, 120):
+        tricount = lrows[:, 121]
+        empty = (base - 108) >= tricount
+        lrows[empty, base] = neg1
+    lrows[0] = 0.0
+    meta[leaf0, 0] = -(ids0[leaf0] + 1)
+    meta[leaf1, 2] = -(ids1[leaf1] + 1)
+    n16 = rows[:, :16].copy()
+    n16[:, 12:16] = meta.view(np.float32)
+    return n16, lrows
+
+
+LEAF_TRIS_COMPACT = 12  # fat-leaf capacity of a compact leaf row
+
+
+def _compact_from_raw(bounds, meta, order, vertices, triangles):
+    """Raw BVH2 (fat leaves, max_leaf=12) → (nodes16, leaf_rows).
+
+    Same layouts as _compact_split, but leaves carry up to 12 triangles
+    each — a leaf visit in the compact kernels costs a full iteration plus a
+    512-byte HBM DMA, so fat leaves cut the iteration count ~3x over
+    repacked 4-tri meganode leaves."""
+    M = bounds.shape[0]
+    left = meta[:, 0]
+    count = meta[:, 1]
+    is_leaf = count > 0
+    internal = np.nonzero(~is_leaf)[0]
+    id_map = np.full((M,), -1, np.int64)
+    id_map[internal] = np.arange(len(internal))
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    leaf_id = np.full((M,), 0, np.int64)
+    leaf_id[leaf_nodes] = 1 + np.arange(len(leaf_nodes))
+    L = len(leaf_nodes) + 1
+
+    # --- leaf rows ---
+    lrows = np.zeros((L, 128), np.float32)
+    neg1 = np.asarray([-1], np.int32).view(np.float32)[0]
+    lrows[:, 108:120] = neg1
+    lrows[0] = 0.0
+    if len(leaf_nodes):
+        cnt = count[leaf_nodes]
+        # (Lf, 12) padded triangle indices into `order`
+        offs = left[leaf_nodes][:, None] + np.arange(LEAF_TRIS_COMPACT)[None, :]
+        valid = np.arange(LEAF_TRIS_COMPACT)[None, :] < cnt[:, None]
+        tri_idx = order[np.clip(offs, 0, len(order) - 1)]
+        v0 = vertices[triangles[tri_idx, 0]]
+        e1 = vertices[triangles[tri_idx, 1]] - v0
+        e2 = vertices[triangles[tri_idx, 2]] - v0
+        tri9 = np.concatenate([v0, e1, e2], axis=-1)  # (Lf, 12, 9)
+        tri9 = np.where(valid[..., None], tri9, np.nan)
+        lrows[1:, 0:108] = tri9.reshape(len(leaf_nodes), 108)
+        ids = np.where(valid, tri_idx, -1).astype(np.int32)
+        lrows[1:, 108:120] = ids.view(np.float32)
+        lrows[1:, 120] = 1.0
+        lrows[1:, 121] = cnt.astype(np.float32)
+
+    # --- internal 16-float rows ---
+    Mi = max(len(internal), 1)
+    n16 = np.zeros((Mi, 16), np.float32)
+    refs = np.zeros((Mi, 2), np.int32)
+    cnts = np.zeros((Mi, 2), np.int32)
+    if len(internal):
+        c0 = left[internal]
+        c1 = c0 + 1
+        n16[:, 0:6] = bounds[c0]
+        n16[:, 6:12] = bounds[c1]
+        for j, ch in enumerate((c0, c1)):
+            ch_leaf = is_leaf[ch]
+            refs[:, j] = np.where(
+                ch_leaf, -(leaf_id[ch] + 1), id_map[ch]
+            ).astype(np.int32)
+            cnts[:, j] = np.where(ch_leaf, count[ch], 0).astype(np.int32)
+    meta16 = np.stack(
+        [refs[:, 0], cnts[:, 0], refs[:, 1], cnts[:, 1]], axis=1
+    ).astype(np.int32)
+    n16[:, 12:16] = meta16.view(np.float32)
+    return n16, lrows
+
+
+def _collapse4(n16: np.ndarray):
+    """BVH2 16-float rows → BVH4 32-float rows by pulling grandchildren up.
+
+    Row layout (M4, 32) f32:
+      [ 0:24]  4 child AABBs (min xyz, max xyz each; NaN for empty slots)
+      [24:28]  child refs (bitcast i32): >=0 internal BVH4 row id,
+               <0 leaf id into leaf_rows (-(id+1)), unchanged from BVH2
+      [28:32]  pad (zeros)
+    Internal node count roughly halves; VMEM bytes stay ~ the same while
+    iteration counts drop ~2x (each visit tests 4 boxes).
+    """
+    M = n16.shape[0]
+    meta = n16[:, 12:16].view(np.int32)
+    boxes = n16[:, :12].reshape(M, 2, 6)
+    refs2 = np.stack([meta[:, 0], meta[:, 2]], 1)
+    cnts2 = np.stack([meta[:, 1], meta[:, 3]], 1)
+
+    # children of node n in the BVH4: for each BVH2 child that is internal,
+    # pull up ITS two children; leaves stay direct children
+    kept = [0]
+    new_id = {0: 0}
+    rows_children = []  # list of list[(box(6,), ref2-encoded)]
+    qi = 0
+    while qi < len(kept):
+        n = kept[qi]
+        qi += 1
+        ch = []
+        for c in range(2):
+            if cnts2[n, c] > 0 or refs2[n, c] < 0:
+                # leaf child (count>0; ref already leaf-encoded)
+                ch.append((boxes[n, c], ("leaf", refs2[n, c])))
+            else:
+                g = refs2[n, c]
+                for gc in range(2):
+                    if cnts2[g, gc] > 0 or refs2[g, gc] < 0:
+                        ch.append((boxes[g, gc], ("leaf", refs2[g, gc])))
+                    else:
+                        t = refs2[g, gc]
+                        if t not in new_id:
+                            new_id[t] = len(new_id)
+                            kept.append(t)
+                        ch.append((boxes[g, gc], ("node", t)))
+        rows_children.append((n, ch))
+
+    M4 = len(rows_children)
+    out = np.zeros((M4, 32), np.float32)
+    out[:, 0:24] = np.nan
+    refs4 = np.zeros((M4, 4), np.int32)
+    for (n, ch) in rows_children:
+        r = new_id[n]
+        for ci, (box, (kind, ref)) in enumerate(ch[:4]):
+            out[r, ci * 6:(ci + 1) * 6] = box
+            refs4[r, ci] = new_id[ref] if kind == "node" else ref
+    out[:, 24:28] = refs4.view(np.float32)
+    return out
 
 
 def build_bvh(
@@ -92,8 +271,21 @@ def build_bvh(
 
         rows_native = build_bvh_native(vertices, triangles, max_leaf)
         if rows_native is not None:
+            from .native import build_bvh_raw_native
+
+            raw = build_bvh_raw_native(
+                vertices, triangles, LEAF_TRIS_COMPACT
+            )
+            if raw is not None:
+                n16, lrows = _compact_from_raw(
+                    raw[0], raw[1], raw[2], vertices, triangles
+                )
+            else:
+                n16, lrows = _compact_split(rows_native)
             return BVHData(
-                nodes=jnp.asarray(rows_native), tri_rows=jnp.asarray(tri_rows)
+                nodes=jnp.asarray(rows_native), tri_rows=jnp.asarray(tri_rows),
+                nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
+                nodes4=jnp.asarray(_collapse4(n16)),
             )
 
     v0 = vertices[triangles[:, 0]]
@@ -240,4 +432,9 @@ def build_bvh(
             meta[new] = m
 
     rows[:, 12:16] = meta.view(np.float32)
-    return BVHData(nodes=jnp.asarray(rows), tri_rows=jnp.asarray(tri_rows))
+    n16, lrows = _compact_split(rows)
+    return BVHData(
+        nodes=jnp.asarray(rows), tri_rows=jnp.asarray(tri_rows),
+        nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
+        nodes4=jnp.asarray(_collapse4(n16)),
+    )

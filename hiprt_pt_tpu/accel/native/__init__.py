@@ -48,6 +48,18 @@ def get_lib():
         try:
             lib = ctypes.CDLL(_LIB)
             lib.hpt_build_bvh.restype = ctypes.c_int64
+            lib.hpt_build_bvh_raw.restype = ctypes.c_int64
+            lib.hpt_build_bvh_raw.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             lib.hpt_build_bvh.argtypes = [
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int64,
@@ -86,3 +98,33 @@ def build_bvh_native(vertices: np.ndarray, triangles: np.ndarray,
     if n <= 0:
         return None
     return rows[:n]
+
+
+def build_bvh_raw_native(vertices: np.ndarray, triangles: np.ndarray,
+                         max_leaf: int):
+    """Raw BVH2: (bounds (M,6) f32, meta (M,2) i32 [left,count], order (T,)
+    i64) or None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    verts = np.ascontiguousarray(vertices, dtype=np.float32)
+    tris = np.ascontiguousarray(triangles, dtype=np.int32)
+    n_tris = tris.shape[0]
+    cap = max(2 * n_tris, 16)
+    bounds = np.zeros((cap, 6), np.float32)
+    meta = np.zeros((cap, 2), np.int32)
+    order = np.zeros((max(n_tris, 1),), np.int64)
+    n = lib.hpt_build_bvh_raw(
+        verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        verts.shape[0],
+        tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_tris,
+        max_leaf,
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cap,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n <= 0:
+        return None
+    return bounds[:n], meta[:n], order

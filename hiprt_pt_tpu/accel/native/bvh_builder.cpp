@@ -276,4 +276,35 @@ int64_t hpt_build_bvh(const float *vertices, int64_t n_verts,
   return out_rows;
 }
 
+
+// Raw BVH2 export: node bounds + (left,count) meta + triangle order, with
+// arbitrary max_leaf (the meganode packer above is fixed at <=4 embedded
+// tris; the compact/fat-leaf layouts pack host-side from these arrays).
+// Returns node count, or -1 if cap_nodes is too small.
+int64_t hpt_build_bvh_raw(const float *vertices, int64_t n_verts,
+                          const int32_t *triangles, int64_t n_tris,
+                          int max_leaf, float *node_bounds,
+                          int32_t *node_meta, int64_t cap_nodes,
+                          int64_t *order_out) {
+  (void)n_verts;
+  Builder b{vertices, triangles, n_tris, max_leaf};
+  if (n_tris <= 0) return 0;
+  b.build();
+  int64_t n_nodes = (int64_t)b.nodes.size();
+  if (n_nodes > cap_nodes) return -1;
+  for (int64_t i = 0; i < n_nodes; ++i) {
+    const Node &n = b.nodes[i];
+    node_bounds[i * 6 + 0] = n.bmin.x;
+    node_bounds[i * 6 + 1] = n.bmin.y;
+    node_bounds[i * 6 + 2] = n.bmin.z;
+    node_bounds[i * 6 + 3] = n.bmax.x;
+    node_bounds[i * 6 + 4] = n.bmax.y;
+    node_bounds[i * 6 + 5] = n.bmax.z;
+    node_meta[i * 2 + 0] = n.left;
+    node_meta[i * 2 + 1] = n.count;
+  }
+  for (int64_t t = 0; t < n_tris; ++t) order_out[t] = b.order[t];
+  return n_nodes;
+}
+
 }  // extern "C"

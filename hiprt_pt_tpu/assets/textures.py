@@ -62,8 +62,10 @@ def build_texture_atlas(
             )
             srgb_flags[i] = True
         layers[i] = arr
+    has_alpha = bool((layers[..., 3] < 1.0).any())
     return TextureAtlas(
-        layers=jnp.asarray(layers), is_srgb=jnp.asarray(srgb_flags)
+        layers=jnp.asarray(layers), is_srgb=jnp.asarray(srgb_flags),
+        has_alpha=has_alpha,
     )
 
 

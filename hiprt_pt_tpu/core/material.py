@@ -198,7 +198,10 @@ class MaterialBank:
     @classmethod
     def from_rows(cls, rows: list[dict]) -> "MaterialBank":
         """Build a bank from a list of per-material dicts (missing keys →
-        reference defaults). Host-side (numpy) — called at scene load."""
+        reference defaults). Fields stay HOST numpy arrays: device placement
+        happens at the first jit boundary, and scene assembly (build_scene)
+        reads them back — with a tunneled remote device, an eager device
+        round-trip at load time costs minutes for kilobytes."""
         n = max(len(rows), 1)
         kw = {}
         for name, default in _SCALAR_FIELDS:
@@ -206,20 +209,25 @@ class MaterialBank:
             for i, r in enumerate(rows):
                 if name in r:
                     arr[i] = float(r[name])
-            kw[name] = jnp.asarray(arr)
+            kw[name] = arr
         for name, default in _COLOR_FIELDS:
             arr = np.tile(np.asarray(default, dtype=np.float32), (n, 1))
             for i, r in enumerate(rows):
                 if name in r:
                     arr[i] = np.asarray(r[name], dtype=np.float32)[:3]
-            kw[name] = jnp.asarray(arr)
+            kw[name] = arr
         for name in _TEXTURE_FIELDS:
             arr = np.full((n,), NO_TEXTURE, dtype=np.int32)
             for i, r in enumerate(rows):
                 if name in r:
                     arr[i] = int(r[name])
-            kw[name] = jnp.asarray(arr)
+            kw[name] = arr
         return cls(**kw)
+
+    def to_device(self) -> "MaterialBank":
+        """jnp-ify every field (host numpy banks are produced by from_rows;
+        build_scene converts once after the host-side emissive scan)."""
+        return jax.tree.map(jnp.asarray, self)
 
     def at_indices(self, mat_ids: jax.Array) -> "MaterialBank":
         """Gather per-hit materials: every field indexed by mat_ids (N,).

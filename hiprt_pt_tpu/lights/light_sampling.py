@@ -37,8 +37,15 @@ def sample_emissive_triangle(scene: SceneData, p: jax.Array, rng_state):
     n = p.shape[0]
     rng_state, u_sel = rng_mod.next_float(rng_state)
     rng_state, u1, u2 = rng_mod.next_float2(rng_state)
+    rng_state, u_acc = rng_mod.next_float(rng_state)
 
-    slot = searchsorted_cdf(scene.emissive_power_cdf, u_sel)
+    # O(1) Vose alias draw (searchsorted lowers to a while-loop binary
+    # search on TPU — measured 200+ ms/step on a 240-light scene)
+    e = scene.emissive_alias_prob.shape[0]
+    j = jnp.minimum((u_sel * e).astype(jnp.int32), e - 1)
+    slot = jnp.where(
+        u_acc < scene.emissive_alias_prob[j], j, scene.emissive_alias[j]
+    )
     tri_idx = scene.emissive_tri_indices[slot]
     safe_tri = jnp.maximum(tri_idx, 0)
     tri = scene.triangles[safe_tri]
@@ -55,11 +62,8 @@ def sample_emissive_triangle(scene: SceneData, p: jax.Array, rng_state):
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
     wi = to_light / dist[..., None]
 
-    # pdf of having picked this triangle (power CDF → pdf = cdf step)
-    prev = jnp.where(
-        slot > 0, scene.emissive_power_cdf[jnp.maximum(slot - 1, 0)], 0.0
-    )
-    pdf_tri = scene.emissive_power_cdf[slot] - prev
+    # pdf of having picked this triangle (power pmf entry)
+    pdf_tri = scene.emissive_pmf[slot]
     # area pdf → solid angle (reference: LightUtils.h area_to_solid_angle_pdf)
     cos_light = jnp.abs(jnp.sum(light_n * (-wi), axis=-1))
     pdf = pdf_tri / jnp.maximum(area, 1e-12) * dist2 / jnp.maximum(cos_light, 1e-8)
@@ -113,10 +117,7 @@ def emissive_pdf_of_direction(
         scene.emissive_tri_indices.shape[0] - 1,
     )
     matched = scene.emissive_tri_indices[slot] == safe_prim
-    prev = jnp.where(
-        slot > 0, scene.emissive_power_cdf[jnp.maximum(slot - 1, 0)], 0.0
-    )
-    pdf_tri = scene.emissive_power_cdf[slot] - prev
+    pdf_tri = scene.emissive_pmf[slot]
 
     cos_light = jnp.abs(jnp.sum(light_n * (-wi), axis=-1))
     dist2 = hit_t * hit_t

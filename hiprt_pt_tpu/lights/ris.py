@@ -30,7 +30,8 @@ from ..core import rng as rng_mod
 from ..core.settings import RenderOptions
 from ..models.dispatcher import bsdf_eval, bsdf_sample
 from ..ops.intersect import offset_ray_origin
-from ..ops.traverse import closest_hit_coherent, occluded_coherent
+# traversal is routed through the options-selected backend (Pallas/XLA) —
+# direct ops.traverse calls would silently pin RIS to the XLA path
 from ..ops.tonemap import luminance
 from .light_sampling import emissive_pdf_of_direction, sample_emissive_triangle
 
@@ -53,6 +54,9 @@ def ris_direct_lighting(
 
     Returns (rng_state, contribution (N,3), rays_traced scalar).
     """
+    from ..render.integrator import _make_tracers
+
+    closest_hit_coherent, occluded_coherent = _make_tracers(options)
     n = p.shape[0]
     M_l = settings.ris.number_of_light_candidates
     M_b = settings.ris.number_of_bsdf_candidates
@@ -159,13 +163,14 @@ def ris_direct_lighting(
     t_max_w = jnp.where(
         jnp.isfinite(res["dist"]), res["dist"] * (1.0 - 1e-3), 1e30
     )
-    if scene.textures is not None:
+    if scene.textures is not None and scene.textures.has_alpha:
         from ..ops.traverse import occluded_alpha
 
         rng_state, blocked = occluded_alpha(
             bvh, scene, options, settings, so, res["wi"], rng_state,
             t_max=t_max_w, active=has_winner,
-        )
+                closest_fn=_make_tracers(options)[0],
+            )
     else:
         blocked = occluded_coherent(
             bvh, so, res["wi"], t_max=t_max_w, active=has_winner

@@ -356,3 +356,667 @@ def pallas_supported(bvh: BVHData, n: int) -> bool:
         and bvh.nodes.shape[0] <= MAX_VMEM_NODES
         and n % BLOCK == 0
     )
+
+
+# --------------------------------------------------------------------------
+# Compact-split kernel: big scenes (nodes16 in VMEM, leaf rows DMA'd from
+# HBM per visit).
+#
+# The embedded-leaf kernel above needs the full (M,128) meganode table in
+# VMEM (~8 MB cap → ~65k tris). The compact layout keeps only the 16-float
+# node rows resident (64 B/row → ~600k tris in ~12 MB) and fetches 512-byte
+# leaf rows from HBM with per-packet async DMA when a leaf child is visited:
+# a leaf reference (ref < 0) is pushed/assigned like a node cursor, and a
+# leaf visit becomes its own iteration whose vector phase runs the triangle
+# tests from the DMA'd row.
+#
+# The vector phase needs no scalar crossing to know leaf-ness: the DMA'd row
+# itself carries a flag (col 120) and the triangle count (col 121), and
+# non-leaf packets DMA the reserved all-zero row 0, whose flag gates the
+# tests off.
+# --------------------------------------------------------------------------
+
+LEAF_TRIS = 12  # capacity of a compact leaf row (12*9 + 12 ids + flags <=128)
+MAX_COMPACT_NODES = 180224  # 16-float rows -> ~11.5 MB VMEM
+
+
+def _kernel_compact(nodes16_ref, leaves_hbm,
+                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                    tmin_ref, tmax_ref, act_ref,
+                    t_out, prim_out, u_out, v_out,
+                    rows_s, leaf_s, cur_s, ptr_s, valid_s, isleaf_s, stack_s,
+                    bt_s, bp_s, bu_s, bv_s, se_s, dma_sems,
+                    *, any_hit: bool, ordered: bool):
+    ox = ox_ref[:]
+    oy = oy_ref[:]
+    oz = oz_ref[:]
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+    t_min = tmin_ref[:]
+
+    def inv(c):
+        return jnp.where(jnp.abs(c) > 1e-12, 1.0 / c, jnp.sign(c) * 1e12 + 1e12)
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+    active0 = act_ref[:] > 0
+
+    bt_s[:] = tmax_ref[:]
+    bp_s[:] = jnp.full((K, PACKET), -1, jnp.int32)
+    bu_s[:] = jnp.zeros((K, PACKET), jnp.float32)
+    bv_s[:] = jnp.zeros((K, PACKET), jnp.float32)
+    se_s[:] = active0.astype(jnp.float32)
+
+    n_alive = jnp.int32(0)
+    for k in range(K):
+        row_active = jnp.any(active0[k])
+        cur_s[k] = 0
+        ptr_s[k] = 0
+        valid_s[k] = row_active.astype(jnp.int32)
+        isleaf_s[k] = 0
+        n_alive = n_alive + valid_s[k]
+
+    def cond(c):
+        it, alive = c
+        return (it < MAX_ITERS) & (alive > 0)
+
+    def body(c):
+        it, _ = c
+
+        # ---- scalar phase 1: pop + fetch node row + issue leaf DMA ----
+        for k in range(K):
+            need_pop = (valid_s[k] == 0) & (ptr_s[k] > 0)
+            top = jnp.maximum(ptr_s[k] - 1, 0)
+            popped = stack_s[k, top]
+            cur_s[k] = jnp.where(need_pop, popped, cur_s[k])
+            ptr_s[k] = jnp.where(need_pop, top, ptr_s[k])
+            valid_s[k] = jnp.where(need_pop, 1, valid_s[k])
+            is_leaf = (valid_s[k] > 0) & (cur_s[k] < 0)
+            isleaf_s[k] = is_leaf.astype(jnp.int32)
+            node_idx = jnp.where(
+                (valid_s[k] > 0) & ~is_leaf, cur_s[k], 0
+            )
+            rows_s[pl.ds(k, 1), :] = nodes16_ref[pl.ds(node_idx, 1), :]
+            leaf_idx = jnp.where(is_leaf, -cur_s[k] - 1, 0)
+            pltpu.make_async_copy(
+                leaves_hbm.at[pl.ds(leaf_idx, 1), :],
+                leaf_s.at[pl.ds(k, 1), :],
+                dma_sems.at[k],
+            ).start()
+
+        for k in range(K):
+            pltpu.make_async_copy(
+                leaves_hbm.at[pl.ds(0, 1), :],
+                leaf_s.at[pl.ds(k, 1), :],
+                dma_sems.at[k],
+            ).wait()
+
+        rows = rows_s[:]      # (K, 16) node data
+        lrows = leaf_s[:]     # (K, 128) leaf data (zero row for non-leaf)
+
+        def ncol(j):
+            return rows[:, j:j + 1]
+
+        def lcol(j):
+            return lrows[:, j:j + 1]
+
+        meta_vec = jax.lax.bitcast_convert_type(rows[:, 12:16], jnp.int32)
+        leaf_gate = lcol(120) > 0.0        # (K,1)
+        leaf_cnt = lcol(121)               # (K,1) float count
+
+        if any_hit:
+            searching = se_s[:] > 0.0
+        else:
+            searching = active0
+        best_t = bt_s[:]
+
+        def slab(b):
+            tx0 = (ncol(b + 0) - ox) * ix
+            tx1 = (ncol(b + 3) - ox) * ix
+            ty0 = (ncol(b + 1) - oy) * iy
+            ty1 = (ncol(b + 4) - oy) * iy
+            tz0 = (ncol(b + 2) - oz) * iz
+            tz1 = (ncol(b + 5) - oz) * iz
+            t_entry = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
+            )
+            t_exit = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+            )
+            return (t_entry <= t_exit) & searching, t_entry
+
+        h0_ray, te0 = slab(0)
+        h1_ray, te1 = slab(6)
+
+        # ---- leaf triangle tests from the DMA'd row ----
+        best_prim = bp_s[:]
+        best_u = bu_s[:]
+        best_v = bv_s[:]
+        for kk in range(LEAF_TRIS):
+            off = 9 * kk
+            v0x, v0y, v0z = lcol(off), lcol(off + 1), lcol(off + 2)
+            e1x, e1y, e1z = lcol(off + 3), lcol(off + 4), lcol(off + 5)
+            e2x, e2y, e2z = lcol(off + 6), lcol(off + 7), lcol(off + 8)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = (
+                searching
+                & leaf_gate
+                & (kk < leaf_cnt)
+                & (jnp.abs(det) > TRI_EPS)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > t_min)
+                & (t < best_t)
+            )
+            prim_k = jax.lax.bitcast_convert_type(
+                lrows[:, 108 + kk:109 + kk], jnp.int32
+            )
+            best_t = jnp.where(hit, t, best_t)
+            best_prim = jnp.where(hit, prim_k, best_prim)
+            if any_hit:
+                searching = searching & ~hit
+            else:
+                best_u = jnp.where(hit, u, best_u)
+                best_v = jnp.where(hit, v, best_v)
+
+        bt_s[:] = best_t
+        bp_s[:] = best_prim
+        if any_hit:
+            se_s[:] = searching.astype(jnp.float32)
+        else:
+            bu_s[:] = best_u
+            bv_s[:] = best_v
+
+        # ---- scalar phase 2 ----
+        alive = jnp.int32(0)
+        for k in range(K):
+            c0r = jnp.sum(meta_vec[k, 0:1])
+            c0c = jnp.sum(meta_vec[k, 1:2])
+            c1r = jnp.sum(meta_vec[k, 2:3])
+            c1c = jnp.sum(meta_vec[k, 3:4])
+
+            if any_hit:
+                row_dead = ~jnp.any(searching[k])
+                ptr_s[k] = jnp.where(row_dead, 0, ptr_s[k])
+            else:
+                row_dead = jnp.bool_(False)
+
+            was_leaf = isleaf_s[k] > 0
+            h0k = jnp.any(h0_ray[k]) & (valid_s[k] > 0) & ~was_leaf
+            h1k = jnp.any(h1_ray[k]) & (valid_s[k] > 0) & ~was_leaf
+
+            # a child with count>0 is a leaf REFERENCE (ref<0) — it is pushed
+            # like a node and handled on its own iteration
+            int0 = h0k & ~row_dead
+            int1 = h1k & ~row_dead
+            both = int0 & int1
+            if ordered:
+                te0k = jnp.min(jnp.where(h0_ray[k], te0[k], jnp.inf))
+                te1k = jnp.min(jnp.where(h1_ray[k], te1[k], jnp.inf))
+                near_is_0 = te0k <= te1k
+                near_ref = jnp.where(near_is_0, c0r, c1r)
+                far_ref = jnp.where(near_is_0, c1r, c0r)
+            else:
+                near_ref, far_ref = c0r, c1r
+            push_slot = jnp.minimum(ptr_s[k], STACK - 1)
+            stack_s[k, push_slot] = jnp.where(
+                both, far_ref, stack_s[k, push_slot]
+            )
+            ptr_s[k] = jnp.minimum(ptr_s[k] + both.astype(jnp.int32), STACK)
+            next_cur = jnp.where(both, near_ref, jnp.where(int0, c0r, c1r))
+            cur_s[k] = jnp.where(
+                (valid_s[k] > 0) & ~was_leaf, next_cur, cur_s[k]
+            )
+            valid_s[k] = jnp.where(
+                (valid_s[k] > 0) & (int0 | int1) & ~was_leaf, 1, 0
+            )
+            alive = alive + jnp.where(
+                (valid_s[k] > 0) | (ptr_s[k] > 0), 1, 0
+            )
+
+        return it + 1, alive
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), n_alive))
+
+    t_out[:] = bt_s[:]
+    prim_out[:] = bp_s[:]
+    if any_hit:
+        u_out[:] = jnp.zeros((K, PACKET), jnp.float32)
+        v_out[:] = jnp.zeros((K, PACKET), jnp.float32)
+    else:
+        u_out[:] = bu_s[:]
+        v_out[:] = bv_s[:]
+
+
+@partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def traverse_pallas_compact(
+    bvh: BVHData,
+    o: jax.Array,
+    d: jax.Array,
+    t_min=1e-4,
+    t_max=jnp.inf,
+    active=None,
+    any_hit: bool = False,
+    interpret: bool = False,
+) -> HitRecord:
+    """Compact-split Pallas traversal for big scenes. N % 1024 == 0."""
+    n = o.shape[0]
+    assert n % BLOCK == 0, f"pallas traversal needs N % {BLOCK} == 0"
+    assert bvh.nodes16 is not None and bvh.leaf_rows is not None
+    rows = n // PACKET
+    grid = rows // K
+    ordered = not any_hit
+
+    def comp(x):
+        return x.reshape(rows, PACKET)
+
+    ox, oy, oz = comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2])
+    dx, dy, dz = comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2])
+    tmin = comp(jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,)))
+    tmax = comp(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
+    act = comp(
+        jnp.ones((n,), jnp.int32)
+        if active is None
+        else jnp.asarray(active).astype(jnp.int32)
+    )
+
+    ray_spec = pl.BlockSpec((K, PACKET), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    node_spec = pl.BlockSpec(bvh.nodes16.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    leaf_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
+        jax.ShapeDtypeStruct((rows, PACKET), jnp.int32),
+        jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
+        jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
+    ]
+    t, prim, u, v = pl.pallas_call(
+        partial(_kernel_compact, any_hit=any_hit, ordered=ordered),
+        grid=(grid,),
+        in_specs=[node_spec, leaf_spec] + [ray_spec] * 9,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((K, 16), jnp.float32),      # rows_s (node data)
+            pltpu.VMEM((K, 128), jnp.float32),     # leaf_s (DMA dst)
+            pltpu.SMEM((K,), jnp.int32),           # cur_s
+            pltpu.SMEM((K,), jnp.int32),           # ptr_s
+            pltpu.SMEM((K,), jnp.int32),           # valid_s
+            pltpu.SMEM((K,), jnp.int32),           # isleaf_s
+            pltpu.SMEM((K, STACK), jnp.int32),     # stack_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # bt_s
+            pltpu.VMEM((K, PACKET), jnp.int32),    # bp_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # bu_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # bv_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # se_s
+            pltpu.SemaphoreType.DMA((K,)),         # dma_sems
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bvh.nodes16, bvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, act)
+
+    miss = prim < 0
+    return HitRecord(
+        t=jnp.where(miss, jnp.inf, t).reshape(n),
+        prim=prim.reshape(n),
+        u=u.reshape(n),
+        v=v.reshape(n),
+    )
+
+
+def pallas_compact_supported(bvh: BVHData, n: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and bvh.nodes16 is not None
+        and bvh.leaf_rows is not None
+        and bvh.nodes16.shape[0] <= MAX_COMPACT_NODES
+        and n % BLOCK == 0
+    )
+
+
+# --------------------------------------------------------------------------
+# BVH4 compact kernel: 4-wide nodes (accel/build._collapse4) + HBM leaf DMA.
+# Same control scheme as the BVH2 compact kernel, but each node visit tests
+# 4 child boxes, halving the iteration count on deep trees — the per-packet
+# scalar crossing count per iteration is unchanged (4 refs + 4 hit flags vs
+# 4 meta + 2 hit + 2 order), so big scenes see ~2x.
+# Descent is unordered (fixed child order); near-first ordering with 4
+# children would cost a scalar sorting network per packet per iteration.
+# --------------------------------------------------------------------------
+
+
+def _kernel_compact4(nodes4_ref, leaves_hbm,
+                     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+                     tmin_ref, tmax_ref, act_ref,
+                     t_out, prim_out, u_out, v_out,
+                     rows_s, leaf_s, cur_s, ptr_s, valid_s, isleaf_s, stack_s,
+                     bt_s, bp_s, bu_s, bv_s, se_s, dma_sems,
+                     *, any_hit: bool):
+    ox = ox_ref[:]
+    oy = oy_ref[:]
+    oz = oz_ref[:]
+    dx = dx_ref[:]
+    dy = dy_ref[:]
+    dz = dz_ref[:]
+    t_min = tmin_ref[:]
+
+    def inv(c):
+        return jnp.where(jnp.abs(c) > 1e-12, 1.0 / c, jnp.sign(c) * 1e12 + 1e12)
+
+    ix, iy, iz = inv(dx), inv(dy), inv(dz)
+    active0 = act_ref[:] > 0
+
+    bt_s[:] = tmax_ref[:]
+    bp_s[:] = jnp.full((K, PACKET), -1, jnp.int32)
+    bu_s[:] = jnp.zeros((K, PACKET), jnp.float32)
+    bv_s[:] = jnp.zeros((K, PACKET), jnp.float32)
+    se_s[:] = active0.astype(jnp.float32)
+
+    n_alive = jnp.int32(0)
+    for k in range(K):
+        row_active = jnp.any(active0[k])
+        cur_s[k] = 0
+        ptr_s[k] = 0
+        valid_s[k] = row_active.astype(jnp.int32)
+        isleaf_s[k] = 0
+        n_alive = n_alive + valid_s[k]
+
+    def cond(c):
+        it, alive = c
+        return (it < MAX_ITERS) & (alive > 0)
+
+    def body(c):
+        it, _ = c
+
+        for k in range(K):
+            need_pop = (valid_s[k] == 0) & (ptr_s[k] > 0)
+            top = jnp.maximum(ptr_s[k] - 1, 0)
+            popped = stack_s[k, top]
+            cur_s[k] = jnp.where(need_pop, popped, cur_s[k])
+            ptr_s[k] = jnp.where(need_pop, top, ptr_s[k])
+            valid_s[k] = jnp.where(need_pop, 1, valid_s[k])
+            is_leaf = (valid_s[k] > 0) & (cur_s[k] < 0)
+            isleaf_s[k] = is_leaf.astype(jnp.int32)
+            node_idx = jnp.where((valid_s[k] > 0) & ~is_leaf, cur_s[k], 0)
+            rows_s[pl.ds(k, 1), :] = nodes4_ref[pl.ds(node_idx, 1), :]
+
+        any_leaf = jnp.int32(0)
+        for k in range(K):
+            any_leaf = any_leaf + isleaf_s[k]
+
+        @pl.when(any_leaf > 0)
+        def _do_leaf_dma():
+            for k in range(K):
+                leaf_idx = jnp.where(isleaf_s[k] > 0, -cur_s[k] - 1, 0)
+                pltpu.make_async_copy(
+                    leaves_hbm.at[pl.ds(leaf_idx, 1), :],
+                    leaf_s.at[pl.ds(k, 1), :],
+                    dma_sems.at[k],
+                ).start()
+            for k in range(K):
+                pltpu.make_async_copy(
+                    leaves_hbm.at[pl.ds(0, 1), :],
+                    leaf_s.at[pl.ds(k, 1), :],
+                    dma_sems.at[k],
+                ).wait()
+
+        @pl.when(any_leaf == 0)
+        def _no_leaf():
+            # ensure stale leaf data never re-fires: zero the flag column
+            leaf_s[:, 120:122] = jnp.zeros((K, 2), jnp.float32)
+
+        rows = rows_s[:]      # (K, 32)
+        lrows = leaf_s[:]     # (K, 128)
+
+        def ncol(j):
+            return rows[:, j:j + 1]
+
+        def lcol(j):
+            return lrows[:, j:j + 1]
+
+        refs_vec = jax.lax.bitcast_convert_type(rows[:, 24:28], jnp.int32)
+        leaf_gate = lcol(120) > 0.0
+        leaf_cnt = lcol(121)
+
+        if any_hit:
+            searching = se_s[:] > 0.0
+        else:
+            searching = active0
+        best_t = bt_s[:]
+
+        def slab(b):
+            tx0 = (ncol(b + 0) - ox) * ix
+            tx1 = (ncol(b + 3) - ox) * ix
+            ty0 = (ncol(b + 1) - oy) * iy
+            ty1 = (ncol(b + 4) - oy) * iy
+            tz0 = (ncol(b + 2) - oz) * iz
+            tz1 = (ncol(b + 5) - oz) * iz
+            t_entry = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
+            )
+            t_exit = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+            )
+            return (t_entry <= t_exit) & searching
+
+        h_ray = [slab(c * 6) for c in range(4)]
+
+        best_prim = bp_s[:]
+        best_u = bu_s[:]
+        best_v = bv_s[:]
+        for kk in range(LEAF_TRIS):
+            off = 9 * kk
+            v0x, v0y, v0z = lcol(off), lcol(off + 1), lcol(off + 2)
+            e1x, e1y, e1z = lcol(off + 3), lcol(off + 4), lcol(off + 5)
+            e2x, e2y, e2z = lcol(off + 6), lcol(off + 7), lcol(off + 8)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = (
+                searching
+                & leaf_gate
+                & (kk < leaf_cnt)
+                & (jnp.abs(det) > TRI_EPS)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > t_min)
+                & (t < best_t)
+            )
+            prim_k = jax.lax.bitcast_convert_type(
+                lrows[:, 108 + kk:109 + kk], jnp.int32
+            )
+            best_t = jnp.where(hit, t, best_t)
+            best_prim = jnp.where(hit, prim_k, best_prim)
+            if any_hit:
+                searching = searching & ~hit
+            else:
+                best_u = jnp.where(hit, u, best_u)
+                best_v = jnp.where(hit, v, best_v)
+
+        bt_s[:] = best_t
+        bp_s[:] = best_prim
+        if any_hit:
+            se_s[:] = searching.astype(jnp.float32)
+        else:
+            bu_s[:] = best_u
+            bv_s[:] = best_v
+
+        # pack the 4 per-packet hit flags (plus any-hit packet-death) into
+        # ONE int column so the scalar side pays a single vector->scalar
+        # crossing per packet instead of five
+        hword = (
+            jnp.max(h_ray[0].astype(jnp.int32), axis=1, keepdims=True)
+            + 2 * jnp.max(h_ray[1].astype(jnp.int32), axis=1, keepdims=True)
+            + 4 * jnp.max(h_ray[2].astype(jnp.int32), axis=1, keepdims=True)
+            + 8 * jnp.max(h_ray[3].astype(jnp.int32), axis=1, keepdims=True)
+        )
+        if any_hit:
+            hword = hword + 16 * (
+                1 - jnp.max(searching.astype(jnp.int32), axis=1, keepdims=True)
+            )
+
+        alive = jnp.int32(0)
+        for k in range(K):
+            hw = jnp.sum(hword[k])
+            if any_hit:
+                row_dead = (hw >= 16)
+                ptr_s[k] = jnp.where(row_dead, 0, ptr_s[k])
+            else:
+                row_dead = jnp.bool_(False)
+            was_leaf = isleaf_s[k] > 0
+            gate = (valid_s[k] > 0) & ~was_leaf & ~row_dead
+
+            cur_new = cur_s[k]
+            found = jnp.int32(0)
+            ptr_k = ptr_s[k]
+            for c in range(4):
+                rc = jnp.sum(refs_vec[k, c:c + 1])
+                hc = ((hw >> c) & 1) > 0
+                hc = hc & gate
+                take = hc & (found == 0)
+                push = hc & (found > 0)
+                cur_new = jnp.where(take, rc, cur_new)
+                slot = jnp.minimum(ptr_k, STACK - 1)
+                stack_s[k, slot] = jnp.where(push, rc, stack_s[k, slot])
+                ptr_k = jnp.minimum(ptr_k + push.astype(jnp.int32), STACK)
+                found = found + hc.astype(jnp.int32)
+            ptr_s[k] = ptr_k
+            cur_s[k] = jnp.where(gate, cur_new, cur_s[k])
+            valid_s[k] = jnp.where(gate & (found > 0), 1, 0)
+            alive = alive + jnp.where(
+                (valid_s[k] > 0) | (ptr_s[k] > 0), 1, 0
+            )
+
+        return it + 1, alive
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), n_alive))
+
+    t_out[:] = bt_s[:]
+    prim_out[:] = bp_s[:]
+    if any_hit:
+        u_out[:] = jnp.zeros((K, PACKET), jnp.float32)
+        v_out[:] = jnp.zeros((K, PACKET), jnp.float32)
+    else:
+        u_out[:] = bu_s[:]
+        v_out[:] = bv_s[:]
+
+
+@partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def traverse_pallas_wide(
+    bvh: BVHData,
+    o: jax.Array,
+    d: jax.Array,
+    t_min=1e-4,
+    t_max=jnp.inf,
+    active=None,
+    any_hit: bool = False,
+    interpret: bool = False,
+) -> HitRecord:
+    """BVH4 compact Pallas traversal for big scenes. N % 1024 == 0."""
+    n = o.shape[0]
+    assert n % BLOCK == 0, f"pallas traversal needs N % {BLOCK} == 0"
+    assert bvh.nodes4 is not None and bvh.leaf_rows is not None
+    rows = n // PACKET
+    grid = rows // K
+
+    def comp(x):
+        return x.reshape(rows, PACKET)
+
+    ox, oy, oz = comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2])
+    dx, dy, dz = comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2])
+    tmin = comp(jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,)))
+    tmax = comp(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
+    act = comp(
+        jnp.ones((n,), jnp.int32)
+        if active is None
+        else jnp.asarray(active).astype(jnp.int32)
+    )
+
+    ray_spec = pl.BlockSpec((K, PACKET), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    node_spec = pl.BlockSpec(bvh.nodes4.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    leaf_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_shape = [
+        jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
+        jax.ShapeDtypeStruct((rows, PACKET), jnp.int32),
+        jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
+        jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
+    ]
+    t, prim, u, v = pl.pallas_call(
+        partial(_kernel_compact4, any_hit=any_hit),
+        grid=(grid,),
+        in_specs=[node_spec, leaf_spec] + [ray_spec] * 9,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((K, 32), jnp.float32),      # rows_s
+            pltpu.VMEM((K, 128), jnp.float32),     # leaf_s
+            pltpu.SMEM((K,), jnp.int32),           # cur_s
+            pltpu.SMEM((K,), jnp.int32),           # ptr_s
+            pltpu.SMEM((K,), jnp.int32),           # valid_s
+            pltpu.SMEM((K,), jnp.int32),           # isleaf_s
+            pltpu.SMEM((K, STACK), jnp.int32),     # stack_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # bt_s
+            pltpu.VMEM((K, PACKET), jnp.int32),    # bp_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # bu_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # bv_s
+            pltpu.VMEM((K, PACKET), jnp.float32),  # se_s
+            pltpu.SemaphoreType.DMA((K,)),         # dma_sems
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(bvh.nodes4, bvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, act)
+
+    miss = prim < 0
+    return HitRecord(
+        t=jnp.where(miss, jnp.inf, t).reshape(n),
+        prim=prim.reshape(n),
+        u=u.reshape(n),
+        v=v.reshape(n),
+    )
+
+
+def pallas_wide_supported(bvh: BVHData, n: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and bvh.nodes4 is not None
+        and bvh.leaf_rows is not None
+        and bvh.nodes4.shape[0] <= MAX_COMPACT_NODES // 2
+        and n % BLOCK == 0
+    )

@@ -581,13 +581,17 @@ def occluded_alpha(
     t_max=jnp.inf,
     active=None,
     max_segments: int = 4,
+    closest_fn=None,
 ):
     """Alpha-aware shadow test (reference: stochastic alpha in the traversal
     filter function, FilterFunction.h:19-49): march up to `max_segments`
     closest hits, passing through each surface with probability (1 - alpha).
 
     Only worth the extra traversals when the scene actually has alpha-mapped
-    materials; callers gate on that. Returns (rng_state, occluded (N,) bool).
+    materials; callers gate on that (TextureAtlas.has_alpha). closest_fn
+    overrides the traversal backend (callers pass the Pallas-aware tracer —
+    this module cannot select it without a circular import).
+    Returns (rng_state, occluded (N,) bool).
     """
     from ..core import rng as rng_mod
     from .texture import apply_textures
@@ -601,11 +605,18 @@ def occluded_alpha(
     remaining = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
     for _ in range(max_segments):
-        rec = traverse_chunked(
-            bvh, cur_o, d, t_min, remaining, searching, any_hit=False
-        ) if n % PACKET == 0 else traverse(
-            bvh, cur_o, d, t_min, remaining, searching, any_hit=False
-        )
+        if closest_fn is not None:
+            rec = closest_fn(
+                bvh, cur_o, d, t_min=t_min, t_max=remaining, active=searching
+            )
+        elif n % PACKET == 0:
+            rec = traverse_chunked(
+                bvh, cur_o, d, t_min, remaining, searching, any_hit=False
+            )
+        else:
+            rec = traverse(
+                bvh, cur_o, d, t_min, remaining, searching, any_hit=False
+            )
         hit = (rec.prim >= 0) & searching
         # fetch the hit material's alpha (with base-color texture alpha)
         safe = jnp.maximum(rec.prim, 0)

@@ -65,24 +65,39 @@ def _make_tracers(options: RenderOptions):
     analog of the reference recompiling kernels per option set
     (KernelOptions.h)."""
     if options.use_pallas_traversal:
-        from ..ops.pallas_traverse import pallas_supported, traverse_pallas
+        from ..ops.pallas_traverse import (
+            pallas_supported,
+            pallas_wide_supported,
+            traverse_pallas,
+            traverse_pallas_wide,
+        )
+
+        def _trace(bvh, o, d, t_min, tm, active, any_hit):
+            if pallas_supported(bvh, o.shape[0]):
+                # small scene: whole meganode table VMEM-resident
+                return traverse_pallas(bvh, o, d, t_min, tm, active,
+                                       any_hit=any_hit)
+            if pallas_wide_supported(bvh, o.shape[0]):
+                # big scene: BVH4 nodes in VMEM, fat leaves DMA'd from HBM
+                return traverse_pallas_wide(bvh, o, d, t_min, tm, active,
+                                            any_hit=any_hit)
+            return None
 
         def closest(bvh, o, d, t_min=1e-4, t_max=None, active=None):
             import jax.numpy as _jnp
 
             tm = _jnp.inf if t_max is None else t_max
-            if pallas_supported(bvh, o.shape[0]):
-                return traverse_pallas(bvh, o, d, t_min, tm, active,
-                                       any_hit=False)
+            rec = _trace(bvh, o, d, t_min, tm, active, any_hit=False)
+            if rec is not None:
+                return rec
             return _xla_closest(bvh, o, d, t_min, tm, active)
 
         def occluded(bvh, o, d, t_min=1e-4, t_max=None, active=None):
             import jax.numpy as _jnp
 
             tm = _jnp.inf if t_max is None else t_max
-            if pallas_supported(bvh, o.shape[0]):
-                rec = traverse_pallas(bvh, o, d, t_min, tm, active,
-                                      any_hit=True)
+            rec = _trace(bvh, o, d, t_min, tm, active, any_hit=True)
+            if rec is not None:
                 return rec.prim >= 0
             return _xla_occluded(bvh, o, d, t_min, tm, active)
 
@@ -196,7 +211,7 @@ def camera_rays_pass(
     ns, ng, uv, mat_id, tangent = _interpolate_hit(
         scene, rec.prim, rec.u, rec.v, d
     )
-    if scene.textures is not None:
+    if scene.textures is not None and scene.textures.has_alpha:
         nm_mats = scene.materials.at_indices(jnp.maximum(mat_id, 0))
         ns = apply_normal_map(scene.textures, nm_mats, uv, ns, tangent)
     pos = o + d * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
@@ -284,13 +299,14 @@ def _direct_lighting(
             # shadow ray — alpha-aware when the scene carries alpha textures
             # (reference: stochastic alpha in the shadow filter function)
             so = offset_ray_origin(p, ng, wi)
-            if scene.textures is not None:
+            if scene.textures is not None and scene.textures.has_alpha:
                 from ..ops.traverse import occluded_alpha
 
                 rng_state, shadow_blocked = occluded_alpha(
                     bvh, scene, options, settings, so, wi, rng_state,
                     t_max=ls["dist"] * (1.0 - 1e-3), active=cand,
-                )
+                closest_fn=_make_tracers(options)[0],
+            )
             else:
                 _, occl = _make_tracers(options)
                 shadow_blocked = occl(
@@ -445,7 +461,7 @@ def render_sample(
         throughput = carry["throughput"]
         radiance = carry["radiance"]
         mats = scene.materials.at_indices(carry["mat_id"]).make_safe()
-        if scene.textures is not None:
+        if scene.textures is not None and scene.textures.has_alpha:
             mats = apply_textures(scene.textures, mats, carry["uv"])
 
         # --- chromatic dispersion: hero wavelength sampled on first contact
@@ -707,7 +723,7 @@ def render_sample(
         ns2, ng2, uv2, mat_id2, tan2 = _interpolate_hit(
             scene, rec.prim, rec.u, rec.v, wi
         )
-        if scene.textures is not None:
+        if scene.textures is not None and scene.textures.has_alpha:
             nm_mats2 = scene.materials.at_indices(jnp.maximum(mat_id2, 0))
             ns2 = apply_normal_map(scene.textures, nm_mats2, uv2, ns2, tan2)
         p2 = o_next + wi * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]

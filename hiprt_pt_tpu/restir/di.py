@@ -41,14 +41,17 @@ from ..lights.envmap_sampling import (
 )
 from ..lights.light_sampling import (
     emissive_pdf_of_direction,
-    searchsorted_cdf,
 )
 from ..models.dispatcher import bsdf_eval, bsdf_sample
 from ..ops.intersect import offset_ray_origin
 from ..ops.pixel_order import pixel_coords, linear_index
 from ..ops.sampling import sample_triangle
 from ..ops.tonemap import luminance
-from ..ops.traverse import closest_hit_coherent, occluded_coherent
+def _tracers(options):
+    # backend-selected traversal (Pallas/XLA) — see render.integrator
+    from ..render.integrator import _make_tracers
+
+    return _make_tracers(options)
 from .reservoir import Reservoir
 
 
@@ -139,8 +142,14 @@ def presample_lights(scene: SceneData, sample_number,
     )
     pool_rng, u0 = rng_mod.next_float(pool_rng)
     pool_rng, u1, u2 = rng_mod.next_float2(pool_rng)
+    pool_rng, u_acc = rng_mod.next_float(pool_rng)
 
-    slot = searchsorted_cdf(scene.emissive_power_cdf, u0)
+    # O(1) alias draw (see SceneData.emissive_alias_prob)
+    e = scene.emissive_alias_prob.shape[0]
+    j = jnp.minimum((u0 * e).astype(jnp.int32), e - 1)
+    slot = jnp.where(
+        u_acc < scene.emissive_alias_prob[j], j, scene.emissive_alias[j]
+    )
     tri_idx = scene.emissive_tri_indices[slot]
     safe_tri = jnp.maximum(tri_idx, 0)
     tri = scene.triangles[safe_tri]
@@ -150,8 +159,7 @@ def presample_lights(scene: SceneData, sample_number,
     lp, ng = sample_triangle(v0, e1, e2, u1, u2)
     area = 0.5 * jnp.linalg.norm(ng, axis=-1)
     ln = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-12)
-    prev = jnp.where(slot > 0, scene.emissive_power_cdf[jnp.maximum(slot - 1, 0)], 0.0)
-    pdf_area = (scene.emissive_power_cdf[slot] - prev) / jnp.maximum(area, 1e-12)
+    pdf_area = scene.emissive_pmf[slot] / jnp.maximum(area, 1e-12)
     mats = scene.materials.at_indices(scene.material_ids[safe_tri])
     rad = mats.effective_emission()
     valid = tri_idx >= 0
@@ -279,7 +287,7 @@ def initial_candidates(
         cos_i = jnp.sum(ns * wi, axis=-1)
         cand = active & (pdf_b > 0.0) & (cos_i > 0.0)
         o = offset_ray_origin(p, ng, wi)
-        rec = closest_hit_coherent(bvh, o, wi, t_min=0.0, active=cand)
+        rec = _tracers(options)[0](bvh, o, wi, t_min=0.0, active=cand)
         hit = rec.prim >= 0
         em_mats = scene.materials.at_indices(
             scene.material_ids[jnp.maximum(rec.prim, 0)]
@@ -362,7 +370,7 @@ def initial_candidates(
             options, mats, p, ns, wo, eta_rel, _sample_of(res)
         )
         so = offset_ray_origin(p, ng, wi)
-        blocked = occluded_coherent(
+        blocked = _tracers(options)[1](
             bvh, so, wi,
             t_max=jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), 1e30),
             active=active & (res.W > 0.0),
@@ -990,7 +998,7 @@ def spatial_reuse_pass(
         )
         do_vis = active & (out.W > 0.0) & jnp.asarray(is_last_pass)
         so = offset_ray_origin(p, gbuf.geometric_normal, wi)
-        blocked = occluded_coherent(
+        blocked = _tracers(options)[1](
             bvh, so, wi,
             t_max=jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), 1e30),
             active=do_vis,
@@ -1183,15 +1191,16 @@ def final_shading(
     if options.restir_di_final_visibility:
         so = offset_ray_origin(p, ng, wi)
         t_max = jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), 1e30)
-        if scene.textures is not None and rng_state is not None:
+        if (scene.textures is not None and scene.textures.has_alpha and rng_state is not None):
             from ..ops.traverse import occluded_alpha
 
             rng_state, blocked = occluded_alpha(
                 bvh, scene, options, settings, so, wi, rng_state,
                 t_max=t_max, active=has,
+                closest_fn=_tracers(options)[0],
             )
         else:
-            blocked = occluded_coherent(bvh, so, wi, t_max=t_max, active=has)
+            blocked = _tracers(options)[1](bvh, so, wi, t_max=t_max, active=has)
         has = has & ~blocked
         n_rays = jnp.sum(has.astype(jnp.float32))
     ok = res.sanity_mask()

@@ -92,6 +92,108 @@ def bake_ggx_glossy_dielectric_ess(
     return np.asarray(f(rough_grid, cos_grid))
 
 
+def _glass_albedo(cos_o, rough, eta, n_samples, seed, thin=False):
+    """Directional albedo of the FRAMEWORK's own glass lobe (compensation
+    off), normalized by its smooth-surface value at the same (cos, eta) — so
+    1/E exactly inverts the lobe's single-scatter roughness loss.
+
+    The first bake attempt integrated an independent G2/G1 estimator; its
+    losses did not match the lobe's actual furnace sag (table said 0.73
+    where the lobe measured 0.85 at roughness 1), over-boosting by ~17%.
+    Baking through the lobe itself is what the reference effectively does —
+    its baking kernels run the production BSDF single-scatter eval
+    (kernels/Baking/*.h)."""
+    from ..core.material import MaterialBank
+    from ..core.settings import RenderOptions
+    from ..models import principled
+
+    opts = RenderOptions(do_energy_compensation=False)
+
+    def albedo_at(r):
+        row = dict(
+            base_color=[1.0, 1.0, 1.0],
+            specular_transmission=1.0,
+            roughness=float(r) if isinstance(r, float) else 0.0,
+            ior=1.5,  # placeholder; eta_rel aux below is what matters
+            specular=0.0,
+        )
+        bank = MaterialBank.from_rows([row])
+        mats = bank.at_indices(jnp.zeros((n_samples,), jnp.int32)).make_safe()
+        mats = mats.replace(
+            roughness=jnp.full((n_samples,), jnp.float32(r)),
+            thin_walled=jnp.full(
+                (n_samples,), jnp.float32(1.0 if thin else 0.0)
+            ),
+        )
+        sin_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_o * cos_o))
+        wo = jnp.stack(
+            [jnp.broadcast_to(sin_o, (n_samples,)),
+             jnp.zeros((n_samples,)),
+             jnp.broadcast_to(cos_o, (n_samples,))],
+            axis=-1,
+        )
+        nrm = jnp.tile(jnp.asarray([0.0, 0.0, 1.0]), (n_samples, 1))
+        s = rng_mod.seed(jnp.arange(n_samples, dtype=jnp.uint32), 2, seed)
+        aux = {"eta_rel": jnp.full((n_samples,), jnp.float32(eta))}
+        s, wi, f, pdf, _ = principled.sample(opts, mats, nrm, wo, s, aux)
+        cos_i = jnp.abs(wi[..., 2])
+        est = jnp.where(
+            (pdf > 1e-8)[..., None],
+            f * (cos_i / jnp.maximum(pdf, 1e-9))[..., None],
+            0.0,
+        )
+        return jnp.mean(est)
+
+    smooth = albedo_at(0.02)
+    val = albedo_at(rough)
+    return jnp.clip(val / jnp.maximum(smooth, 1e-6), 0.05, 1.5)
+
+
+# IOR grid of the 3D glass tables (cos x roughness x ior); reference:
+# GPUBakerConstants GGX_GLASS_ESS_TEXTURE_SIZE_IOR
+GLASS_IORS = (1.1, 1.2, 1.3, 1.4, 1.5, 1.7, 2.0, 2.5)
+
+
+def _bake_glass_grid(res, n_samples, seed, eta_of, thin=False):
+    cos_grid = (jnp.arange(res) + 0.5) / res
+    rough_grid = (jnp.arange(res) + 0.5) / res
+    out = np.zeros((len(GLASS_IORS), res, res), np.float32)
+    f = jax.jit(
+        jax.vmap(
+            jax.vmap(
+                lambda r, c, e: _glass_albedo(
+                    c, r, e, n_samples, seed, thin=thin
+                ),
+                in_axes=(None, 0, None),
+            ),
+            in_axes=(0, None, None),
+        ),
+        static_argnums=(),
+    )
+    for k, ior in enumerate(GLASS_IORS):
+        out[k] = np.asarray(f(rough_grid, cos_grid, jnp.float32(eta_of(ior))))
+    return out
+
+
+def bake_ggx_glass_ess(res: int = 16, n_samples: int = 4096, seed: int = 11):
+    """Entering tables Ess(ior; roughness, cos) (reference artifact:
+    GGX_Ess_glass.hdr 3D stack)."""
+    return _bake_glass_grid(res, n_samples, seed, lambda i: i)
+
+
+def bake_ggx_glass_inv_ess(res: int = 16, n_samples: int = 4096,
+                           seed: int = 13):
+    """Exiting (inside->outside) tables: relative IOR 1/ior (reference:
+    GGX_Ess_glass_inverse.hdr)."""
+    return _bake_glass_grid(res, n_samples, seed, lambda i: 1.0 / i)
+
+
+def bake_ggx_thin_glass_ess(res: int = 16, n_samples: int = 4096,
+                            seed: int = 17):
+    """Thin-walled glass tables (reference: GGX_Ess_thin_glass.hdr)."""
+    return _bake_glass_grid(res, n_samples, seed, lambda i: i, thin=True)
+
+
 def save_lut(table: np.ndarray, path: str):
     """Write both .npy (exact) and .hdr (reference-artifact-shaped)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -107,4 +209,13 @@ def bake_all(out_dir: str = "data/BRDFsData", res: int = 32):
     save_lut(ess, os.path.join(out_dir, f"GGX_Conductor_Ess_{res}x{res}"))
     gd = bake_ggx_glossy_dielectric_ess(res=res)
     save_lut(gd, os.path.join(out_dir, f"GGX_GlossyDielectric_Ess_{res}x{res}"))
-    return {"conductor": ess, "glossy_dielectric": gd}
+    gres = max(res // 2, 8)
+    glass = bake_ggx_glass_ess(res=gres)
+    glass_inv = bake_ggx_glass_inv_ess(res=gres)
+    thin = bake_ggx_thin_glass_ess(res=gres)
+    for name, tab in (("Glass", glass), ("GlassInv", glass_inv),
+                      ("ThinGlass", thin)):
+        np.save(os.path.join(out_dir, f"GGX_{name}_Ess_{gres}.npy"),
+                tab.astype(np.float32))
+    return {"conductor": ess, "glossy_dielectric": gd, "glass": glass,
+            "glass_inv": glass_inv, "thin_glass": thin}

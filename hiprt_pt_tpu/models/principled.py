@@ -48,6 +48,24 @@ try:
 except Exception:  # pragma: no cover — LUT not baked yet
     _GGX_ESS = np.ones((32, 32), np.float32)
 
+# 3D glass tables (ior, roughness, cos) — bake/baker.py bake_ggx_glass_*
+# (reference: GGX_Ess_glass[.inverse]/thin .hdr stacks consumed by
+# MicrofacetEnergyCompensation.h get_GGX_energy_compensation_dielectrics)
+_GLASS_IORS = np.asarray([1.1, 1.2, 1.3, 1.4, 1.5, 1.7, 2.0, 2.5], np.float32)
+
+
+def _load_glass(name):
+    path = os.path.join(os.path.dirname(__file__), "..", "bake", name)
+    try:
+        return np.load(path).astype(np.float32)
+    except Exception:  # pragma: no cover
+        return np.ones((len(_GLASS_IORS), 16, 16), np.float32)
+
+
+_GLASS_ESS = _load_glass("data_ggx_glass_ess_16.npy")
+_GLASS_INV_ESS = _load_glass("data_ggx_glass_inv_ess_16.npy")
+_THIN_GLASS_ESS = _load_glass("data_ggx_thin_glass_ess_16.npy")
+
 
 def _ess_lookup(rough, cos_o):
     """Bilinear lookup of Ess(roughness, cos). Both args (N,) in [0,1]."""
@@ -155,6 +173,45 @@ def _diffuse_lobe(base_color, sigma, wo, wi):
     f = jnp.where(valid[..., None], base_color * fr[..., None], 0.0)
     pdf = jnp.where(valid, cos_i * INV_PI, 0.0)
     return f, pdf
+
+
+def _glass_ess_lookup(table_np, rough, cos_o, ior):
+    """Trilinear lookup of Ess(ior; roughness, cos) over the static
+    _GLASS_IORS grid. rough/cos in [0,1]; ior = MAX(eta, 1/eta) >= 1."""
+    tab = jnp.asarray(table_np)
+    n_ior, res_r, res_c = table_np.shape
+    iors = jnp.asarray(_GLASS_IORS)
+    # ior segment: idx of the lower grid point
+    k = jnp.clip(
+        jnp.sum((ior[..., None] >= iors[None, :]).astype(jnp.int32), -1) - 1,
+        0, n_ior - 2,
+    )
+    i0 = iors[k]
+    i1 = iors[k + 1]
+    fi = jnp.clip((ior - i0) / jnp.maximum(i1 - i0, 1e-6), 0.0, 1.0)
+
+    r = jnp.clip(rough * res_r - 0.5, 0.0, res_r - 1.0)
+    c = jnp.clip(cos_o * res_c - 0.5, 0.0, res_c - 1.0)
+    r0 = jnp.floor(r).astype(jnp.int32)
+    c0 = jnp.floor(c).astype(jnp.int32)
+    r1 = jnp.minimum(r0 + 1, res_r - 1)
+    c1 = jnp.minimum(c0 + 1, res_c - 1)
+    fr = r - r0
+    fc = c - c0
+    flat = tab.reshape(-1)
+
+    def at(kk, rr, cc):
+        return flat[(kk * res_r + rr) * res_c + cc]
+
+    def bil(kk):
+        return (
+            at(kk, r0, c0) * (1 - fr) * (1 - fc)
+            + at(kk, r0, c1) * (1 - fr) * fc
+            + at(kk, r1, c0) * fr * (1 - fc)
+            + at(kk, r1, c1) * fr * fc
+        )
+
+    return bil(k) * (1 - fi) + bil(k + 1) * fi
 
 
 def _glass_lobe(base_color, wo, wi, ax, ay, eta_rel):
@@ -381,6 +438,29 @@ def _eval_lobes(
     ay_g = jnp.where(mats.thin_walled > 0.5, ayt, ay)
     eta_g = jnp.where(mats.thin_walled > 0.5, 1.0 + 1e-3, eta_rel)
     f_glass, pdf_g = _glass_lobe(mats.base_color, wo, wi, ax_g, ay_g, eta_g)
+    if options.do_energy_compensation:
+        # glass multiple-scattering compensation (Turquin 2019; reference:
+        # MicrofacetEnergyCompensation.h dielectrics path reading the baked
+        # entering/exiting/thin tables) — symmetric in (wo, wi)
+        ior_key = jnp.maximum(
+            jnp.maximum(eta_rel, 1.0 / jnp.maximum(eta_rel, 1e-3)),
+            1.0 + 1e-3,
+        )
+        entering = eta_rel >= 1.0
+        r_key = jnp.where(mats.thin_walled > 0.5, r_thin, mats.roughness)
+
+        def glass_E(cos):
+            e_in = _glass_ess_lookup(_GLASS_ESS, r_key, cos, ior_key)
+            e_out = _glass_ess_lookup(_GLASS_INV_ESS, r_key, cos, ior_key)
+            e_thin = _glass_ess_lookup(_THIN_GLASS_ESS, r_key, cos, ior_key)
+            e = jnp.where(entering, e_in, e_out)
+            return jnp.where(mats.thin_walled > 0.5, e_thin, e)
+
+        # keyed on wo only: wi lives on the OTHER side of the interface
+        # where the retention function differs — pairing the two tables
+        # over-boosts (the reference's dielectric path is wo-keyed too)
+        Eg = jnp.clip(glass_E(jnp.abs(wo[..., 2])), 1e-2, 1.0)
+        f_glass = f_glass * (1.0 / Eg)[..., None]
 
     # specular dielectric reflection on the base
     F_s_h = fresnel_dielectric(

@@ -3,15 +3,32 @@
 Role parity (headless-first redesign) with the reference's GLFW/ImGui window +
 DisplayViewSystem (src/UI/RenderWindow.cpp frame loop, display views,
 parameter panels): a small HTTP server streams the current render as PNG and
-exposes the main runtime settings; the render loop runs in a background
-thread, accumulating continuously, with interaction (camera orbit/zoom) going
-through the same reset-accumulation path as the reference
-(RenderWindow::reset_render).
+exposes the full runtime-settings tree and per-material editor; the render
+loop runs in a background thread, accumulating continuously, with interaction
+(camera orbit/zoom) going through the same reset-accumulation path as the
+reference (RenderWindow::reset_render).
 
-Display views (reference: 9 GLSL display programs, DisplayViewSystem.cpp:28-74)
-map to server endpoints: /image (tonemapped beauty), /image?view=denoised,
-/image?view=albedo, /image?view=normal, /image?view=heatmap (per-pixel sample
-count / convergence).
+Display views (reference: 9 GLSL display programs,
+src/UI/DisplayView/DisplayViewSystem.cpp:28-74) map to /image?view=...:
+  beauty           default tonemapped accumulation
+  denoised         à-trous denoise result
+  denoise_blend    beauty↔denoised blend (reference: blend-2 shader,
+                   factor via /control?cmd=set&key=denoise_blend)
+  albedo           denoiser albedo AOV
+  normal           denoiser normal AOV
+  heatmap          per-pixel sample-count heatmap (convergence)
+  boolmap          converged boolean map (white = converged)
+  furnace          white-furnace threshold view (|L - 1| > threshold,
+                   reference: white_furnace_threshold.frag)
+  nan              NaN highlight view (render/debug.py, bright pink)
+
+Parameter panels (reference: ImGuiSettingsWindow ~2300 LoC +
+ImGuiObjectsWindow material editor, 78-1238):
+  /settings        JSON of every runtime-settings leaf (tier 2)
+  /materials       JSON of every material's editable parameters
+  /control?cmd=set&key=<leaf>&value=v          — generic settings edit
+  /control?cmd=material&index=i&key=k&value=v  — live material edit
+Both reset accumulation exactly like the reference's edits do.
 """
 
 from __future__ import annotations
@@ -31,30 +48,65 @@ _PAGE = """<!doctype html><html><head><title>hiprt_pt_tpu viewer</title></head>
 <h3>hiprt_pt_tpu — progressive render</h3>
 <div id="stats"></div>
 <select id="view" onchange="refresh()">
- <option value="beauty">beauty</option><option value="denoised">denoised</option>
- <option value="albedo">albedo</option><option value="normal">normal</option>
- <option value="heatmap">sample heatmap</option></select>
- bounces <input id="bounces" type="number" min="1" max="16" value="4" style="width:3em"
-  onchange="setp('nb_bounces', this.value)"/>
- spp/frame <input id="spf" type="number" min="1" max="64" value="1" style="width:3em"
-  onchange="setp('samples_per_frame', this.value)"/>
- clamp <input id="clamp" type="number" min="0" step="0.5" value="0" style="width:4em"
-  onchange="setp('clamp', this.value)"/>
+ <option>beauty</option><option>denoised</option><option>denoise_blend</option>
+ <option>albedo</option><option>normal</option><option>heatmap</option>
+ <option>boolmap</option><option>furnace</option><option>nan</option></select>
  <button onclick="cam('orbit',15)">orbit</button>
  <button onclick="cam('zoom',0.3)">zoom+</button>
  <button onclick="cam('zoom',-0.3)">zoom-</button>
  <button onclick="fetch('/control?cmd=reset')">reset</button>
-<br/><img id="img" style="max-width:95vw"/>
+<br/><img id="img" style="max-width:60vw;float:left;margin-right:1em"/>
+<div id="panel" style="overflow:auto;max-height:80vh"></div>
 <script>
 function setp(k,v){ fetch('/control?cmd=set&key='+k+'&value='+v); }
+function setm(i,k,v){ fetch('/control?cmd=material&index='+i+'&key='+k+'&value='+v); }
 function cam(k,v){ fetch('/control?cmd='+k+'&value='+v); }
+async function buildPanel(){
+  const s = await (await fetch('/settings')).json();
+  let h = '<b>render settings</b><table>';
+  for (const [k,v] of Object.entries(s)) {
+    h += `<tr><td>${k}</td><td><input style="width:6em" value="${v}"
+          onchange="setp('${k}', this.value)"/></td></tr>`;
+  }
+  h += '</table><b>materials</b> <select id="mat" onchange="buildMat()"></select><div id="matp"></div>';
+  document.getElementById('panel').innerHTML = h;
+  const m = await (await fetch('/materials')).json();
+  window._mats = m;
+  const sel = document.getElementById('mat');
+  m.forEach((_,i)=>{ sel.innerHTML += `<option value="${i}">material ${i}</option>`; });
+  buildMat();
+}
+function buildMat(){
+  const i = +document.getElementById('mat').value || 0;
+  const m = window._mats[i]; let h = '<table>';
+  for (const [k,v] of Object.entries(m)) {
+    h += `<tr><td>${k}</td><td><input style="width:10em" value="${v}"
+          onchange="setm(${i}, '${k}', this.value)"/></td></tr>`;
+  }
+  document.getElementById('matp').innerHTML = h + '</table>';
+}
 async function refresh(){
   const v=document.getElementById('view').value;
   document.getElementById('img').src='/image?view='+v+'&t='+Date.now();
   const s=await fetch('/stats'); document.getElementById('stats').innerText=await s.text();
 }
-setInterval(refresh, 1500); refresh();
+buildPanel(); setInterval(refresh, 1500); refresh();
 </script></body></html>"""
+
+
+# runtime-settings leaves exposed in the panel (tier-2; the reference edits
+# these through ImGuiSettingsWindow without recompiling)
+_SETTINGS_KEYS = (
+    "nb_bounces", "samples_per_frame", "accumulate", "freeze_random",
+    "do_russian_roulette", "rr_min_depth", "rr_throughput_clamp",
+    "direct_contribution_clamp", "indirect_contribution_clamp",
+    "envmap_contribution_clamp", "minimum_light_contribution",
+    "number_of_light_samples", "enable_adaptive_sampling",
+    "adaptive_sampling_min_samples", "adaptive_sampling_noise_threshold",
+    "stop_noise_threshold", "stop_pixel_percentage_converged",
+    "render_low_resolution", "low_resolution_scale", "do_alpha_testing",
+    "rr_method",
+)
 
 
 class ViewerServer:
@@ -64,6 +116,8 @@ class ViewerServer:
         self.renderer = renderer
         self.host = host
         self.port = port
+        self.denoise_blend = 0.5
+        self.furnace_threshold = 0.02
         self._stop = threading.Event()
         self._render_thread = None
         self._httpd = None
@@ -79,34 +133,116 @@ class ViewerServer:
 
     def _image_png(self, view: str) -> bytes:
         import imageio.v3 as iio
+        import jax.numpy as jnp
+
+        from ..ops.pixel_order import unscramble
 
         r = self.renderer
-        if view == "denoised":
+        if view in ("denoised", "denoise_blend"):
             from ..render.denoise import denoise
             from ..ops.tonemap import tonemap_gamma
-            import jax.numpy as jnp
 
-            img = np.asarray(tonemap_gamma(jnp.asarray(denoise(r))))
+            den = np.asarray(tonemap_gamma(jnp.asarray(denoise(r))))
+            if view == "denoised":
+                img = den
+            else:
+                # reference: blend_2_display.frag — beauty↔denoised mix
+                img = (
+                    (1.0 - self.denoise_blend) * r.ldr_image()
+                    + self.denoise_blend * den
+                )
         elif view == "albedo":
             img = np.clip(r.aov_images()[0], 0, 1)
         elif view == "normal":
             img = np.clip(r.aov_images()[1] * 0.5 + 0.5, 0, 1)
         elif view == "heatmap":
-            import jax
-
-            from ..ops.pixel_order import unscramble
-
             counts = unscramble(
                 np.asarray(jax.device_get(r.state.pixel_sample_count)),
                 r.width, r.height,
             )[::-1].astype(np.float32)
             c = counts / max(counts.max(), 1.0)
             img = np.stack([c, 1.0 - c, np.zeros_like(c)], axis=-1)
+        elif view == "boolmap":
+            # reference: converged boolean map (boolmap_display.frag)
+            conv = unscramble(
+                np.asarray(jax.device_get(r.state.pixel_converged)),
+                r.width, r.height,
+            )[::-1].astype(np.float32)
+            img = np.repeat(conv[..., None], 3, axis=-1)
+        elif view == "furnace":
+            # reference: white_furnace_threshold.frag — pixels whose mean
+            # radiance deviates from 1 by more than the threshold light up
+            hdr = r.hdr_image()
+            dev = np.abs(hdr.mean(-1) - 1.0)
+            bad = (dev > self.furnace_threshold).astype(np.float32)
+            img = np.stack([bad, 1.0 - bad, np.zeros_like(bad)], axis=-1)
+        elif view == "nan":
+            from ..render.debug import nan_view
+
+            img = np.asarray(nan_view(r))
         else:
             img = r.ldr_image()
         buf = io.BytesIO()
-        iio.imwrite(buf, (img * 255).astype(np.uint8), extension=".png")
+        iio.imwrite(buf, (np.clip(img, 0, 1) * 255).astype(np.uint8),
+                    extension=".png")
         return buf.getvalue()
+
+    # --- parameter panels ---
+
+    def _settings_json(self) -> str:
+        r = self.renderer
+        out = {}
+        for k in _SETTINGS_KEYS:
+            v = getattr(r.settings, k, None)
+            if v is None:
+                continue
+            val = np.asarray(jax.device_get(v)).item()
+            out[k] = val
+        out["denoise_blend"] = self.denoise_blend
+        out["furnace_threshold"] = self.furnace_threshold
+        return json.dumps(out)
+
+    def _materials_json(self) -> str:
+        from ..core.material import _COLOR_FIELDS, _SCALAR_FIELDS
+
+        bank = self.renderer.scene.materials
+        n = int(np.asarray(bank.base_color).shape[0])
+        rows = []
+        for i in range(n):
+            row = {}
+            for name, _d in _SCALAR_FIELDS:
+                row[name] = float(np.asarray(getattr(bank, name))[i])
+            for name, _d in _COLOR_FIELDS:
+                row[name] = [
+                    round(float(x), 5)
+                    for x in np.asarray(getattr(bank, name))[i]
+                ]
+            rows.append(row)
+        return json.dumps(rows)
+
+    def _set_material(self, index: int, key: str, raw: str) -> bool:
+        """Live material edit (reference: ImGuiObjectsWindow material editor
+        writing through to RendererMaterial + render reset)."""
+        import jax.numpy as jnp
+
+        from ..core.material import _COLOR_FIELDS, _SCALAR_FIELDS
+
+        bank = self.renderer.scene.materials
+        scalar_names = {n for n, _ in _SCALAR_FIELDS}
+        color_names = {n for n, _ in _COLOR_FIELDS}
+        if key in scalar_names:
+            arr = np.asarray(jax.device_get(getattr(bank, key))).copy()
+            arr[index] = float(raw)
+        elif key in color_names:
+            arr = np.asarray(jax.device_get(getattr(bank, key))).copy()
+            vals = [float(x) for x in raw.replace("[", "").replace(
+                "]", "").split(",")]
+            arr[index] = np.asarray(vals[:3], np.float32)
+        else:
+            return False
+        new_bank = bank.replace(**{key: jnp.asarray(arr)})
+        self.renderer.scene = self.renderer.scene.replace(materials=new_bank)
+        return True
 
     def _control(self, q) -> str:
         """Runtime parameter edits + camera interaction (reference: ImGui
@@ -131,35 +267,59 @@ class ViewerServer:
             from ..core.camera import camera_zoom
 
             r.set_camera(camera_zoom(r.camera, float(q.get("value", ["0.3"])[0])))
+        elif cmd == "walk":
+            from ..core.camera import camera_translate
+
+            dx = float(q.get("dx", ["0"])[0])
+            dy = float(q.get("dy", ["0"])[0])
+            dz = float(q.get("dz", ["0"])[0])
+            r.set_camera(camera_translate(r.camera, dx, dy, dz))
+        elif cmd == "material":
+            idx = int(q.get("index", ["0"])[0])
+            key = q.get("key", [""])[0]
+            if self._set_material(idx, key, q.get("value", ["0"])[0]):
+                r.reset()
         elif cmd == "set":
             key = q.get("key", [""])[0]
-            val = float(q.get("value", ["0"])[0])
-            if key == "nb_bounces":
-                r.settings = r.settings.replace(nb_bounces=jnp.int32(int(val)))
-            elif key == "samples_per_frame":
+            raw = q.get("value", ["0"])[0]
+            if key == "denoise_blend":
+                self.denoise_blend = float(raw)
+                return json.dumps({"ok": True, "cmd": cmd})
+            if key == "furnace_threshold":
+                self.furnace_threshold = float(raw)
+                return json.dumps({"ok": True, "cmd": cmd})
+            if key == "clamp":  # legacy combined alias
                 r.settings = r.settings.replace(
-                    samples_per_frame=jnp.int32(int(val))
+                    direct_contribution_clamp=jnp.float32(float(raw)),
+                    indirect_contribution_clamp=jnp.float32(float(raw)),
                 )
-            elif key == "clamp":
-                r.settings = r.settings.replace(
-                    direct_contribution_clamp=jnp.float32(val),
-                    indirect_contribution_clamp=jnp.float32(val),
-                )
+            elif key in _SETTINGS_KEYS:
+                cur = getattr(r.settings, key)
+                dt = np.asarray(jax.device_get(cur)).dtype
+                if dt == np.bool_:
+                    val = jnp.bool_(raw.lower() in ("1", "true", "on"))
+                elif np.issubdtype(dt, np.integer):
+                    val = jnp.int32(int(float(raw)))
+                else:
+                    val = jnp.float32(float(raw))
+                r.settings = r.settings.replace(**{key: val})
             r.reset()
         return json.dumps({"ok": True, "cmd": cmd})
 
     def _stats(self) -> str:
-        import jax
-
         r = self.renderer
         sc = int(jax.device_get(r.state.sample_count))
         rays = float(jax.device_get(r.state.rays_traced))
+        conv = int(jax.device_get(r.state.nb_pixels_converged))
         return json.dumps(
             {
                 "samples": sc,
                 "resolution": [r.width, r.height],
                 "rays_traced": rays,
+                "pixels_converged": conv,
                 "frame_ms_avg": round(r.metrics.get_average("frame_ms"), 2),
+                "frame_ms_stddev": round(r.metrics.get_stddev("frame_ms"), 2)
+                if hasattr(r.metrics, "get_stddev") else 0.0,
                 "samples_per_s": round(
                     r.metrics.get_average("samples_per_s"), 3
                 ),
@@ -184,6 +344,12 @@ class ViewerServer:
                     ctype = "image/png"
                 elif u.path == "/stats":
                     body = viewer._stats().encode()
+                    ctype = "application/json"
+                elif u.path == "/settings":
+                    body = viewer._settings_json().encode()
+                    ctype = "application/json"
+                elif u.path == "/materials":
+                    body = viewer._materials_json().encode()
                     ctype = "application/json"
                 elif u.path == "/control":
                     body = viewer._control(parse_qs(u.query)).encode()

@@ -18,7 +18,7 @@ def load_scene_file(
     aspect: Optional[float] = None,
     envmap=None,
     with_textures: bool = True,
-    texture_size: int = 512,
+    texture_size: int = 2048,
 ) -> Tuple[SceneData, Camera]:
     """Load a GLTF scene file → (SceneData on device, Camera)."""
     parsed = load_gltf(path, aspect_override=aspect)

@@ -19,36 +19,60 @@ from ..assets.scene import TextureAtlas
 from ..core.material import MaterialBank
 
 
-def fetch_bilinear(atlas: TextureAtlas, tex_idx: jax.Array, uv: jax.Array):
-    """Bilinear texel fetch. tex_idx (N,) i32 (NO_TEXTURE = -1 → returns 1s),
-    uv (N,2) with wrap addressing. Returns (N,4)."""
-    L, S = atlas.num_layers, atlas.size
-    flat = atlas.layers.reshape(L * S * S, 4)
+def _srgb_decode(c):
+    """Exact piecewise sRGB → linear (reference: Texture.h sRGB handling)."""
+    return jnp.where(
+        c <= 0.04045, c / 12.92, ((c + 0.055) / 1.055) ** 2.4
+    )
+
+
+def fetch_bilinear(atlas: TextureAtlas, tex_idx: jax.Array, uv: jax.Array,
+                   lod: jax.Array | None = None):
+    """Bilinear texel fetch from the flat native-resolution uint8 atlas.
+
+    tex_idx (N,) i32 (NO_TEXTURE = -1 → returns 1s), uv (N,2) wrap-addressed,
+    lod optional (N,) f32 mip level (rounded to nearest; 0 = full res).
+    sRGB decode happens here, per tap, before filtering. Returns (N,4) f32.
+    """
     has = tex_idx >= 0
     layer = jnp.maximum(tex_idx, 0)
+    w0 = atlas.widths[layer]
+    h0 = atlas.heights[layer]
+    if lod is None:
+        level = jnp.zeros_like(layer)
+    else:
+        level = jnp.clip(
+            jnp.round(lod).astype(jnp.int32), 0, atlas.num_levels[layer] - 1
+        )
+    off = atlas.offsets[layer, level]
+    w = jnp.maximum(w0 >> level, 1)
+    h = jnp.maximum(h0 >> level, 1)
 
     u = uv[:, 0] % 1.0
     v = uv[:, 1] % 1.0
-    x = u * S - 0.5
-    y = v * S - 0.5
+    x = u * w.astype(jnp.float32) - 0.5
+    y = v * h.astype(jnp.float32) - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-    x0i = jnp.mod(x0.astype(jnp.int32), S)
-    x1i = jnp.mod(x0i + 1, S)
-    y0i = jnp.mod(y0.astype(jnp.int32), S)
-    y1i = jnp.mod(y0i + 1, S)
-    base = layer * (S * S)
-    t00 = flat[base + y0i * S + x0i]
-    t10 = flat[base + y0i * S + x1i]
-    t01 = flat[base + y1i * S + x0i]
-    t11 = flat[base + y1i * S + x1i]
+    fx = (x - x0)[:, None]
+    fy = (y - y0)[:, None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    y1i = jnp.mod(y0i + 1, h)
+
+    srgb = atlas.is_srgb[layer][:, None]
+
+    def tap(yy, xx):
+        t = atlas.texels[off + yy * w + xx].astype(jnp.float32) / 255.0
+        rgb = jnp.where(srgb, _srgb_decode(t[:, :3]), t[:, :3])
+        return jnp.concatenate([rgb, t[:, 3:4]], axis=-1)
+
     tex = (
-        t00 * ((1 - fx) * (1 - fy))[:, None]
-        + t10 * (fx * (1 - fy))[:, None]
-        + t01 * ((1 - fx) * fy)[:, None]
-        + t11 * (fx * fy)[:, None]
+        tap(y0i, x0i) * ((1 - fx) * (1 - fy))
+        + tap(y0i, x1i) * (fx * (1 - fy))
+        + tap(y1i, x0i) * ((1 - fx) * fy)
+        + tap(y1i, x1i) * (fx * fy)
     )
     return jnp.where(has[:, None], tex, 1.0)
 

@@ -180,5 +180,39 @@ def test_viewer_server(cornell_scene):
             "http://127.0.0.1:18731/image?view=heatmap", timeout=30
         ).read()
         assert png2[:8] == b"\x89PNG\r\n\x1a\n"
+        # round-2 display-view parity (reference: 9 views,
+        # DisplayViewSystem.cpp:28-74)
+        for view in ("boolmap", "furnace", "nan", "denoise_blend"):
+            p = urllib.request.urlopen(
+                f"http://127.0.0.1:18731/image?view={view}", timeout=240
+            ).read()
+            assert p[:8] == b"\x89PNG\r\n\x1a\n", view
+        # parameter panels (reference: ImGuiSettingsWindow +
+        # ImGuiObjectsWindow material editor)
+        settings = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/settings", timeout=10
+        ).read())
+        assert "rr_min_depth" in settings and "nb_bounces" in settings
+        mats = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/materials", timeout=10
+        ).read())
+        assert len(mats) >= 1 and "roughness" in mats[0]
+        # live material edit + generic settings edit
+        urllib.request.urlopen(
+            "http://127.0.0.1:18731/control?cmd=material&index=0"
+            "&key=roughness&value=0.77", timeout=10
+        ).read()
+        mats2 = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/materials", timeout=10
+        ).read())
+        assert abs(mats2[0]["roughness"] - 0.77) < 1e-5
+        urllib.request.urlopen(
+            "http://127.0.0.1:18731/control?cmd=set&key=rr_min_depth&value=5",
+            timeout=10,
+        ).read()
+        s2 = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/settings", timeout=10
+        ).read())
+        assert s2["rr_min_depth"] == 5
     finally:
         srv.stop()

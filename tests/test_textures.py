@@ -20,7 +20,8 @@ def _checker(size=64, c0=(1, 0, 0), c1=(0, 0, 1)):
 
 def test_atlas_build_and_exact_fetch():
     atlas = build_texture_atlas([_checker(64)], srgb_indices=set(), layer_size=64)
-    assert atlas.layers.shape == (1, 64, 64, 4)
+    assert atlas.texels.shape[0] >= 64 * 64  # level 0 + mip chain
+    assert int(atlas.widths[0]) == 64 and int(atlas.heights[0]) == 64
     # texel centers fetch exactly
     uv = jnp.asarray([[(4 + 0.5) / 64, (4 + 0.5) / 64],
                       [(12 + 0.5) / 64, (4 + 0.5) / 64]], jnp.float32)
@@ -150,3 +151,33 @@ def test_alpha_aware_shadow_rays(cornell_scene):
     assert fo > 0.8, fo
     # 0.5-alpha surfaces pass roughly half per crossing: measured ~0.57
     assert 0.4 < fa < fo - 0.1, (fa, fo)
+
+
+def test_native_resolution_and_mips():
+    """Round-2 (VERDICT Weak #4): textures keep native size, store uint8,
+    carry a mip chain, and bound HBM by the max-size cap."""
+    import numpy as np
+    img_big = np.zeros((128, 256, 4), np.uint8)
+    img_big[..., 0] = 200
+    img_big[..., 3] = 255
+    img_small = np.full((16, 16, 4), 64, np.uint8)
+    atlas = build_texture_atlas([img_big, img_small], srgb_indices=set())
+    assert int(atlas.widths[0]) == 256 and int(atlas.heights[0]) == 128
+    assert int(atlas.widths[1]) == 16
+    assert atlas.texels.dtype == jnp.uint8
+    assert int(atlas.num_levels[0]) >= 8  # 256 -> ... -> 1
+    # lod fetch returns the same flat color at any level
+    uv = jnp.asarray([[0.5, 0.5]], jnp.float32)
+    idx = jnp.zeros((1,), jnp.int32)
+    t0 = float(fetch_bilinear(atlas, idx, uv)[0, 0])
+    t3 = float(fetch_bilinear(atlas, idx, uv, lod=jnp.asarray([3.0]))[0, 0])
+    assert abs(t0 - 200 / 255) < 2e-2 and abs(t3 - t0) < 2e-2
+
+
+def test_max_size_cap_bounds_hbm():
+    import numpy as np
+    img = np.random.default_rng(0).integers(
+        0, 255, (512, 512, 4), np.uint8
+    )
+    atlas = build_texture_atlas([img], srgb_indices=set(), layer_size=128)
+    assert int(atlas.widths[0]) == 128  # capped by mip-shifting

@@ -285,6 +285,82 @@ class Renderer:
             )
         return self.state
 
+    def profile(self, frames: int = 2) -> dict:
+        """Per-pass timing breakdown in milliseconds (reference: per-kernel
+        GPU event timing, GPUKernel.cpp:180-189 + the performance panel).
+
+        One fused XLA program has no internal kernel boundaries, so passes
+        are delta-timed: the camera pass is jitted alone, and the bounce loop
+        cost comes from stepping at nb_bounces = 0 vs the configured count
+        (same executable — nb_bounces is a traced setting). Results are also
+        pushed into self.metrics for the windowed stats / viewer plots."""
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from .integrator import camera_rays_pass
+        from ..core import rng as rng_mod
+
+        n = self.width * self.height
+
+        def cam_only(state, camera, settings):
+            pix = _jnp.arange(n, dtype=_jnp.uint32)
+            rngs = rng_mod.seed(pix, state.sample_count, state.seed)
+            return camera_rays_pass(
+                self.scene, self.bvh, camera, settings, state,
+                self.width, self.height, state.sample_count, rngs,
+                self.options,
+            )[1].position
+
+        cam_jit = _jax.jit(cam_only)
+        out = cam_jit(self.state, self.camera, self.settings)
+        _jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            out = cam_jit(self.state, self.camera, self.settings)
+        _jax.block_until_ready(out)
+        cam_ms = (time.perf_counter() - t0) / frames * 1000.0
+
+        def step_ms(nb):
+            settings = self.settings.replace(
+                nb_bounces=_jnp.int32(nb), samples_per_frame=_jnp.int32(1)
+            )
+            # render_step donates its state argument — work on a copy so the
+            # renderer's live state survives profiling
+            st = _jax.tree.map(_jnp.copy, self.state)
+            st = render_step(
+                self.options, self.width, self.height,
+                (self.scene, self.bvh), st, self.camera, settings,
+                self.world,
+            )
+            _jax.block_until_ready(st.accum)
+            t0 = time.perf_counter()
+            for _ in range(frames):
+                st = render_step(
+                    self.options, self.width, self.height,
+                    (self.scene, self.bvh), st, self.camera, settings,
+                    self.world,
+                )
+            _jax.block_until_ready(st.accum)
+            return (time.perf_counter() - t0) / frames * 1000.0
+
+        nb = int(jax.device_get(self.settings.nb_bounces))
+        base_ms = step_ms(0)
+        full_ms = step_ms(nb)
+        per_bounce = (full_ms - base_ms) / max(nb, 1)
+        result = {
+            "camera_pass_ms": cam_ms,
+            "camera_plus_overhead_ms": base_ms,
+            "direct_and_accum_ms": max(base_ms - cam_ms, 0.0),
+            "per_bounce_ms": per_bounce,
+            "bounce_loop_ms": max(full_ms - base_ms, 0.0),
+            "full_frame_ms": full_ms,
+            "nb_bounces": nb,
+        }
+        for k, v in result.items():
+            if k.endswith("_ms"):
+                self.metrics.add(k, float(v))
+        return result
+
     def frame_render_done(self) -> bool:
         """Non-blocking poll — analog of oroStreamQuery
         (GPURenderer.cpp:497-510)."""

@@ -216,3 +216,73 @@ def test_viewer_server(cornell_scene):
         assert s2["rr_min_depth"] == 5
     finally:
         srv.stop()
+
+
+def test_loader_fallback_chain(tmp_path):
+    """Scene-parse-failure fallback (reference: SceneParser.cpp:26-41)."""
+    from hiprt_pt_tpu.assets.loader import load_scene_file
+
+    bad = tmp_path / "broken.gltf"
+    bad.write_text("{not valid json")
+    scene, camera = load_scene_file(str(bad))
+    assert scene.num_triangles == 12  # procedural default cornell
+    assert int(scene.num_emissives) == 2
+
+
+def test_loader_parallel_pipeline():
+    """Keyed-thread pipelined load (reference: ThreadManager DAG,
+    main.cpp:55-67): texture/BVH/scene stages overlap and agree with the
+    serial path."""
+    from hiprt_pt_tpu.assets.loader import load_scene_file
+
+    path = "/root/reference/data/GLTFs/cornell_pbr.gltf"
+    s1, c1 = load_scene_file(path)
+    s2, c2, bvh = load_scene_file(path, parallel=True, with_bvh=True)
+    assert s1.num_triangles == s2.num_triangles
+    assert bvh.nodes.shape[0] > 0
+
+
+def test_thread_manager_dag():
+    from hiprt_pt_tpu.utils.threads import ThreadManager
+    import time as _t
+
+    tm = ThreadManager()
+    order = []
+    tm.add_dependency("b", "a")
+    tm.start_thread("a", lambda: (_t.sleep(0.1), order.append("a")))
+    tm.start_thread("b", lambda: order.append("b"))
+    tm.join_threads("b")
+    assert order == ["a", "b"]
+    # monothread mode runs inline
+    tm2 = ThreadManager(monothread=True)
+    tm2.start_thread("x", lambda: order.append("x"))
+    assert order[-1] == "x"
+    # errors surface at join
+    tm.start_thread("err", lambda: 1 / 0)
+    import pytest as _pytest
+    with _pytest.raises(ZeroDivisionError):
+        tm.join_threads("err")
+
+
+def test_renderer_profile(cornell_scene):
+    from hiprt_pt_tpu.core.settings import (
+        AmbientLightType, BSDFOverride, LightSamplingStrategy, RenderOptions,
+    )
+    from hiprt_pt_tpu.render.renderer import Renderer
+
+    scene, camera = cornell_scene
+    r = Renderer(
+        scene, camera, 32, 32,
+        options=RenderOptions(
+            bsdf_override=BSDFOverride.LAMBERTIAN, max_bounces_static=2,
+            direct_light_sampling=LightSamplingStrategy.MIS,
+        ),
+    )
+    r.settings = r.settings.replace(nb_bounces=jnp.int32(2))
+    r.world = r.world.replace(
+        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+    )
+    prof = r.profile(frames=1)
+    assert prof["camera_pass_ms"] > 0
+    assert prof["full_frame_ms"] >= prof["camera_plus_overhead_ms"] * 0.5
+    assert r.metrics.get_average("per_bounce_ms") >= 0.0

@@ -17,6 +17,15 @@ import jax
 # overrides JAX_PLATFORMS; re-point selection at CPU before any backend init.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite's wall time is dominated by
+# recompiling the same render-step/test jits every run (the reference's
+# shader cache plays the same role, GPUKernelCompiler.cpp:250-308). First
+# run populates .pytest_xla_cache/; later runs skip virtually all compiles.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".pytest_xla_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

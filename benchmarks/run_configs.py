@@ -4,8 +4,8 @@ The five configurations map 1:1 onto the build-plan milestones (SURVEY.md §7.1)
   1. Cornell GLTF 256x256, diffuse (Oren-Nayar) + uniform-light MIS, 4 bounces
   2. Glass + dispersion + envmap CDF-inversion sampling
   3. Full principled BSDF + alias-table envmap MIS
-  4. RIS+WRS many-light (Bistro stands in as cornell until a Bistro-class
-     asset is importable; alpha/normal mapping enabled)
+  4. RIS+WRS many-light on the Bistro-class stress interior
+     (assets/stress.py: 259k tris, 120 emitters, 18 textures)
   5. ReSTIR DI spatiotemporal + light presampling + adaptive sampling +
      denoised AOVs
 
@@ -28,6 +28,7 @@ DISPERSION = "/root/reference/data/GLTFs/multi-dispersion.gltf"
 
 def run_config(name, scene_path, res, options_kw, settings_kw, world_kw,
                frames, envmap_kind=None, force_dispersion=False):
+    """scene_path "stress" loads the procedural Bistro-class interior."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -45,9 +46,14 @@ def run_config(name, scene_path, res, options_kw, settings_kw, world_kw,
         if envmap_kind
         else None
     )
-    scene, camera = load_scene_file(
-        scene_path, aspect=res[0] / res[1], envmap=envmap
-    )
+    if scene_path == "stress":
+        from hiprt_pt_tpu.assets.stress import load_stress_scene
+
+        scene, camera = load_stress_scene(aspect=res[0] / res[1])
+    else:
+        scene, camera = load_scene_file(
+            scene_path, aspect=res[0] / res[1], envmap=envmap
+        )
     if force_dispersion:
         trans = np.asarray(scene.materials.specular_transmission) > 0
         scene = scene.replace(
@@ -155,10 +161,10 @@ def main():
         f,
         envmap_kind="sky",
     )
-    # 4 — RIS + WRS many-light
+    # 4 — RIS + WRS many-light on the stress interior
     run_config(
-        "4-ris-wrs",
-        CORNELL,
+        "4-ris-wrs-stress",
+        "stress",
         (512, 512),
         dict(
             direct_light_sampling=LightSamplingStrategy.RIS_BSDF_LIGHT,
@@ -170,8 +176,8 @@ def main():
     )
     # 5 — ReSTIR DI + presampling + adaptive + denoise-ready AOVs
     run_config(
-        "5-restir-di-adaptive",
-        CORNELL,
+        "5-restir-di-adaptive-stress",
+        "stress",
         (512, 512),
         dict(
             direct_light_sampling=LightSamplingStrategy.RESTIR_DI,

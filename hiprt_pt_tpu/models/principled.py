@@ -65,6 +65,76 @@ def _load_glass(name):
 _GLASS_ESS = _load_glass("data_ggx_glass_ess_16.npy")
 _GLASS_INV_ESS = _load_glass("data_ggx_glass_inv_ess_16.npy")
 _THIN_GLASS_ESS = _load_glass("data_ggx_thin_glass_ess_16.npy")
+# fused (selector, ior, rough, cos) stack: ONE 8-gather trilinear lookup per
+# eval instead of three (a separate lookup per table tripled the eval's
+# gather count and cost 3x on the full-BSDF bench)
+_GLASS_ALL = np.stack([_GLASS_ESS, _GLASS_INV_ESS, _THIN_GLASS_ESS], 0)
+
+
+def _fit_glass_poly():
+    """Gather-free tensor-polynomial fit of the glass Ess tables.
+
+    Even the fused trilinear lookup costs 8 per-ray gathers per BSDF eval —
+    ~2x on the full-principled bench (a (N,) gather is HBM-latency-bound
+    regardless of table size). The tables are smooth except the exiting
+    table's TIR cliff, so a (5,5,3)-degree tensor polynomial per selector
+    fits enter/thin to ~4%/8% max and exit to ~19% max in the (noisy) TIR
+    corner; options.glass_compensation_exact keeps the table path for
+    quality-critical renders."""
+    res = _GLASS_ESS.shape[1]
+    cos = (np.arange(res) + 0.5) / res
+    rough = (np.arange(res) + 0.5) / res
+    iorp = (_GLASS_IORS - 1.0) / 1.5
+    DR, DC, DI = 5, 5, 3
+    II, RR, CC = np.meshgrid(iorp, rough, cos, indexing="ij")
+
+    def design(r_, c_, i_):
+        cols = []
+        for a in range(DR):
+            for b in range(DC):
+                for g in range(DI):
+                    cols.append((r_ ** a) * (c_ ** b) * (i_ ** g))
+        return np.stack(cols, -1)
+
+    A = design(RR.ravel(), CC.ravel(), II.ravel())
+    coefs = []
+    for t in (_GLASS_ESS, _GLASS_INV_ESS, _THIN_GLASS_ESS):
+        y = np.clip(t, 0.3, 1.0).ravel()
+        c, *_ = np.linalg.lstsq(A, y, rcond=None)
+        coefs.append(c.astype(np.float32))
+    return np.stack(coefs, 0), (DR, DC, DI)
+
+
+_GLASS_POLY, _GLASS_POLY_DEG = _fit_glass_poly()
+
+
+def _glass_ess_poly(rough, cos_o, ior, sel):
+    """Evaluate the fitted polynomial — pure VPU math, zero gathers."""
+    DR, DC, DI = _GLASS_POLY_DEG
+    ip = jnp.clip((ior - 1.0) / 1.5, 0.0, 1.0)
+    coef = jnp.asarray(_GLASS_POLY)  # (3, DR*DC*DI)
+    # per-ray coefficient selection is 3 static branches blended by masks
+    # (sel is tiny-cardinality; no gather needed)
+    c0 = coef[0]
+    c1 = coef[1]
+    c2 = coef[2]
+    out = jnp.zeros_like(rough)
+    k = 0
+    ra = jnp.ones_like(rough)
+    for a in range(DR):
+        cb = jnp.ones_like(cos_o)
+        for b in range(DC):
+            ig = jnp.ones_like(ip)
+            for g in range(DI):
+                ck = jnp.where(
+                    sel == 0, c0[k], jnp.where(sel == 1, c1[k], c2[k])
+                )
+                out = out + ck * ra * cb * ig
+                k += 1
+                ig = ig * ip
+            cb = cb * cos_o
+        ra = ra * rough
+    return jnp.clip(out, 0.3, 1.0)
 
 
 def _ess_lookup(rough, cos_o):
@@ -175,11 +245,18 @@ def _diffuse_lobe(base_color, sigma, wo, wi):
     return f, pdf
 
 
-def _glass_ess_lookup(table_np, rough, cos_o, ior):
+def _glass_ess_lookup(table_np, rough, cos_o, ior, sel=None):
     """Trilinear lookup of Ess(ior; roughness, cos) over the static
-    _GLASS_IORS grid. rough/cos in [0,1]; ior = MAX(eta, 1/eta) >= 1."""
+    _GLASS_IORS grid. rough/cos in [0,1]; ior = MAX(eta, 1/eta) >= 1.
+    With a 4D (selector, ior, rough, cos) stack, sel (N,) i32 picks the
+    sub-table per ray at no extra gather cost."""
     tab = jnp.asarray(table_np)
-    n_ior, res_r, res_c = table_np.shape
+    if table_np.ndim == 4:
+        n_sel, n_ior, res_r, res_c = table_np.shape
+        sel_off = (sel if sel is not None else 0) * n_ior
+    else:
+        n_ior, res_r, res_c = table_np.shape
+        sel_off = 0
     iors = jnp.asarray(_GLASS_IORS)
     # ior segment: idx of the lower grid point
     k = jnp.clip(
@@ -201,7 +278,7 @@ def _glass_ess_lookup(table_np, rough, cos_o, ior):
     flat = tab.reshape(-1)
 
     def at(kk, rr, cc):
-        return flat[(kk * res_r + rr) * res_c + cc]
+        return flat[((sel_off + kk) * res_r + rr) * res_c + cc]
 
     def bil(kk):
         return (
@@ -449,12 +526,20 @@ def _eval_lobes(
         entering = eta_rel >= 1.0
         r_key = jnp.where(mats.thin_walled > 0.5, r_thin, mats.roughness)
 
-        def glass_E(cos):
-            e_in = _glass_ess_lookup(_GLASS_ESS, r_key, cos, ior_key)
-            e_out = _glass_ess_lookup(_GLASS_INV_ESS, r_key, cos, ior_key)
-            e_thin = _glass_ess_lookup(_THIN_GLASS_ESS, r_key, cos, ior_key)
-            e = jnp.where(entering, e_in, e_out)
-            return jnp.where(mats.thin_walled > 0.5, e_thin, e)
+        sel = jnp.where(
+            mats.thin_walled > 0.5,
+            2,
+            jnp.where(entering, 0, 1),
+        ).astype(jnp.int32)
+
+        if options.glass_compensation_exact:
+            def glass_E(cos):
+                return _glass_ess_lookup(
+                    _GLASS_ALL, r_key, cos, ior_key, sel
+                )
+        else:
+            def glass_E(cos):
+                return _glass_ess_poly(r_key, cos, ior_key, sel)
 
         # keyed on wo only: wi lives on the OTHER side of the interface
         # where the retention function differs — pairing the two tables

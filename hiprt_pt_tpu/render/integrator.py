@@ -56,19 +56,27 @@ from ..ops.traverse import (
 )
 
 
-def _make_tracers(options: RenderOptions):
-    """Select the traversal backend: the Pallas VMEM kernel (production when
-    the scene + wavefront qualify) or the chunked XLA packet traversal.
+def _make_tracers(options: RenderOptions, coherent: bool = False):
+    """Select the traversal backend: the Pallas VMEM kernels (production
+    when the scene + wavefront qualify) or the chunked XLA packet traversal.
 
     Both checks (node count, wavefront divisibility) are static at trace
     time, so each jit specialization contains exactly one backend — the TPU
     analog of the reference recompiling kernels per option set
-    (KernelOptions.h)."""
+    (KernelOptions.h).
+
+    coherent: hint from the caller that rays share direction/origin locality
+    (the camera pass). On big scenes coherent wavefronts use the lockstep
+    BVH4 grid kernel (short union walks, no refill overhead); incoherent
+    bounce/shadow wavefronts use the streaming-refill kernel (measured 2x on
+    random-direction rays at 259k tris, where per-packet walk-length
+    variance makes lockstep programs wait on their slowest packet)."""
     if options.use_pallas_traversal:
         from ..ops.pallas_traverse import (
             pallas_supported,
             pallas_wide_supported,
             traverse_pallas,
+            traverse_pallas_stream,
             traverse_pallas_wide,
         )
 
@@ -78,9 +86,11 @@ def _make_tracers(options: RenderOptions):
                 return traverse_pallas(bvh, o, d, t_min, tm, active,
                                        any_hit=any_hit)
             if pallas_wide_supported(bvh, o.shape[0]):
-                # big scene: BVH4 nodes in VMEM, fat leaves DMA'd from HBM
-                return traverse_pallas_wide(bvh, o, d, t_min, tm, active,
-                                            any_hit=any_hit)
+                if coherent:
+                    return traverse_pallas_wide(bvh, o, d, t_min, tm,
+                                                active, any_hit=any_hit)
+                return traverse_pallas_stream(bvh, o, d, t_min, tm,
+                                              active, any_hit=any_hit)
             return None
 
         def closest(bvh, o, d, t_min=1e-4, t_max=None, active=None):
@@ -205,7 +215,7 @@ def camera_rays_pass(
     adaptive_keep = ~(settings.enable_adaptive_sampling & state.pixel_converged)
     active = active & adaptive_keep
 
-    closest, _ = _make_tracers(options)
+    closest, _ = _make_tracers(options, coherent=True)
     rec = closest(bvh, o, d, t_min=0.0, active=active)
     hit = rec.prim >= 0
     ns, ng, uv, mat_id, tangent = _interpolate_hit(

@@ -92,6 +92,13 @@ class SceneData:
     emissive_alias_prob: jax.Array   # (E,) f32
     emissive_alias: jax.Array        # (E,) i32
     emissive_pmf: jax.Array          # (E,) f32 — pick probability per entry
+    # packed per-emissive sampling row — ONE gather serves a whole light
+    # candidate (the unpacked path cost ~9 per-ray gathers each):
+    # [0:3] v0, [3:6] e1, [6:9] e2, [9:12] unit normal, [12] area,
+    # [13] pmf, [14:17] radiance, [17] tri index (bitcast i32),
+    # [18] alias prob, [19] alias slot (bitcast i32), [20:32] pad
+    emissive_rows: jax.Array         # (E, 32) f32
+    emissive_slot_of_tri: jax.Array  # (T,) i32 — tri -> emissive slot (-1)
     emissive_total_area: jax.Array   # scalar f32
     envmap: Optional[EnvmapData] = None
     textures: Optional[TextureAtlas] = None
@@ -223,6 +230,33 @@ def build_scene(
     tangent = np.where(tlen > 1e-9, tangent / np.maximum(tlen, 1e-12), 0.0)
     td[:, 28:31] = tangent
 
+    E = len(em_indices)
+    em_rows = np.zeros((E, 32), np.float32)
+    slot_of_tri = np.full((T,), -1, np.int32)
+    if num_em > 0:
+        ei = em_indices
+        ev0 = vertices[triangles[ei, 0]]
+        ee1 = vertices[triangles[ei, 1]] - ev0
+        ee2 = vertices[triangles[ei, 2]] - ev0
+        en = np.cross(ee1, ee2)
+        e_area = 0.5 * np.linalg.norm(en, axis=-1)
+        en_unit = en / np.maximum(
+            np.linalg.norm(en, axis=-1, keepdims=True), 1e-30
+        )
+        em_rows[:, 0:3] = ev0
+        em_rows[:, 3:6] = ee1
+        em_rows[:, 6:9] = ee2
+        em_rows[:, 9:12] = en_unit
+        em_rows[:, 12] = e_area
+        em_rows[:, 13] = pmf
+        em_rows[:, 14:17] = em_colors[material_ids[ei]]
+        em_rows[:, 17] = ei.astype(np.int32).view(np.float32)
+        em_rows[:, 18] = alias_p
+        em_rows[:, 19] = alias_i.astype(np.int32).view(np.float32)
+        slot_of_tri[ei] = np.arange(E, dtype=np.int32)
+    else:
+        em_rows[:, 17] = np.asarray([-1], np.int32).view(np.float32)[0]
+
     return SceneData(
         vertices=jnp.asarray(vertices),
         triangles=jnp.asarray(triangles),
@@ -238,6 +272,8 @@ def build_scene(
         emissive_alias_prob=jnp.asarray(alias_p),
         emissive_alias=jnp.asarray(alias_i),
         emissive_pmf=jnp.asarray(pmf),
+        emissive_rows=jnp.asarray(em_rows),
+        emissive_slot_of_tri=jnp.asarray(slot_of_tri),
         emissive_total_area=jnp.float32(total_area),
         envmap=envmap,
         textures=textures,

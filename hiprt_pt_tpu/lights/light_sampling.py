@@ -39,37 +39,37 @@ def sample_emissive_triangle(scene: SceneData, p: jax.Array, rng_state):
     rng_state, u1, u2 = rng_mod.next_float2(rng_state)
     rng_state, u_acc = rng_mod.next_float(rng_state)
 
-    # O(1) Vose alias draw (searchsorted lowers to a while-loop binary
-    # search on TPU — measured 200+ ms/step on a 240-light scene)
-    e = scene.emissive_alias_prob.shape[0]
+    # O(1) Vose alias draw + ONE packed-row gather for the whole candidate
+    # (searchsorted lowered to a while-loop binary search and the unpacked
+    # path cost ~9 per-ray gathers; see SceneData.emissive_rows)
+    e = scene.emissive_rows.shape[0]
     j = jnp.minimum((u_sel * e).astype(jnp.int32), e - 1)
-    slot = jnp.where(
-        u_acc < scene.emissive_alias_prob[j], j, scene.emissive_alias[j]
+    rowjT = scene.emissive_rows[j].T  # (32, N)
+    alias_slot = jax.lax.bitcast_convert_type(rowjT[19], jnp.int32)
+    slot = jnp.where(u_acc < rowjT[18], j, alias_slot)
+    rowT = jnp.where(
+        (slot == j)[None, :], rowjT, scene.emissive_rows[slot].T
     )
-    tri_idx = scene.emissive_tri_indices[slot]
-    safe_tri = jnp.maximum(tri_idx, 0)
-    tri = scene.triangles[safe_tri]
-    v0 = scene.vertices[tri[:, 0]]
-    e1 = scene.vertices[tri[:, 1]] - v0
-    e2 = scene.vertices[tri[:, 2]] - v0
 
-    light_p, ng = sample_triangle(v0, e1, e2, u1, u2)
-    area = 0.5 * jnp.linalg.norm(ng, axis=-1)
-    light_n = ng / jnp.maximum(jnp.linalg.norm(ng, axis=-1, keepdims=True), 1e-12)
+    v0 = rowT[0:3].T
+    e1 = rowT[3:6].T
+    e2 = rowT[6:9].T
+    light_n = rowT[9:12].T
+    area = rowT[12]
+    pdf_tri = rowT[13]
+    radiance = rowT[14:17].T
+    tri_idx = jax.lax.bitcast_convert_type(rowT[17], jnp.int32)
+
+    light_p, _ng = sample_triangle(v0, e1, e2, u1, u2)
 
     to_light = light_p - p
     dist2 = jnp.sum(to_light * to_light, axis=-1)
     dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
     wi = to_light / dist[..., None]
 
-    # pdf of having picked this triangle (power pmf entry)
-    pdf_tri = scene.emissive_pmf[slot]
     # area pdf → solid angle (reference: LightUtils.h area_to_solid_angle_pdf)
     cos_light = jnp.abs(jnp.sum(light_n * (-wi), axis=-1))
     pdf = pdf_tri / jnp.maximum(area, 1e-12) * dist2 / jnp.maximum(cos_light, 1e-8)
-
-    mats = scene.materials.at_indices(scene.material_ids[safe_tri])
-    radiance = mats.effective_emission()
 
     valid = (tri_idx >= 0) & (cos_light > 1e-8) & (scene.num_emissives > 0)
     return rng_state, {
@@ -93,31 +93,16 @@ def emissive_pdf_of_direction(
 
     Returns (pdf (N,), is_emissive_hit (N,) bool).
     """
+    # direct tri -> emissive-slot map + ONE packed-row gather (replaces a
+    # searchsorted while-loop plus ~8 unpacked gathers)
     safe_prim = jnp.maximum(hit_prim, 0)
-    mat_id = scene.material_ids[safe_prim]
-    mats = scene.materials.at_indices(mat_id)
-    em = mats.effective_emission()
-    is_em = (hit_prim >= 0) & jnp.any(em > 0.0, axis=-1)
-
-    tri = scene.triangles[safe_prim]
-    v0 = scene.vertices[tri[:, 0]]
-    e1 = scene.vertices[tri[:, 1]] - v0
-    e2 = scene.vertices[tri[:, 2]] - v0
-    ng = jnp.cross(e1, e2)
-    area2 = jnp.linalg.norm(ng, axis=-1)
-    area = 0.5 * area2
-    light_n = ng / jnp.maximum(area2[..., None], 1e-12)
-
-    # pdf of selecting this triangle under the power CDF: power_i / total.
-    # power_i = area * sum(emission); reconstruct from the CDF via the slot of
-    # this prim — emissive_tri_indices is sorted ascending, so search it.
-    slot = jnp.clip(
-        jnp.searchsorted(scene.emissive_tri_indices, safe_prim, side="left"),
-        0,
-        scene.emissive_tri_indices.shape[0] - 1,
-    )
-    matched = scene.emissive_tri_indices[slot] == safe_prim
-    pdf_tri = scene.emissive_pmf[slot]
+    slot = scene.emissive_slot_of_tri[safe_prim]
+    matched = (hit_prim >= 0) & (slot >= 0)
+    rowT = scene.emissive_rows[jnp.maximum(slot, 0)].T  # (32, N)
+    light_n = rowT[9:12].T
+    area = rowT[12]
+    pdf_tri = rowT[13]
+    is_em = matched & (jnp.sum(rowT[14:17].T, axis=-1) > 0.0)
 
     cos_light = jnp.abs(jnp.sum(light_n * (-wi), axis=-1))
     dist2 = hit_t * hit_t

@@ -110,6 +110,11 @@ class RenderOptions:
     envmap_sampling: EnvmapSamplingStrategy = EnvmapSamplingStrategy.ALIAS_TABLE
     envmap_bsdf_mis: bool = True
     ris_use_visibility_target: bool = False
+    # weight RIS/ReSTIR candidates with the cheap proxy BSDF and re-evaluate
+    # only the winner exactly (models/proxy.py; unbiased for any positive
+    # target). False = reference behavior: full BSDF eval per candidate
+    # (RIS.h:100-139)
+    ris_proxy_target: bool = True
     bsdf_override: BSDFOverride = BSDFOverride.NONE
     interior_stack_strategy: InteriorStackStrategy = (
         InteriorStackStrategy.WITH_PRIORITIES

@@ -10,14 +10,20 @@ either source gets weight
     w = p_hat(x) / (M_l·p_light(x) + M_b·p_bsdf(x))
 
 where p_hat is the (unshadowed, or optionally shadowed) target luminance; one
-winner is kept by WRS and shaded as f(X)·W with W = Σw / p_hat(X), plus one
-final visibility ray. BSDF candidates trace a closest-hit ray to find the
-emitter they hit, same as the reference (RIS.h:100-139).
+winner is kept by WRS and shaded with one final visibility ray.
 
-TPU-first: the candidate loops are ``lax.fori_loop``s with traced counts (tier-2
-runtime settings — changing candidate counts does NOT recompile), and every
-reservoir is a small struct-of-arrays updated with masked selects across the
-whole wavefront.
+TPU-first departures from the reference:
+  * ``options.ris_proxy_target`` (default): candidates are weighted by the
+    cheap proxy BSDF (models/proxy.py) and only the WINNER is re-evaluated
+    with the full principled BSDF at final shading — the reference evaluates
+    the full BSDF per candidate (RIS.h:100-139), which on TPU costs more than
+    the shadow rays. Unbiased for any positive target (the estimator is
+    f_true(X)·L·cos·W with W = Σw / p_hat_proxy(X)); BSDF candidates are
+    drawn from the proxy sampler so the Talbot mixture pdfs stay consistent.
+  * the candidate loops are ``lax.fori_loop``s with traced counts (tier-2
+    runtime settings — changing candidate counts does NOT recompile), and
+    every reservoir is a small struct-of-arrays updated with masked selects
+    across the whole wavefront.
 """
 
 from __future__ import annotations
@@ -28,7 +34,12 @@ import jax.numpy as jnp
 from ..assets.scene import SceneData
 from ..core import rng as rng_mod
 from ..core.settings import RenderOptions
-from ..models.dispatcher import bsdf_eval, bsdf_sample
+from ..models.dispatcher import (
+    bsdf_eval,
+    bsdf_proxy_eval,
+    bsdf_proxy_sample,
+    bsdf_sample,
+)
 from ..ops.intersect import offset_ray_origin
 # traversal is routed through the options-selected backend (Pallas/XLA) —
 # direct ops.traverse calls would silently pin RIS to the XLA path
@@ -61,18 +72,26 @@ def ris_direct_lighting(
     M_l = settings.ris.number_of_light_candidates
     M_b = settings.ris.number_of_bsdf_candidates
     aux = {"eta_rel": eta_rel}
+    proxy = options.ris_proxy_target
 
-    # reservoir state
+    def target_eval(wi):
+        """Candidate-weighting BSDF (proxy or exact). Returns (f, pdf_b)."""
+        if proxy:
+            return bsdf_proxy_eval(options, mats, ns, wo, wi, aux)
+        return bsdf_eval(options, mats, ns, wo, wi, aux)
+
+    # reservoir state — stores what final shading needs to re-evaluate the
+    # winner exactly: direction, emitter radiance, distance, target value
     res = dict(
         w_sum=jnp.zeros((n,), jnp.float32),
-        integrand=jnp.zeros((n, 3), jnp.float32),  # f·L·cos of the winner
+        radiance=jnp.zeros((n, 3), jnp.float32),  # emitter L of the winner
         p_hat=jnp.zeros((n,), jnp.float32),
         wi=jnp.zeros((n, 3), jnp.float32),
         dist=jnp.full((n,), jnp.inf, jnp.float32),
         n_rays=jnp.float32(0.0),
     )
 
-    def wrs_update(res, rng_state, w, integrand, p_hat, wi, dist, valid):
+    def wrs_update(res, rng_state, w, radiance, p_hat, wi, dist, valid):
         w = jnp.where(valid & (p_hat > 0.0), w, 0.0)
         new_sum = res["w_sum"] + w
         rng_state, u = rng_mod.next_float(rng_state)
@@ -80,7 +99,7 @@ def ris_direct_lighting(
         return (
             dict(
                 w_sum=new_sum,
-                integrand=jnp.where(take[..., None], integrand, res["integrand"]),
+                radiance=jnp.where(take[..., None], radiance, res["radiance"]),
                 p_hat=jnp.where(take, p_hat, res["p_hat"]),
                 wi=jnp.where(take[..., None], wi, res["wi"]),
                 dist=jnp.where(take, dist, res["dist"]),
@@ -95,9 +114,8 @@ def ris_direct_lighting(
         rng_state, ls = sample_emissive_triangle(scene, p, rng_state)
         wi = ls["wi"]
         cos_i = jnp.sum(ns * wi, axis=-1)
-        f, pdf_b = bsdf_eval(options, mats, ns, wo, wi, aux)
-        integrand = f * ls["radiance"] * jnp.maximum(cos_i, 0.0)[..., None]
-        p_hat = luminance(integrand)
+        f, pdf_b = target_eval(wi)
+        p_hat = luminance(f * ls["radiance"]) * jnp.maximum(cos_i, 0.0)
         valid = active & ls["valid"] & (cos_i > 0.0) & (ls["pdf"] > 0.0)
         if options.ris_use_visibility_target:
             so = offset_ray_origin(p, ng, wi)
@@ -114,7 +132,7 @@ def ris_direct_lighting(
         )
         w = p_hat / jnp.maximum(mix_pdf, 1e-12)
         res, rng_state = wrs_update(
-            res, rng_state, w, integrand, p_hat, wi, ls["dist"], valid
+            res, rng_state, w, ls["radiance"], p_hat, wi, ls["dist"], valid
         )
         return res, rng_state
 
@@ -123,9 +141,14 @@ def ris_direct_lighting(
     # --- BSDF candidates (trace to find what they hit) ---
     def bsdf_body(i, carry):
         res, rng_state = carry
-        rng_state, wi, f, pdf_b, _s_aux = bsdf_sample(
-            options, mats, ns, wo, rng_state, aux
-        )
+        if proxy:
+            rng_state, wi, f, pdf_b = bsdf_proxy_sample(
+                options, mats, ns, wo, rng_state, aux
+            )
+        else:
+            rng_state, wi, f, pdf_b, _s_aux = bsdf_sample(
+                options, mats, ns, wo, rng_state, aux
+            )
         cos_i = jnp.sum(ns * wi, axis=-1)
         cand = active & (pdf_b > 0.0) & (cos_i > 0.0)
         o = offset_ray_origin(p, ng, wi)
@@ -136,8 +159,7 @@ def ris_direct_lighting(
             scene.material_ids[jnp.maximum(rec.prim, 0)]
         )
         radiance = em_mats.effective_emission()
-        integrand = f * radiance * jnp.maximum(cos_i, 0.0)[..., None]
-        p_hat = luminance(integrand)
+        p_hat = luminance(f * radiance) * jnp.maximum(cos_i, 0.0)
         valid = cand & hit & is_em
         mix_pdf = (
             M_l.astype(jnp.float32) * pdf_l
@@ -146,19 +168,23 @@ def ris_direct_lighting(
         w = p_hat / jnp.maximum(mix_pdf, 1e-12)
         # visibility already proven by the closest hit (it IS the emitter)
         res, rng_state = wrs_update(
-            res, rng_state, w, integrand, p_hat, wi, rec.t, valid
+            res, rng_state, w, radiance, p_hat, wi, rec.t, valid
         )
-        res = dict(res, dist=jnp.where(valid, res["dist"], res["dist"]),
-                   n_rays=res["n_rays"] + jnp.sum(cand.astype(jnp.float32)))
+        res = dict(res, n_rays=res["n_rays"] + jnp.sum(cand.astype(jnp.float32)))
         return res, rng_state
 
     res, rng_state = jax.lax.fori_loop(0, M_b, bsdf_body, (res, rng_state))
 
-    # --- final shading of the winner with one visibility ray (alpha-aware
-    # when the scene has alpha textures; reference: FilterFunction.h applies
-    # the stochastic alpha test to every shadow ray) ---
+    # --- final shading: ONE exact BSDF eval of the winner + one visibility
+    # ray (alpha-aware when the scene has alpha textures; reference:
+    # FilterFunction.h applies the stochastic alpha test to every shadow ray;
+    # exact-winner re-evaluation replaces the reference's stored per-candidate
+    # integrand, RIS.h:292-304) ---
     W = res["w_sum"] / jnp.maximum(res["p_hat"], 1e-12)
     has_winner = active & (res["p_hat"] > 0.0) & (res["w_sum"] > 0.0)
+    f_true, _pdf_true = bsdf_eval(options, mats, ns, wo, res["wi"], aux)
+    cos_w = jnp.maximum(jnp.sum(ns * res["wi"], axis=-1), 0.0)
+    integrand = f_true * res["radiance"] * cos_w[..., None]
     so = offset_ray_origin(p, ng, res["wi"])
     t_max_w = jnp.where(
         jnp.isfinite(res["dist"]), res["dist"] * (1.0 - 1e-3), 1e30
@@ -169,15 +195,15 @@ def ris_direct_lighting(
         rng_state, blocked = occluded_alpha(
             bvh, scene, options, settings, so, res["wi"], rng_state,
             t_max=t_max_w, active=has_winner,
-                closest_fn=_make_tracers(options)[0],
-            )
+            closest_fn=closest_hit_coherent,
+        )
     else:
         blocked = occluded_coherent(
             bvh, so, res["wi"], t_max=t_max_w, active=has_winner
         )
     n_rays = res["n_rays"] + jnp.sum(has_winner.astype(jnp.float32))
     contrib = jnp.where(
-        (has_winner & ~blocked)[..., None], res["integrand"] * W[..., None], 0.0
+        (has_winner & ~blocked)[..., None], integrand * W[..., None], 0.0
     )
     # minimum-contribution culling (reference: RIS.h:292-304)
     strong = (luminance(contrib) >= settings.minimum_light_contribution) | (

@@ -40,6 +40,33 @@ def bsdf_eval(options: RenderOptions, mats, n, wo, wi, aux=None):
     return principled.eval_pdf(options, mats, n, wo, wi, aux)
 
 
+def bsdf_proxy_eval(options: RenderOptions, mats, n, wo, wi, aux=None):
+    """Cheap target-function eval for RIS/ReSTIR candidate weighting (see
+    models/proxy.py). Non-principled overrides are already cheap — they route
+    to the real eval so proxy and exact targets coincide."""
+    ov = options.bsdf_override
+    if ov in (BSDFOverride.LAMBERTIAN, BSDFOverride.OREN_NAYAR):
+        return bsdf_eval(options, mats, n, wo, wi, aux)
+    from . import proxy
+
+    return proxy.eval_pdf(mats, n, wo, wi)
+
+
+def bsdf_proxy_sample(options: RenderOptions, mats, n, wo, rng_state, aux=None):
+    """Cheap candidate-direction sampler paired with bsdf_proxy_eval.
+    Returns (rng, wi, f_proxy, pdf) — pdf is the exact mixture pdf of this
+    sampler (required for consistent Talbot-MIS weights)."""
+    ov = options.bsdf_override
+    if ov in (BSDFOverride.LAMBERTIAN, BSDFOverride.OREN_NAYAR):
+        rng_state, wi, f, pdf, _aux = bsdf_sample(
+            options, mats, n, wo, rng_state, aux
+        )
+        return rng_state, wi, f, pdf
+    from . import proxy
+
+    return proxy.sample(mats, n, wo, rng_state)
+
+
 def bsdf_sample(options: RenderOptions, mats, n, wo, rng_state, aux=None):
     from ..core import rng as rng_mod
 

@@ -42,7 +42,12 @@ from ..lights.envmap_sampling import (
 from ..lights.light_sampling import (
     emissive_pdf_of_direction,
 )
-from ..models.dispatcher import bsdf_eval, bsdf_sample
+from ..models.dispatcher import (
+    bsdf_eval,
+    bsdf_proxy_eval,
+    bsdf_proxy_sample,
+    bsdf_sample,
+)
 from ..ops.intersect import offset_ray_origin
 from ..ops.pixel_order import pixel_coords, linear_index
 from ..ops.sampling import sample_triangle
@@ -77,7 +82,15 @@ def eval_target_full(options, mats, p, ns, wo, eta_rel, res_or_sample):
 
     cos_i = jnp.maximum(jnp.sum(ns * wi, axis=-1), 0.0)
     cos_l = jnp.abs(jnp.sum(ln * (-wi), axis=-1))
-    f, bsdf_pdf = bsdf_eval(options, mats, ns, wo, wi, {"eta_rel": eta_rel})
+    # cheap proxy target (models/proxy.py): every reuse-pass m-term and UCW
+    # uses this SAME target function, and final_shading evaluates the winner
+    # with the exact BSDF — unbiased for any positive target
+    if options.ris_proxy_target:
+        f, bsdf_pdf = bsdf_proxy_eval(
+            options, mats, ns, wo, wi, {"eta_rel": eta_rel}
+        )
+    else:
+        f, bsdf_pdf = bsdf_eval(options, mats, ns, wo, wi, {"eta_rel": eta_rel})
     base = luminance(f * rad) * cos_i
     ph_area = base * cos_l / jnp.maximum(d2, 1e-12)
     ph = jnp.where(is_env, base, ph_area)
@@ -281,9 +294,17 @@ def initial_candidates(
     # BSDF candidates: trace to find the emitter (or envmap) they hit
     def bsdf_body(i, carry):
         res, rng_state = carry
-        rng_state, wi, f, pdf_b, _aux = bsdf_sample(
-            options, mats, ns, wo, rng_state, {"eta_rel": eta_rel}
-        )
+        if options.ris_proxy_target:
+            # candidates drawn from the proxy sampler so pdf_b is the true
+            # density of the draw AND matches eval_target_full's bsdf_pdf in
+            # the cross-stream MIS weights
+            rng_state, wi, f, pdf_b = bsdf_proxy_sample(
+                options, mats, ns, wo, rng_state, {"eta_rel": eta_rel}
+            )
+        else:
+            rng_state, wi, f, pdf_b, _aux = bsdf_sample(
+                options, mats, ns, wo, rng_state, {"eta_rel": eta_rel}
+            )
         cos_i = jnp.sum(ns * wi, axis=-1)
         cand = active & (pdf_b > 0.0) & (cos_i > 0.0)
         o = offset_ray_origin(p, ng, wi)

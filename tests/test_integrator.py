@@ -161,6 +161,37 @@ def test_ris_agrees_with_mis(cornell_scene, mis_image):
     assert abs(a - b) / max(a, 1e-6) < 0.12, (a, b)
 
 
+def test_ris_proxy_target_agrees_with_exact(cornell_scene):
+    """Proxy-target RIS (cheap candidate weighting + exact winner shading,
+    models/proxy.py) must converge to the same radiance as exact-target RIS
+    on full principled materials — the proxy changes variance, never the
+    estimator's expectation."""
+    scene, camera = cornell_scene
+
+    def render(use_proxy, seed):
+        opts = RenderOptions(
+            direct_light_sampling=LightSamplingStrategy.RIS_BSDF_LIGHT,
+            max_bounces_static=3,
+            ris_proxy_target=use_proxy,
+        )
+        r = Renderer(scene, camera, RES, RES, options=opts, seed=seed)
+        r.settings = r.settings.replace(
+            nb_bounces=jnp.int32(3), samples_per_frame=jnp.int32(96)
+        )
+        r.world = r.world.replace(
+            ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+        )
+        r.step(block=True)
+        return r.hdr_image()
+
+    img_proxy = render(True, seed=3)
+    img_exact = render(False, seed=4)
+    assert np.all(np.isfinite(img_proxy))
+    a = img_exact[4:-4, 4:-4].mean()
+    b = img_proxy[4:-4, 4:-4].mean()
+    assert abs(a - b) / max(a, 1e-6) < 0.10, (a, b)
+
+
 def test_restir_di_agrees_with_mis(cornell_scene, mis_image):
     """ReSTIR DI (initial + temporal + spatial + final visibility) must match
     MIS NEE radiance on a static camera (reference: ReSTIR DI pipeline)."""

@@ -84,6 +84,69 @@ def sample_emissive_triangle(scene: SceneData, p: jax.Array, rng_state):
     }
 
 
+def closest_emissive_hit(scene: SceneData, o: jax.Array, d: jax.Array,
+                         active=None, t_min: float = 1e-5):
+    """Nearest EMISSIVE-triangle hit along (o, d), ignoring occluders.
+
+    TPU-first replacement for the full closest-hit traversal that RIS/ReSTIR
+    BSDF candidates use only to discover which emitter a direction reaches
+    (reference: RIS.h:100-139, InitialCandidates.h:350 trace the whole
+    scene). Occlusion is re-checked by the winner's final visibility ray
+    anyway, so candidates may ignore blockers: the estimator stays unbiased
+    (occluded winners shade to zero), only variance changes. With E emissive
+    triangles this is a dense Möller-Trumbore sweep — pure lockstep VPU math
+    with no traversal stacks and no scalar-core control, ~E/30k of a full
+    incoherent BVH traversal's cost at 2M rays.
+
+    Returns (t (N,), slot (N,) i32 into emissive_rows — -1 on miss).
+    """
+    rows = scene.emissive_rows
+    e = rows.shape[0]
+    n = o.shape[0]
+    best_t = jnp.full((n,), jnp.inf, jnp.float32)
+    best_slot = jnp.full((n,), -1, jnp.int32)
+    if e == 0:
+        return best_t, best_slot
+
+    B = 8
+    nb = (e + B - 1) // B
+    if e % B:
+        pad = jnp.zeros((nb * B - e, 32), jnp.float32)
+        rows = jnp.concatenate([rows, pad], axis=0)  # degenerate tris: e1=e2=0
+
+    def block(i, carry):
+        best_t, best_slot = carry
+        blk = jax.lax.dynamic_slice(rows, (i * B, 0), (B, 32))
+        for j in range(B):
+            row = blk[j]
+            v0 = row[0:3]
+            e1 = row[3:6]
+            e2 = row[6:9]
+            pvec = jnp.cross(d, e2[None, :])
+            det = pvec @ e1
+            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            tvec = o - v0[None, :]
+            u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+            qvec = jnp.cross(tvec, e1[None, :])
+            v = (d * qvec).sum(axis=-1) * inv_det
+            t = (qvec @ e2) * inv_det
+            hit = (
+                (jnp.abs(det) > 1e-12)
+                & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > t_min) & (t < best_t)
+            )
+            best_t = jnp.where(hit, t, best_t)
+            best_slot = jnp.where(hit, i * B + j, best_slot)
+        return best_t, best_slot
+
+    best_t, best_slot = jax.lax.fori_loop(
+        0, nb, block, (best_t, best_slot)
+    )
+    if active is not None:
+        best_slot = jnp.where(active, best_slot, -1)
+    return best_t, best_slot
+
+
 def emissive_pdf_of_direction(
     scene: SceneData, p: jax.Array, hit_prim: jax.Array, hit_t: jax.Array, wi: jax.Array
 ):

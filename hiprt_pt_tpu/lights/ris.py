@@ -44,7 +44,15 @@ from ..ops.intersect import offset_ray_origin
 # traversal is routed through the options-selected backend (Pallas/XLA) —
 # direct ops.traverse calls would silently pin RIS to the XLA path
 from ..ops.tonemap import luminance
-from .light_sampling import emissive_pdf_of_direction, sample_emissive_triangle
+from .light_sampling import (
+    closest_emissive_hit,
+    emissive_pdf_of_direction,
+    sample_emissive_triangle,
+)
+
+# dense emissive-only candidate intersection pays off while E·N stays small
+# vs one full incoherent BVH traversal (see closest_emissive_hit)
+DENSE_EMISSIVE_MAX = 1024
 
 
 def ris_direct_lighting(
@@ -152,23 +160,42 @@ def ris_direct_lighting(
         cos_i = jnp.sum(ns * wi, axis=-1)
         cand = active & (pdf_b > 0.0) & (cos_i > 0.0)
         o = offset_ray_origin(p, ng, wi)
-        rec = closest_hit_coherent(bvh, o, wi, t_min=0.0, active=cand)
-        hit = rec.prim >= 0
-        pdf_l, is_em = emissive_pdf_of_direction(scene, o, rec.prim, rec.t, wi)
-        em_mats = scene.materials.at_indices(
-            scene.material_ids[jnp.maximum(rec.prim, 0)]
-        )
-        radiance = em_mats.effective_emission()
+        if 0 < scene.emissive_rows.shape[0] <= DENSE_EMISSIVE_MAX:
+            # dense emissive-only sweep: occluders ignored here, the winner's
+            # final visibility ray settles occlusion (unbiased; see
+            # closest_emissive_hit)
+            t_e, slot = closest_emissive_hit(scene, o, wi, active=cand)
+            valid = cand & (slot >= 0)
+            rowT = scene.emissive_rows[jnp.maximum(slot, 0)].T  # (32, N)
+            radiance = rowT[14:17].T
+            light_n = rowT[9:12].T
+            cos_l = jnp.abs(jnp.sum(light_n * (-wi), axis=-1))
+            pdf_l = (
+                rowT[13] / jnp.maximum(rowT[12], 1e-12)
+                * (t_e * t_e) / jnp.maximum(cos_l, 1e-8)
+            )
+            pdf_l = jnp.where(valid & jnp.isfinite(pdf_l), pdf_l, 0.0)
+            dist = t_e
+        else:
+            rec = closest_hit_coherent(bvh, o, wi, t_min=0.0, active=cand)
+            hit = rec.prim >= 0
+            pdf_l, is_em = emissive_pdf_of_direction(
+                scene, o, rec.prim, rec.t, wi
+            )
+            em_mats = scene.materials.at_indices(
+                scene.material_ids[jnp.maximum(rec.prim, 0)]
+            )
+            radiance = em_mats.effective_emission()
+            valid = cand & hit & is_em
+            dist = rec.t
         p_hat = luminance(f * radiance) * jnp.maximum(cos_i, 0.0)
-        valid = cand & hit & is_em
         mix_pdf = (
             M_l.astype(jnp.float32) * pdf_l
             + M_b.astype(jnp.float32) * pdf_b
         )
         w = p_hat / jnp.maximum(mix_pdf, 1e-12)
-        # visibility already proven by the closest hit (it IS the emitter)
         res, rng_state = wrs_update(
-            res, rng_state, w, radiance, p_hat, wi, rec.t, valid
+            res, rng_state, w, radiance, p_hat, wi, dist, valid
         )
         res = dict(res, n_rays=res["n_rays"] + jnp.sum(cand.astype(jnp.float32)))
         return res, rng_state

@@ -308,20 +308,49 @@ def initial_candidates(
         cos_i = jnp.sum(ns * wi, axis=-1)
         cand = active & (pdf_b > 0.0) & (cos_i > 0.0)
         o = offset_ray_origin(p, ng, wi)
-        rec = _tracers(options)[0](bvh, o, wi, t_min=0.0, active=cand)
-        hit = rec.prim >= 0
-        em_mats = scene.materials.at_indices(
-            scene.material_ids[jnp.maximum(rec.prim, 0)]
-        )
-        rad = em_mats.effective_emission()
-        is_em = jnp.any(rad > 0.0, axis=-1) & hit
-        # reconstruct the hit point + normal
-        lp = o + wi * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[:, None]
-        from ..render.integrator import _interpolate_hit
+        from ..lights.ris import DENSE_EMISSIVE_MAX
 
-        ns_l, ng_l, _, _, _ = _interpolate_hit(scene, rec.prim, rec.u, rec.v, wi)
-        cos_l = jnp.abs(jnp.sum(ng_l * (-wi), axis=-1))
-        d2 = jnp.maximum(rec.t * rec.t, 1e-12)
+        dense = 0 < scene.emissive_rows.shape[0] <= DENSE_EMISSIVE_MAX
+        if dense:
+            # dense emissive-only sweep — occlusion is settled by final
+            # visibility, not candidate generation (see closest_emissive_hit)
+            from ..lights.light_sampling import closest_emissive_hit
+
+            t_e, slot = closest_emissive_hit(scene, o, wi, active=cand)
+            em_hit = slot >= 0
+            rowT = scene.emissive_rows[jnp.maximum(slot, 0)].T  # (32, N)
+            rad = rowT[14:17].T
+            ng_l = rowT[9:12].T
+            lp = o + wi * jnp.where(em_hit, t_e, 0.0)[:, None]
+            cos_l = jnp.abs(jnp.sum(ng_l * (-wi), axis=-1))
+            d2 = jnp.maximum(t_e * t_e, 1e-12)
+            pdf_l_area = rowT[13] / jnp.maximum(rowT[12], 1e-12)
+            is_em = em_hit
+            miss_for_env = ~em_hit
+        else:
+            rec = _tracers(options)[0](bvh, o, wi, t_min=0.0, active=cand)
+            hit = rec.prim >= 0
+            em_mats = scene.materials.at_indices(
+                scene.material_ids[jnp.maximum(rec.prim, 0)]
+            )
+            rad = em_mats.effective_emission()
+            is_em = jnp.any(rad > 0.0, axis=-1) & hit
+            # reconstruct the hit point + normal
+            lp = o + wi * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[:, None]
+            from ..render.integrator import _interpolate_hit
+
+            ns_l, ng_l, _, _, _ = _interpolate_hit(
+                scene, rec.prim, rec.u, rec.v, wi
+            )
+            cos_l = jnp.abs(jnp.sum(ng_l * (-wi), axis=-1))
+            d2 = jnp.maximum(rec.t * rec.t, 1e-12)
+            # light-domain pdf of this point for MIS (area measure) —
+            # reference: InitialCandidates.h:350
+            pdf_l_solid, _ = emissive_pdf_of_direction(
+                scene, o, rec.prim, rec.t, wi
+            )
+            pdf_l_area = pdf_l_solid * cos_l / d2
+            miss_for_env = ~hit
         pdf_area = pdf_b * cos_l / d2  # solid → area
         sample = {
             "light_point": lp,
@@ -331,12 +360,6 @@ def initial_candidates(
         }
         ph, _, _ = eval_target(options, mats, p, ns, wo, eta_rel, sample)
         valid = cand & is_em & (pdf_area > 0.0)
-        # light-domain pdf of this point for MIS (area measure, mixed by the
-        # envmap-candidate probability) — reference: InitialCandidates.h:350
-        pdf_l_solid, _ = emissive_pdf_of_direction(
-            scene, o, rec.prim, rec.t, wi
-        )
-        pdf_l_area = pdf_l_solid * cos_l / d2
         if has_env:
             pdf_l_area = pdf_l_area * (1.0 - p_env)
         mis_w = _power_heuristic_counts(
@@ -373,7 +396,7 @@ def initial_candidates(
             env_on = world.ambient_light_type == int(AmbientLightType.ENVMAP)
             res, rng_state = res.update(
                 rng_state, w_e, wi, -wi, env_rad, ph_e,
-                jnp.ones((n,), jnp.bool_), cand & ~hit & env_on,
+                jnp.ones((n,), jnp.bool_), cand & miss_for_env & env_on,
             )
         return res, rng_state
 

@@ -326,6 +326,32 @@ class ViewerServer:
             }
         )
 
+    def _perf_json(self, query) -> str:
+        """Performance panel data (reference: ImGuiSettingsWindow performance
+        plots + per-kernel event times, GPUKernel.cpp:180-189): windowed
+        series histories for plotting plus, with ?passes=1, a fresh per-pass
+        delta-timed breakdown (Renderer.profile — costs a few extra steps)."""
+        r = self.renderer
+        out = {
+            "series": {
+                name: {
+                    "values": r.metrics.values(name),
+                    "avg": round(r.metrics.get_average(name), 3),
+                    "stddev": round(r.metrics.get_stddev(name), 3),
+                    "min": round(r.metrics.get_min(name), 3),
+                    "max": round(r.metrics.get_max(name), 3),
+                }
+                for name in r.metrics.names()
+            }
+        }
+        if parse_qs(query).get("passes", ["0"])[0] in ("1", "true"):
+            # profile() steps a private copy of the state; concurrent viewer
+            # rendering only skews the timings, it cannot corrupt state
+            out["passes_ms"] = {
+                k: round(v, 2) for k, v in r.profile(frames=1).items()
+            }
+        return json.dumps(out)
+
     def serve(self, blocking: bool = True):
         viewer = self
 
@@ -350,6 +376,9 @@ class ViewerServer:
                     ctype = "application/json"
                 elif u.path == "/materials":
                     body = viewer._materials_json().encode()
+                    ctype = "application/json"
+                elif u.path == "/perf":
+                    body = viewer._perf_json(u.query).encode()
                     ctype = "application/json"
                 elif u.path == "/control":
                     body = viewer._control(parse_qs(u.query)).encode()

@@ -197,6 +197,16 @@ def test_viewer_server(cornell_scene):
             "http://127.0.0.1:18731/materials", timeout=10
         ).read())
         assert len(mats) >= 1 and "roughness" in mats[0]
+        # performance panel (reference: ImGuiSettingsWindow perf plots +
+        # per-kernel event times)
+        perf = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/perf", timeout=30
+        ).read())
+        assert "series" in perf
+        perf2 = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/perf?passes=1", timeout=300
+        ).read())
+        assert "passes_ms" in perf2 and len(perf2["passes_ms"]) >= 2
         # live material edit + generic settings edit
         urllib.request.urlopen(
             "http://127.0.0.1:18731/control?cmd=material&index=0"

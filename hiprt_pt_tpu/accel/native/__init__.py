@@ -69,6 +69,20 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int64,
             ]
+            lib.hpt_build_bvh_raw_sbvh.restype = ctypes.c_int64
+            lib.hpt_build_bvh_raw_sbvh.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             _lib = lib
         except Exception:
             _failed = True
@@ -101,18 +115,42 @@ def build_bvh_native(vertices: np.ndarray, triangles: np.ndarray,
 
 
 def build_bvh_raw_native(vertices: np.ndarray, triangles: np.ndarray,
-                         max_leaf: int):
-    """Raw BVH2: (bounds (M,6) f32, meta (M,2) i32 [left,count], order (T,)
-    i64) or None if native unavailable."""
+                         max_leaf: int, sbvh: bool = True):
+    """Raw BVH2: (bounds (M,6) f32, meta (M,2) i32 [left,count], order (R,)
+    i64) or None if native unavailable.
+
+    sbvh=True (default) enables spatial splits (Stich et al. 2009 — role
+    parity with HIPRT PreferHighQualityBuild); order then holds up to 2T
+    duplicated clipped references."""
     lib = get_lib()
     if lib is None:
         return None
     verts = np.ascontiguousarray(vertices, dtype=np.float32)
     tris = np.ascontiguousarray(triangles, dtype=np.int32)
     n_tris = tris.shape[0]
-    cap = max(2 * n_tris, 16)
+    cap = max(4 * n_tris, 16)
     bounds = np.zeros((cap, 6), np.float32)
     meta = np.zeros((cap, 2), np.int32)
+    if sbvh:
+        cap_order = max(2 * n_tris, 1)
+        order = np.zeros((cap_order,), np.int64)
+        n_order = ctypes.c_int64(0)
+        n = lib.hpt_build_bvh_raw_sbvh(
+            verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            verts.shape[0],
+            tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_tris,
+            max_leaf,
+            bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cap,
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cap_order,
+            ctypes.byref(n_order),
+        )
+        if n <= 0:
+            return None
+        return bounds[:n], meta[:n], order[: max(int(n_order.value), 1)]
     order = np.zeros((max(n_tris, 1),), np.int64)
     n = lib.hpt_build_bvh_raw(
         verts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

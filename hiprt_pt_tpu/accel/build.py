@@ -75,6 +75,9 @@ class BVHData:
     leaf_rows: jax.Array | None = None  # (L, 128) f32
     # BVH4 collapse of nodes16 (see _collapse4) for the wide compact kernel
     nodes4: jax.Array | None = None  # (M4, 32) f32
+    # BVH8 collapse (see _collapse8): boxes-only VMEM rows + SMEM refs table
+    nodes8: jax.Array | None = None  # (M8, 64) f32
+    refs8: jax.Array | None = None   # (M8, 8) i32
 
     @property
     def num_nodes(self) -> int:
@@ -248,6 +251,77 @@ def _collapse4(n16: np.ndarray):
     return out
 
 
+def _collapse8(n16: np.ndarray):
+    """BVH2 16-float rows → BVH8 by pulling up to three levels of
+    descendants into one node.
+
+    Returns (nodes8 (M8, 64) f32, refs8 (M8, 8) i32):
+      nodes8[:, 0:48]  8 child AABBs (min xyz, max xyz each; NaN = empty
+                       slot — NaN slab tests auto-miss)
+      nodes8[:, 48:64] zero pad (rows padded to a 64-float stride so a
+                       scalar-indexed VMEM row fetch stays sublane-aligned)
+      refs8[m, c]      >=0 internal BVH8 row id; <0 leaf id (-(id+1)),
+                       unchanged encoding from the BVH2 compact layout.
+
+    The refs ride OUTSIDE the node row, as an SMEM-resident table: the
+    traversal kernel reads them with scalar loads, eliminating the
+    per-child vector→scalar crossings that dominate the BVH4 kernels'
+    iteration cost (see ops/pallas_traverse.py v5 notes).
+    """
+    M = n16.shape[0]
+    meta = n16[:, 12:16].view(np.int32)
+    boxes = n16[:, :12].reshape(M, 2, 6)
+    refs2 = np.stack([meta[:, 0], meta[:, 2]], 1)
+    cnts2 = np.stack([meta[:, 1], meta[:, 3]], 1)
+
+    def is_leaf_child(n, c):
+        return cnts2[n, c] > 0 or refs2[n, c] < 0
+
+    kept = [0]
+    new_id = {0: 0}
+    rows_children = []
+    qi = 0
+    while qi < len(kept):
+        n = kept[qi]
+        qi += 1
+        # full 3-level expansion: a leaf child occupies 1 slot, an internal
+        # child up to 4 (its grandchildren) — total always <= 8
+        ch = []
+        for c in range(2):
+            if is_leaf_child(n, c):
+                ch.append((boxes[n, c], ("leaf", refs2[n, c])))
+            else:
+                g = refs2[n, c]
+                for gc in range(2):
+                    if is_leaf_child(g, gc):
+                        ch.append((boxes[g, gc], ("leaf", refs2[g, gc])))
+                    else:
+                        gg = refs2[g, gc]
+                        for ggc in range(2):
+                            if is_leaf_child(gg, ggc):
+                                ch.append(
+                                    (boxes[gg, ggc], ("leaf", refs2[gg, ggc]))
+                                )
+                            else:
+                                t = refs2[gg, ggc]
+                                if t not in new_id:
+                                    new_id[t] = len(new_id)
+                                    kept.append(t)
+                                ch.append((boxes[gg, ggc], ("node", t)))
+        rows_children.append((n, ch))
+
+    M8 = len(rows_children)
+    out = np.zeros((M8, 64), np.float32)
+    out[:, 0:48] = np.nan
+    refs8 = np.zeros((M8, 8), np.int32)
+    for (n, ch) in rows_children:
+        r = new_id[n]
+        for ci, (box, (kind, ref)) in enumerate(ch[:8]):
+            out[r, ci * 6:(ci + 1) * 6] = box
+            refs8[r, ci] = new_id[ref] if kind == "node" else ref
+    return out, refs8
+
+
 def build_bvh(
     vertices: np.ndarray,
     triangles: np.ndarray,
@@ -282,10 +356,12 @@ def build_bvh(
                 )
             else:
                 n16, lrows = _compact_split(rows_native)
+            n8, r8 = _collapse8(n16)
             return BVHData(
                 nodes=jnp.asarray(rows_native), tri_rows=jnp.asarray(tri_rows),
                 nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
                 nodes4=jnp.asarray(_collapse4(n16)),
+                nodes8=jnp.asarray(n8), refs8=jnp.asarray(r8),
             )
 
     v0 = vertices[triangles[:, 0]]
@@ -433,8 +509,10 @@ def build_bvh(
 
     rows[:, 12:16] = meta.view(np.float32)
     n16, lrows = _compact_split(rows)
+    n8, r8 = _collapse8(n16)
     return BVHData(
         nodes=jnp.asarray(rows), tri_rows=jnp.asarray(tri_rows),
         nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
         nodes4=jnp.asarray(_collapse4(n16)),
+        nodes8=jnp.asarray(n8), refs8=jnp.asarray(r8),
     )

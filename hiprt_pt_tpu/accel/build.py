@@ -78,6 +78,10 @@ class BVHData:
     # BVH8 collapse (see _collapse8): boxes-only VMEM rows + SMEM refs table
     nodes8: jax.Array | None = None  # (M8, 64) f32
     refs8: jax.Array | None = None   # (M8, 8) i32
+    # BVH8 linear collapse (see _collapse8_linear): consecutive-children
+    # layout, refs packed into the node row — scales past the SMEM limit
+    nodes8l: jax.Array | None = None    # (M8, 64) f32
+    leaf_rows8: jax.Array | None = None  # (L, 128) f32, permuted leaf rows
 
     @property
     def num_nodes(self) -> int:
@@ -357,11 +361,13 @@ def build_bvh(
             else:
                 n16, lrows = _compact_split(rows_native)
             n8, r8 = _collapse8(n16)
+            n8l, lr8 = _collapse8_linear(n16, lrows)
             return BVHData(
                 nodes=jnp.asarray(rows_native), tri_rows=jnp.asarray(tri_rows),
                 nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
                 nodes4=jnp.asarray(_collapse4(n16)),
                 nodes8=jnp.asarray(n8), refs8=jnp.asarray(r8),
+                nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
             )
 
     v0 = vertices[triangles[:, 0]]
@@ -510,9 +516,118 @@ def build_bvh(
     rows[:, 12:16] = meta.view(np.float32)
     n16, lrows = _compact_split(rows)
     n8, r8 = _collapse8(n16)
+    n8l, lr8 = _collapse8_linear(n16, lrows)
     return BVHData(
         nodes=jnp.asarray(rows), tri_rows=jnp.asarray(tri_rows),
         nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
         nodes4=jnp.asarray(_collapse4(n16)),
         nodes8=jnp.asarray(n8), refs8=jnp.asarray(r8),
+        nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
     )
+
+
+def _collapse8_linear(n16: np.ndarray, leaf_rows: np.ndarray):
+    """BVH8 collapse with a CONSECUTIVE-CHILDREN layout (v6 kernel).
+
+    The SMEM refs-table variant (_collapse8) cannot scale: SMEM allocates
+    scalars at 64-byte granularity, so an (M8, 8) i32 table costs 64x its
+    logical size and busts the 1 MB SMEM at ~2k nodes. Instead, children are
+    laid out so ALL refs derive from two packed words fetched with the node
+    row — the scalar side pays exactly 3 vector->scalar crossings per packet
+    per iteration (hit word + 2 meta words), at any scene size:
+
+      * each node's internal children occupy CONSECUTIVE node rows
+        (BFS id assignment), and its leaf children occupy CONSECUTIVE
+        leaf rows (leaf_rows is re-emitted in that order, dummy row 0 kept);
+      * children are sorted internal-first within the node;
+      * node row (M8, 64) f32: [0:48] 8 child AABBs in sorted order (NaN =
+        empty), [48] word A (bitcast i32) = first_internal_child_row |
+        n_internal << 26, [49] word B (bitcast i32) = first_leaf_row,
+        [50:64] zero pad.
+      * child c ref: c < n_int -> node row  A.base + c
+                     c >= n_int (only reachable if hit) -> leaf id
+                     B.base + (c - n_int), encoded -(id+1) like everywhere.
+
+    Returns (nodes8l (M8, 64) f32, leaf_rows_l (L, 128) f32).
+    """
+    M = n16.shape[0]
+    meta = n16[:, 12:16].view(np.int32)
+    boxes = n16[:, :12].reshape(M, 2, 6)
+    refs2 = np.stack([meta[:, 0], meta[:, 2]], 1)
+    cnts2 = np.stack([meta[:, 1], meta[:, 3]], 1)
+
+    def is_leaf_child(n, c):
+        return cnts2[n, c] > 0 or refs2[n, c] < 0
+
+    def children8(n):
+        """3-level pull-up: list of (box, kind, bvh2_ref), internal first."""
+        ch = []
+        for c in range(2):
+            if cnts2[n, c] < 0 or (cnts2[n, c] == 0 and refs2[n, c] == 0):
+                # empty slot (count<0) or degenerate all-zero meta: node 0 is
+                # the root and can never be a child, so ref==0 && count==0
+                # only appears in single-leaf scenes — skip to keep BFS finite
+                continue
+            if is_leaf_child(n, c):
+                ch.append((boxes[n, c], "leaf", refs2[n, c]))
+            else:
+                g = refs2[n, c]
+                for gc in range(2):
+                    if is_leaf_child(g, gc):
+                        ch.append((boxes[g, gc], "leaf", refs2[g, gc]))
+                    else:
+                        gg = refs2[g, gc]
+                        for ggc in range(2):
+                            if is_leaf_child(gg, ggc):
+                                ch.append(
+                                    (boxes[gg, ggc], "leaf", refs2[gg, ggc])
+                                )
+                            else:
+                                ch.append(
+                                    (boxes[gg, ggc], "node", refs2[gg, ggc])
+                                )
+        ch.sort(key=lambda e: 0 if e[1] == "node" else 1)
+        return ch
+
+    # BFS with consecutive id assignment
+    rows_out = []          # per new node: (boxes_list, n_int, base_int, base_leaf)
+    queue = [0]            # bvh2 refs, in NEW id order
+    next_node = 1
+    leaf_src = [0]         # old leaf-row index per new leaf id (0 = dummy)
+    qi = 0
+    while qi < len(queue):
+        n = queue[qi]
+        qi += 1
+        ch = children8(n)
+        n_int = sum(1 for e in ch if e[1] == "node")
+        base_int = next_node
+        for e in ch:
+            if e[1] == "node":
+                queue.append(e[2])
+        next_node += n_int
+        base_leaf = len(leaf_src)
+        for e in ch:
+            if e[1] == "leaf":
+                leaf_src.append(-e[2])  # old leaf id + 1 == -(ref)
+        rows_out.append((ch, n_int, base_int, base_leaf))
+
+    M8 = len(rows_out)
+    out = np.zeros((M8, 64), np.float32)
+    out[:, 0:48] = np.nan
+    wa = np.zeros((M8,), np.int32)
+    wb = np.zeros((M8,), np.int32)
+    for r, (ch, n_int, base_int, base_leaf) in enumerate(rows_out):
+        for ci, (box, _kind, _ref) in enumerate(ch):
+            out[r, ci * 6:(ci + 1) * 6] = box
+        wa[r] = base_int | (n_int << 26)
+        wb[r] = base_leaf
+    out[:, 48] = wa.view(np.float32)
+    out[:, 49] = wb.view(np.float32)
+
+    # Re-emit leaf rows in new-id order. Encoding: leaf ref r < 0 means old
+    # row -r - 1 (ref = -(row + 1), row 1-based with dummy row 0); leaf_src
+    # holds -ref = old_row + 1 per new id, so old_row = leaf_src - 1.
+    src = np.asarray(leaf_src, np.int64) - 1  # -1 = dummy slot
+    lr = leaf_rows[np.maximum(src, 0)]        # fancy index -> fresh copy
+    lr[0] = 0.0
+    return out, np.ascontiguousarray(lr)

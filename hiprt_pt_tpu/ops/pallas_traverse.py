@@ -1079,9 +1079,16 @@ def _kernel_stream(nodes_ref, leaves_hbm,
         valid_s[k] = jnp.where(live_s[k] > 0, 1, 0)
         cur_s[k] = 0
 
+    # Safety backstop ONLY — must never truncate real work. Per program
+    # row there are ceil(n_packets / K) sequential packets, each of whose
+    # union walk is bounded by the node+leaf count; MAX_ITERS dominates any
+    # real per-packet walk. (A fixed MAX_ITERS * K cap truncated big-scene
+    # bounce wavefronts: 8192 packets x ~500-iteration walks >> 131072.)
+    iter_cap = (n_packets // K + 2) * MAX_ITERS
+
     def cond(c):
         it, ndone = c
-        return (it < MAX_ITERS * K) & (ndone < n_packets)
+        return (it < iter_cap) & (ndone < n_packets)
 
     def body(c):
         it, ndone = c
@@ -1459,12 +1466,14 @@ def _kernel_stream8(refs_smem, nodes_ref, leaves_hbm,
         valid_s[k] = jnp.where(live_s[k] > 0, 1, 0)
         cur_s[k] = 0
 
+    iter_cap = (n_packets // K + 2) * MAX_ITERS  # safety backstop only
+
     def cond(c):
-        it, ndone = c
-        return (it < MAX_ITERS * K) & (ndone < n_packets)
+        it, ndone, _nl, _nv = c
+        return (it < iter_cap) & (ndone < n_packets)
 
     def body(c):
-        it, ndone = c
+        it, ndone, nleaf, nvisit = c
 
         # ---- scalar phase 1: pop + node fetch + gated leaf DMA ----
         # stale leaf flags must never re-fire: zero them before any DMA
@@ -1489,6 +1498,11 @@ def _kernel_stream8(refs_smem, nodes_ref, leaves_hbm,
                     dma_sems.at[k],
                 ).start()
         for k in range(K):
+            # iteration-mix stats (scalar adds, ~free; read back by the
+            # profiling harness through the stats output row)
+            nleaf = nleaf + isleaf_s[k]
+            nvisit = nvisit + valid_s[k]
+
             @pl.when(isleaf_s[k] > 0)
             def _wait_leaf_dma():
                 pltpu.make_async_copy(
@@ -1702,13 +1716,19 @@ def _kernel_stream8(refs_smem, nodes_ref, leaves_hbm,
 
             ndone_new = ndone_new + fin.astype(jnp.int32)
 
-        return it + 1, ndone_new
+        return it + 1, ndone_new, nleaf, nvisit
 
-    _it, ndone = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    _it, ndone, _nl, _nv = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+    )
     done_out[0, 0] = ndone
+    done_out[0, 1] = _it
+    done_out[0, 2] = _nl
+    done_out[0, 3] = _nv
 
 
-@partial(jax.jit, static_argnames=("any_hit", "interpret"))
+@partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats"))
 def traverse_pallas_stream8(
     bvh: BVHData,
     o: jax.Array,
@@ -1718,6 +1738,7 @@ def traverse_pallas_stream8(
     active=None,
     any_hit: bool = False,
     interpret: bool = False,
+    return_stats: bool = False,
 ) -> HitRecord:
     """BVH8 + SMEM-refs streaming-refill traversal. N % 128 == 0."""
     n = o.shape[0]
@@ -1745,7 +1766,7 @@ def traverse_pallas_stream8(
         jax.ShapeDtypeStruct((p, PACKET), jnp.int32),
         jax.ShapeDtypeStruct((p, PACKET), jnp.float32),
         jax.ShapeDtypeStruct((p, PACKET), jnp.float32),
-        jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        jax.ShapeDtypeStruct((1, 4), jnp.int32),
     ]
     refs_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     node_spec = pl.BlockSpec(bvh.nodes8.shape, lambda: (0, 0),
@@ -1787,12 +1808,15 @@ def traverse_pallas_stream8(
     )(bvh.refs8, bvh.nodes8, bvh.leaf_rows, rays)
 
     miss = prim < 0
-    return HitRecord(
+    rec = HitRecord(
         t=jnp.where(miss, jnp.inf, t).reshape(n),
         prim=prim.reshape(n),
         u=u.reshape(n),
         v=v.reshape(n),
     )
+    if return_stats:
+        return rec, _cnt  # row: [done, iters, leaf_row_iters, node_row_iters]
+    return rec
 
 
 MAX_SMEM_REF_ROWS = 8192  # (M8, 8) i32 refs table must fit SMEM (256 KB)
@@ -1805,5 +1829,429 @@ def pallas_stream8_supported(bvh: BVHData, n: int) -> bool:
         and bvh.refs8 is not None
         and bvh.leaf_rows is not None
         and bvh.nodes8.shape[0] <= MAX_SMEM_REF_ROWS
+        and n % PACKET == 0
+    )
+
+
+# --------------------------------------------------------------------------
+# v6: BVH8 streaming-refill kernel, LINEAR child layout (no SMEM refs).
+#
+# The v5 SMEM refs table does not scale: SMEM allocates scalars at 64-byte
+# granularity, so the (M8, 8) i32 table costs 64x its logical bytes and
+# busts the 1 MB SMEM at ~2k nodes (measured: 8752-row stress table asked
+# for 4.48 MB). Here the children of a node are laid out CONSECUTIVELY
+# (accel/build._collapse8_linear): internal children occupy consecutive
+# node rows, leaf children consecutive leaf rows, and every child ref is
+# derived from two packed words that ride in the node row itself. The
+# scalar side pays exactly 3 vector->scalar crossings per packet per
+# iteration (hit word + word A + word B) at ANY scene size, vs 5 for the
+# BVH4 streaming kernel — with 8-wide nodes descending ~1.7x more tree per
+# iteration.
+# --------------------------------------------------------------------------
+
+
+def _kernel_stream8l(nodes_ref, leaves_hbm,
+                     rays_hbm,
+                     t_hbm, prim_hbm, u_hbm, v_hbm,
+                     done_out,
+                     rows_s, leaf_s, ray_s,
+                     cur_s, ptr_s, valid_s, isleaf_s, pkt_s, live_s, qhead_s,
+                     stack_s,
+                     bt_s, bp_s, bu_s, bv_s, se_s,
+                     dma_sems, ray_sems, out_sems,
+                     *, any_hit: bool, n_packets: int):
+    # --- init: row k starts on packet k ---
+    for k in range(K):
+        pkt_s[k] = k
+        live_s[k] = jnp.int32(1 if k < n_packets else 0)
+        cur_s[k] = 0
+        ptr_s[k] = 0
+        valid_s[k] = 0
+        isleaf_s[k] = 0
+        pltpu.make_async_copy(
+            rays_hbm.at[pl.ds(min(k, n_packets - 1), 1)],
+            ray_s.at[pl.ds(k, 1)],
+            ray_sems.at[k],
+        ).start()
+    qhead_s[0] = jnp.int32(min(K, n_packets))
+    for k in range(K):
+        pltpu.make_async_copy(
+            rays_hbm.at[pl.ds(0, 1)],
+            ray_s.at[pl.ds(k, 1)],
+            ray_sems.at[k],
+        ).wait()
+        bt_s[pl.ds(k, 1), :] = ray_s[k, 7:8, :]
+        bp_s[pl.ds(k, 1), :] = jnp.full((1, PACKET), -1, jnp.int32)
+        bu_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
+        bv_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
+        se_s[pl.ds(k, 1), :] = ray_s[k, 8:9, :]
+        valid_s[k] = jnp.where(live_s[k] > 0, 1, 0)
+        cur_s[k] = 0
+
+    # Safety backstop ONLY — must never truncate real work. Per program
+    # row there are ceil(n_packets / K) sequential packets, each of whose
+    # union walk is bounded by the node+leaf count; MAX_ITERS dominates any
+    # real per-packet walk. (A fixed MAX_ITERS * K cap truncated big-scene
+    # bounce wavefronts: 8192 packets x ~500-iteration walks >> 131072.)
+    iter_cap = (n_packets // K + 2) * MAX_ITERS
+
+    def cond(c):
+        it, ndone = c
+        return (it < iter_cap) & (ndone < n_packets)
+
+    def body(c):
+        it, ndone = c
+
+        # ---- scalar phase 1: pop + node fetch + gated leaf DMA ----
+        leaf_s[:, 120:122] = jnp.zeros((K, 2), jnp.float32)
+        for k in range(K):
+            need_pop = (valid_s[k] == 0) & (ptr_s[k] > 0) & (live_s[k] > 0)
+            top = jnp.maximum(ptr_s[k] - 1, 0)
+            popped = stack_s[k, top]
+            cur_s[k] = jnp.where(need_pop, popped, cur_s[k])
+            ptr_s[k] = jnp.where(need_pop, top, ptr_s[k])
+            valid_s[k] = jnp.where(need_pop, 1, valid_s[k])
+            is_leaf = (valid_s[k] > 0) & (cur_s[k] < 0)
+            isleaf_s[k] = is_leaf.astype(jnp.int32)
+            node_idx = jnp.where((valid_s[k] > 0) & ~is_leaf, cur_s[k], 0)
+            rows_s[pl.ds(k, 1), :] = nodes_ref[pl.ds(node_idx, 1), :]
+
+            @pl.when(is_leaf)
+            def _start_leaf_dma():
+                pltpu.make_async_copy(
+                    leaves_hbm.at[pl.ds(-cur_s[k] - 1, 1), :],
+                    leaf_s.at[pl.ds(k, 1), :],
+                    dma_sems.at[k],
+                ).start()
+        for k in range(K):
+            @pl.when(isleaf_s[k] > 0)
+            def _wait_leaf_dma():
+                pltpu.make_async_copy(
+                    leaves_hbm.at[pl.ds(0, 1), :],
+                    leaf_s.at[pl.ds(k, 1), :],
+                    dma_sems.at[k],
+                ).wait()
+
+        rows = rows_s[:]      # (K, 64): 8 boxes + packed words A/B
+        lrows = leaf_s[:]     # (K, 128)
+        rd = ray_s[:]         # (K, 10, 128)
+        ox, oy, oz = rd[:, 0, :], rd[:, 1, :], rd[:, 2, :]
+        dx, dy, dz = rd[:, 3, :], rd[:, 4, :], rd[:, 5, :]
+        t_min = rd[:, 6, :]
+
+        def inv(c_):
+            return jnp.where(
+                jnp.abs(c_) > 1e-12, 1.0 / c_, jnp.sign(c_) * 1e12 + 1e12
+            )
+
+        ix, iy, iz = inv(dx), inv(dy), inv(dz)
+        active0 = rd[:, 8, :] > 0
+
+        def ncol(j):
+            return rows[:, j:j + 1]
+
+        def lcol(j):
+            return lrows[:, j:j + 1]
+
+        wa_vec = jax.lax.bitcast_convert_type(rows[:, 48:49], jnp.int32)
+        wb_vec = jax.lax.bitcast_convert_type(rows[:, 49:50], jnp.int32)
+        leaf_gate = lcol(120) > 0.0
+        leaf_cnt = lcol(121)
+
+        if any_hit:
+            searching = (se_s[:] > 0.0) & active0
+        else:
+            searching = active0
+        best_t = bt_s[:]
+
+        def slab(b):
+            tx0 = (ncol(b + 0) - ox) * ix
+            tx1 = (ncol(b + 3) - ox) * ix
+            ty0 = (ncol(b + 1) - oy) * iy
+            ty1 = (ncol(b + 4) - oy) * iy
+            tz0 = (ncol(b + 2) - oz) * iz
+            tz1 = (ncol(b + 5) - oz) * iz
+            t_entry = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
+            )
+            t_exit = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+            )
+            return (t_entry <= t_exit) & searching
+
+        h_ray = [slab(c * 6) for c in range(8)]
+
+        best_prim = bp_s[:]
+        best_u = bu_s[:]
+        best_v = bv_s[:]
+        for kk in range(LEAF_TRIS):
+            off = 9 * kk
+            v0x, v0y, v0z = lcol(off), lcol(off + 1), lcol(off + 2)
+            e1x, e1y, e1z = lcol(off + 3), lcol(off + 4), lcol(off + 5)
+            e2x, e2y, e2z = lcol(off + 6), lcol(off + 7), lcol(off + 8)
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+            tx = ox - v0x
+            ty = oy - v0y
+            tz = oz - v0z
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1z - tz * e1y
+            qy = tz * e1x - tx * e1z
+            qz = tx * e1y - ty * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hit = (
+                searching
+                & leaf_gate
+                & (kk < leaf_cnt)
+                & (jnp.abs(det) > TRI_EPS)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > t_min)
+                & (t < best_t)
+            )
+            prim_k = jax.lax.bitcast_convert_type(
+                lrows[:, 108 + kk:109 + kk], jnp.int32
+            )
+            best_t = jnp.where(hit, t, best_t)
+            best_prim = jnp.where(hit, prim_k, best_prim)
+            if any_hit:
+                searching = searching & ~hit
+            else:
+                best_u = jnp.where(hit, u, best_u)
+                best_v = jnp.where(hit, v, best_v)
+
+        bt_s[:] = best_t
+        bp_s[:] = best_prim
+        if any_hit:
+            se_s[:] = searching.astype(jnp.float32)
+        else:
+            bu_s[:] = best_u
+            bv_s[:] = best_v
+
+        # packed per-packet hit word: 8 child bits (+ death bit 8)
+        hword = jnp.max(h_ray[0].astype(jnp.int32), axis=1, keepdims=True)
+        for c in range(1, 8):
+            hword = hword + (
+                jnp.max(h_ray[c].astype(jnp.int32), axis=1, keepdims=True) << c
+            )
+        if any_hit:
+            hword = hword + 256 * (
+                1 - jnp.max(searching.astype(jnp.int32), axis=1, keepdims=True)
+            )
+
+        # ---- scalar phase 2: descend / finish / refill ----
+        ndone_new = ndone
+        for k in range(K):
+            hw = jnp.sum(hword[k])
+            wak = jnp.sum(wa_vec[k])
+            wbk = jnp.sum(wb_vec[k])
+            base_int = wak & jnp.int32((1 << 26) - 1)
+            n_int = wak >> 26
+            if any_hit:
+                row_dead = (hw >= 256) & (live_s[k] > 0)
+                ptr_s[k] = jnp.where(row_dead, 0, ptr_s[k])
+            else:
+                row_dead = jnp.bool_(False)
+            was_leaf = isleaf_s[k] > 0
+            gate = (valid_s[k] > 0) & ~was_leaf & ~row_dead & (live_s[k] > 0)
+
+            valid_s[k] = 0
+
+            @pl.when(gate)
+            def _descend():
+                cur_new = cur_s[k]
+                found = jnp.int32(0)
+                ptr_k = ptr_s[k]
+                for c in range(8):
+                    # child c: internal -> node row base_int + c;
+                    # leaf -> leaf row wbk + (c - n_int), ref = -(row + 1)
+                    rc = jnp.where(
+                        c < n_int,
+                        base_int + c,
+                        -(wbk + (c - n_int)) - 1,
+                    )
+                    hc = (((hw >> c) & 1) > 0)
+                    take = hc & (found == 0)
+                    push = hc & (found > 0)
+                    cur_new = jnp.where(take, rc, cur_new)
+                    slot = jnp.minimum(ptr_k, STACK - 1)
+                    stack_s[k, slot] = jnp.where(push, rc, stack_s[k, slot])
+                    ptr_k = jnp.minimum(ptr_k + push.astype(jnp.int32), STACK)
+                    found = found + hc.astype(jnp.int32)
+                ptr_s[k] = ptr_k
+                cur_s[k] = cur_new
+                valid_s[k] = jnp.where(found > 0, 1, 0)
+
+            fin = (live_s[k] > 0) & (valid_s[k] == 0) & (ptr_s[k] == 0)
+
+            @pl.when(fin)
+            def _finish():
+                pkt = pkt_s[k]
+                pltpu.make_async_copy(
+                    bt_s.at[pl.ds(k, 1), :], t_hbm.at[pl.ds(pkt, 1), :],
+                    out_sems.at[k],
+                ).start()
+                pltpu.make_async_copy(
+                    bp_s.at[pl.ds(k, 1), :], prim_hbm.at[pl.ds(pkt, 1), :],
+                    out_sems.at[k],
+                ).start()
+                pltpu.make_async_copy(
+                    bu_s.at[pl.ds(k, 1), :], u_hbm.at[pl.ds(pkt, 1), :],
+                    out_sems.at[k],
+                ).start()
+                pltpu.make_async_copy(
+                    bv_s.at[pl.ds(k, 1), :], v_hbm.at[pl.ds(pkt, 1), :],
+                    out_sems.at[k],
+                ).start()
+                for _ in range(4):
+                    pltpu.make_async_copy(
+                        bt_s.at[pl.ds(k, 1), :], t_hbm.at[pl.ds(pkt, 1), :],
+                        out_sems.at[k],
+                    ).wait()
+                pkt_next = qhead_s[0]
+                has_next = pkt_next < n_packets
+                qhead_s[0] = qhead_s[0] + has_next.astype(jnp.int32)
+                live_s[k] = jnp.where(has_next, 1, 0)
+                pkt_s[k] = jnp.where(has_next, pkt_next, pkt_s[k])
+
+                @pl.when(has_next)
+                def _refill():
+                    pltpu.make_async_copy(
+                        rays_hbm.at[pl.ds(pkt_next, 1)],
+                        ray_s.at[pl.ds(k, 1)],
+                        ray_sems.at[k],
+                    ).start()
+                    pltpu.make_async_copy(
+                        rays_hbm.at[pl.ds(0, 1)],
+                        ray_s.at[pl.ds(k, 1)],
+                        ray_sems.at[k],
+                    ).wait()
+                    bt_s[pl.ds(k, 1), :] = ray_s[k, 7:8, :]
+                    bp_s[pl.ds(k, 1), :] = jnp.full((1, PACKET), -1, jnp.int32)
+                    bu_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
+                    bv_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
+                    se_s[pl.ds(k, 1), :] = ray_s[k, 8:9, :]
+                    cur_s[k] = 0
+                    ptr_s[k] = 0
+                    valid_s[k] = 1
+                    isleaf_s[k] = 0
+
+            ndone_new = ndone_new + fin.astype(jnp.int32)
+
+        return it + 1, ndone_new
+
+    _it, ndone = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    done_out[0, 0] = ndone
+    done_out[0, 1] = _it
+
+
+@partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats"))
+def traverse_pallas_stream8l(
+    bvh: BVHData,
+    o: jax.Array,
+    d: jax.Array,
+    t_min=1e-4,
+    t_max=jnp.inf,
+    active=None,
+    any_hit: bool = False,
+    interpret: bool = False,
+    return_stats: bool = False,
+) -> HitRecord:
+    """BVH8 linear-layout streaming-refill traversal. N % 128 == 0.
+
+    Scales to any node count that fits VMEM (256 B/row): no SMEM table.
+    """
+    n = o.shape[0]
+    assert n % PACKET == 0
+    assert bvh.nodes8l is not None and bvh.leaf_rows8 is not None
+    p = n // PACKET
+
+    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    act = (
+        jnp.ones((n,), jnp.float32)
+        if active is None
+        else jnp.asarray(active).astype(jnp.float32)
+    )
+    zero = jnp.zeros((n,), jnp.float32)
+    rays = jnp.stack(
+        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         tmin, tmax, act, zero],
+        axis=1,
+    ).reshape(p, PACKET, 10).transpose(0, 2, 1)  # (P, 10, 128)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((p, PACKET), jnp.float32),
+        jax.ShapeDtypeStruct((p, PACKET), jnp.int32),
+        jax.ShapeDtypeStruct((p, PACKET), jnp.float32),
+        jax.ShapeDtypeStruct((p, PACKET), jnp.float32),
+        jax.ShapeDtypeStruct((1, 4), jnp.int32),
+    ]
+    node_spec = pl.BlockSpec(bvh.nodes8l.shape, lambda: (0, 0),
+                             memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    t, prim, u, v, _cnt = pl.pallas_call(
+        partial(_kernel_stream8l, any_hit=any_hit, n_packets=p),
+        grid=(),
+        in_specs=[node_spec, hbm, hbm],
+        out_specs=[hbm, hbm, hbm, hbm,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((K, 64), jnp.float32),       # rows_s
+            pltpu.VMEM((K, 128), jnp.float32),      # leaf_s
+            pltpu.VMEM((K, 10, PACKET), jnp.float32),  # ray_s
+            pltpu.SMEM((K,), jnp.int32),            # cur_s
+            pltpu.SMEM((K,), jnp.int32),            # ptr_s
+            pltpu.SMEM((K,), jnp.int32),            # valid_s
+            pltpu.SMEM((K,), jnp.int32),            # isleaf_s
+            pltpu.SMEM((K,), jnp.int32),            # pkt_s
+            pltpu.SMEM((K,), jnp.int32),            # live_s
+            pltpu.SMEM((1,), jnp.int32),            # qhead_s
+            pltpu.SMEM((K, STACK), jnp.int32),      # stack_s
+            pltpu.VMEM((K, PACKET), jnp.float32),   # bt_s
+            pltpu.VMEM((K, PACKET), jnp.int32),     # bp_s
+            pltpu.VMEM((K, PACKET), jnp.float32),   # bu_s
+            pltpu.VMEM((K, PACKET), jnp.float32),   # bv_s
+            pltpu.VMEM((K, PACKET), jnp.float32),   # se_s
+            pltpu.SemaphoreType.DMA((K,)),          # dma_sems
+            pltpu.SemaphoreType.DMA((K,)),          # ray_sems
+            pltpu.SemaphoreType.DMA((K,)),          # out_sems
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            has_side_effects=True,
+        ),
+        interpret=interpret,
+    )(bvh.nodes8l, bvh.leaf_rows8, rays)
+
+    miss = prim < 0
+    rec = HitRecord(
+        t=jnp.where(miss, jnp.inf, t).reshape(n),
+        prim=prim.reshape(n),
+        u=u.reshape(n),
+        v=v.reshape(n),
+    )
+    if return_stats:
+        return rec, _cnt  # row: [done, iters, 0, 0]
+    return rec
+
+
+MAX_STREAM8L_NODES = 196608  # (M8, 64) f32 node table must fit VMEM (~48 MB)
+
+
+def pallas_stream8l_supported(bvh: BVHData, n: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and bvh.nodes8l is not None
+        and bvh.leaf_rows8 is not None
+        and bvh.nodes8l.shape[0] <= MAX_STREAM8L_NODES
         and n % PACKET == 0
     )

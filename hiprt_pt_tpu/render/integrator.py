@@ -74,9 +74,10 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
     if options.use_pallas_traversal:
         from ..ops.pallas_traverse import (
             pallas_supported,
+            pallas_stream8l_supported,
             pallas_wide_supported,
             traverse_pallas,
-            traverse_pallas_stream,
+            traverse_pallas_stream8l,
             traverse_pallas_wide,
         )
 
@@ -85,12 +86,15 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
                 # small scene: whole meganode table VMEM-resident
                 return traverse_pallas(bvh, o, d, t_min, tm, active,
                                        any_hit=any_hit)
-            if pallas_wide_supported(bvh, o.shape[0]):
-                if coherent:
-                    return traverse_pallas_wide(bvh, o, d, t_min, tm,
+            if coherent and pallas_wide_supported(bvh, o.shape[0]):
+                return traverse_pallas_wide(bvh, o, d, t_min, tm,
+                                            active, any_hit=any_hit)
+            if pallas_stream8l_supported(bvh, o.shape[0]):
+                # BVH8 linear streaming-refill kernel: fewest
+                # vector->scalar crossings per iteration, scales to any
+                # VMEM-resident node count (no SMEM refs table)
+                return traverse_pallas_stream8l(bvh, o, d, t_min, tm,
                                                 active, any_hit=any_hit)
-                return traverse_pallas_stream(bvh, o, d, t_min, tm,
-                                              active, any_hit=any_hit)
             return None
 
         def closest(bvh, o, d, t_min=1e-4, t_max=None, active=None):

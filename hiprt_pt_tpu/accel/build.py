@@ -82,6 +82,13 @@ class BVHData:
     # layout, refs packed into the node row — scales past the SMEM limit
     nodes8l: jax.Array | None = None    # (M8, 64) f32
     leaf_rows8: jax.Array | None = None  # (L, 128) f32, permuted leaf rows
+    # Combined 128-wide row table for the per-ray compacted-DFS traversal
+    # (ops/compact_traverse.py): rows [0:M8] node rows (64 f32 + zero pad,
+    # col 120 = 0), rows [M8:] leaf rows (col 120 = 1). One gather serves
+    # either kind of visit. ref >= 0 -> row ref; ref < 0 -> row M8 - ref - 1.
+    rows8c: jax.Array | None = None     # (M8 + L, 128) f32
+    # max node depth of the BVH8 (root = 1); static metadata, not traced
+    depth8: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_nodes(self) -> int:
@@ -362,12 +369,14 @@ def build_bvh(
                 n16, lrows = _compact_split(rows_native)
             n8, r8 = _collapse8(n16)
             n8l, lr8 = _collapse8_linear(n16, lrows)
+            r8c, d8 = _rows8c_and_depth(n8l, lr8)
             return BVHData(
                 nodes=jnp.asarray(rows_native), tri_rows=jnp.asarray(tri_rows),
                 nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
                 nodes4=jnp.asarray(_collapse4(n16)),
                 nodes8=jnp.asarray(n8), refs8=jnp.asarray(r8),
                 nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
+                rows8c=jnp.asarray(r8c), depth8=d8,
             )
 
     v0 = vertices[triangles[:, 0]]
@@ -517,13 +526,35 @@ def build_bvh(
     n16, lrows = _compact_split(rows)
     n8, r8 = _collapse8(n16)
     n8l, lr8 = _collapse8_linear(n16, lrows)
+    r8c, d8 = _rows8c_and_depth(n8l, lr8)
     return BVHData(
         nodes=jnp.asarray(rows), tri_rows=jnp.asarray(tri_rows),
         nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
         nodes4=jnp.asarray(_collapse4(n16)),
         nodes8=jnp.asarray(n8), refs8=jnp.asarray(r8),
         nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
+        rows8c=jnp.asarray(r8c), depth8=d8,
     )
+
+
+def _rows8c_and_depth(n8l: np.ndarray, lr8: np.ndarray):
+    """Combined 128-wide row table + max depth for the linear BVH8.
+
+    Node rows pad to 128 floats (col 120 stays 0 = not-a-leaf); leaf rows
+    append after (col 120 = 1). Rows are BFS-ordered, so parents always
+    precede children and depth resolves in one ascending pass."""
+    M = n8l.shape[0]
+    wa = np.ascontiguousarray(n8l[:, 48]).view(np.int32)
+    base = wa & ((1 << 26) - 1)
+    n_int = wa >> 26
+    depth = np.zeros((M,), np.int32)
+    depth[0] = 1
+    for r in np.nonzero(n_int)[0]:
+        depth[base[r]:base[r] + n_int[r]] = depth[r] + 1
+    rows = np.concatenate(
+        [np.pad(n8l, ((0, 0), (0, 128 - n8l.shape[1]))), lr8]
+    ).astype(np.float32)
+    return rows, int(depth.max(initial=1))
 
 
 def _collapse8_linear(n16: np.ndarray, leaf_rows: np.ndarray):
@@ -589,6 +620,19 @@ def _collapse8_linear(n16: np.ndarray, leaf_rows: np.ndarray):
         ch.sort(key=lambda e: 0 if e[1] == "node" else 1)
         return ch
 
+    def _degenerate_children():
+        """Single-leaf scene (_compact_from_raw emits an all-zero n16 row):
+        synthesize one leaf child (row 1) with bounds from its triangles."""
+        if leaf_rows.shape[0] < 2:
+            return []
+        tris = leaf_rows[1, 0:108].reshape(12, 9)
+        v0, e1, e2 = tris[:, 0:3], tris[:, 3:6], tris[:, 6:9]
+        pts = np.concatenate([v0, v0 + e1, v0 + e2])  # NaN-padded entries
+        box = np.concatenate(
+            [np.nanmin(pts, axis=0), np.nanmax(pts, axis=0)]
+        ).astype(np.float32)
+        return [(box, "leaf", np.int32(-2))]
+
     # BFS with consecutive id assignment
     rows_out = []          # per new node: (boxes_list, n_int, base_int, base_leaf)
     queue = [0]            # bvh2 refs, in NEW id order
@@ -599,6 +643,8 @@ def _collapse8_linear(n16: np.ndarray, leaf_rows: np.ndarray):
         n = queue[qi]
         qi += 1
         ch = children8(n)
+        if not ch and n == 0:
+            ch = _degenerate_children()
         n_int = sum(1 for e in ch if e[1] == "node")
         base_int = next_node
         for e in ch:

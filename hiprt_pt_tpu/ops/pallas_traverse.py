@@ -1842,11 +1842,19 @@ def pallas_stream8_supported(bvh: BVHData, n: int) -> bool:
 # for 4.48 MB). Here the children of a node are laid out CONSECUTIVELY
 # (accel/build._collapse8_linear): internal children occupy consecutive
 # node rows, leaf children consecutive leaf rows, and every child ref is
-# derived from two packed words that ride in the node row itself. The
-# scalar side pays exactly 3 vector->scalar crossings per packet per
-# iteration (hit word + word A + word B) at ANY scene size, vs 5 for the
-# BVH4 streaming kernel — with 8-wide nodes descending ~1.7x more tree per
-# iteration.
+# derived from packed words that ride in the node row itself.
+#
+# Per packet per iteration the scalar side pays exactly TWO vector->scalar
+# crossings at ANY scene size (vs 5 for the BVH4 streaming kernel):
+#   word A = base_int | n_int << 26                  (from the node row)
+#   word B = leaf_base | hit_word << 20 [| c_near << 28]   (vector-packed)
+# where c_near is the packet-nearest hit child (min slab entry t over
+# lanes), taken FIRST so best-t tightens earliest (closest-hit pruning);
+# any-hit packs a 9-bit hit word (bit 8 = all-lanes-dead) instead.
+#
+# Leaf rows are DMA'd from HBM; the descend phase PREFETCHES the next
+# row's leaf DMA as soon as the next ref is known, so the transfer
+# overlaps the loop back-edge and the next iteration's scalar phase 1.
 # --------------------------------------------------------------------------
 
 
@@ -1874,6 +1882,7 @@ def _kernel_stream8l(nodes_ref, leaves_hbm,
             ray_sems.at[k],
         ).start()
     qhead_s[0] = jnp.int32(min(K, n_packets))
+    leaf_s[:, 120:122] = jnp.zeros((K, 2), jnp.float32)
     for k in range(K):
         pltpu.make_async_copy(
             rays_hbm.at[pl.ds(0, 1)],
@@ -1888,22 +1897,19 @@ def _kernel_stream8l(nodes_ref, leaves_hbm,
         valid_s[k] = jnp.where(live_s[k] > 0, 1, 0)
         cur_s[k] = 0
 
-    # Safety backstop ONLY — must never truncate real work. Per program
-    # row there are ceil(n_packets / K) sequential packets, each of whose
-    # union walk is bounded by the node+leaf count; MAX_ITERS dominates any
-    # real per-packet walk. (A fixed MAX_ITERS * K cap truncated big-scene
-    # bounce wavefronts: 8192 packets x ~500-iteration walks >> 131072.)
-    iter_cap = (n_packets // K + 2) * MAX_ITERS
+    iter_cap = (n_packets // K + 2) * MAX_ITERS  # safety backstop only
 
     def cond(c):
-        it, ndone = c
+        it, ndone, _nl, _nv = c
         return (it < iter_cap) & (ndone < n_packets)
 
     def body(c):
-        it, ndone = c
+        it, ndone, nleaf, nvisit = c
 
-        # ---- scalar phase 1: pop + node fetch + gated leaf DMA ----
-        leaf_s[:, 120:122] = jnp.zeros((K, 2), jnp.float32)
+        # ---- scalar phase 1: pop + node fetch + pop-leaf DMA ----
+        # (leaf DMAs for descend-chosen refs were already started in the
+        # previous iteration's phase 2; flags were zeroed there before any
+        # DMA could land, so no stale-flag race)
         for k in range(K):
             need_pop = (valid_s[k] == 0) & (ptr_s[k] > 0) & (live_s[k] > 0)
             top = jnp.maximum(ptr_s[k] - 1, 0)
@@ -1916,14 +1922,17 @@ def _kernel_stream8l(nodes_ref, leaves_hbm,
             node_idx = jnp.where((valid_s[k] > 0) & ~is_leaf, cur_s[k], 0)
             rows_s[pl.ds(k, 1), :] = nodes_ref[pl.ds(node_idx, 1), :]
 
-            @pl.when(is_leaf)
-            def _start_leaf_dma():
+            @pl.when(is_leaf & need_pop)
+            def _start_popped_leaf_dma():
                 pltpu.make_async_copy(
                     leaves_hbm.at[pl.ds(-cur_s[k] - 1, 1), :],
                     leaf_s.at[pl.ds(k, 1), :],
                     dma_sems.at[k],
                 ).start()
         for k in range(K):
+            nleaf = nleaf + isleaf_s[k]
+            nvisit = nvisit + valid_s[k]
+
             @pl.when(isleaf_s[k] > 0)
             def _wait_leaf_dma():
                 pltpu.make_async_copy(
@@ -1979,9 +1988,10 @@ def _kernel_stream8l(nodes_ref, leaves_hbm,
                 jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                 jnp.minimum(jnp.maximum(tz0, tz1), best_t),
             )
-            return (t_entry <= t_exit) & searching
+            return (t_entry <= t_exit) & searching, t_entry
 
-        h_ray = [slab(c * 6) for c in range(8)]
+        slabs = [slab(c * 6) for c in range(8)]
+        h_ray = [s[0] for s in slabs]
 
         best_prim = bp_s[:]
         best_u = bu_s[:]
@@ -2035,29 +2045,52 @@ def _kernel_stream8l(nodes_ref, leaves_hbm,
             bu_s[:] = best_u
             bv_s[:] = best_v
 
-        # packed per-packet hit word: 8 child bits (+ death bit 8)
+        # packed per-packet word B: leaf_base | hit bits << 20 (+ death bit
+        # 28 for any-hit; + nearest-hit-child << 28 for closest-hit)
         hword = jnp.max(h_ray[0].astype(jnp.int32), axis=1, keepdims=True)
         for c in range(1, 8):
             hword = hword + (
                 jnp.max(h_ray[c].astype(jnp.int32), axis=1, keepdims=True) << c
             )
+        bword = wb_vec + (hword << 20)
         if any_hit:
-            hword = hword + 256 * (
+            bword = bword + (256 << 20) * (
                 1 - jnp.max(searching.astype(jnp.int32), axis=1, keepdims=True)
             )
+        else:
+            # packet-nearest hit child: min slab-entry t over lanes per
+            # child, argmin over the 8 children (vector side, ~24 ops)
+            big = jnp.float32(3e38)
+            tn = [
+                jnp.min(jnp.where(h, te, big), axis=1, keepdims=True)
+                for (h, te) in slabs
+            ]
+            c_near = jnp.zeros_like(hword)
+            t_near = tn[0]
+            for c in range(1, 8):
+                closer = tn[c] < t_near
+                t_near = jnp.where(closer, tn[c], t_near)
+                c_near = jnp.where(closer, jnp.full_like(c_near, c), c_near)
+            bword = bword + (c_near << 28)
 
-        # ---- scalar phase 2: descend / finish / refill ----
+        # ---- scalar phase 2: descend / finish / refill / leaf prefetch ----
+        # zero leaf flags BEFORE any prefetch DMA can land (race-free gate)
+        leaf_s[:, 120:122] = jnp.zeros((K, 2), jnp.float32)
         ndone_new = ndone
         for k in range(K):
-            hw = jnp.sum(hword[k])
+            wbk = jnp.sum(bword[k])
             wak = jnp.sum(wa_vec[k])
-            wbk = jnp.sum(wb_vec[k])
             base_int = wak & jnp.int32((1 << 26) - 1)
             n_int = wak >> 26
+            base_leaf = wbk & jnp.int32((1 << 20) - 1)
             if any_hit:
+                hw = (wbk >> 20) & 0x1FF
                 row_dead = (hw >= 256) & (live_s[k] > 0)
+                hw = hw & 0xFF
                 ptr_s[k] = jnp.where(row_dead, 0, ptr_s[k])
             else:
+                hw = (wbk >> 20) & 0xFF
+                c_nr = (wbk >> 28) & 0x7
                 row_dead = jnp.bool_(False)
             was_leaf = isleaf_s[k] > 0
             gate = (valid_s[k] > 0) & ~was_leaf & ~row_dead & (live_s[k] > 0)
@@ -2066,28 +2099,60 @@ def _kernel_stream8l(nodes_ref, leaves_hbm,
 
             @pl.when(gate)
             def _descend():
-                cur_new = cur_s[k]
-                found = jnp.int32(0)
-                ptr_k = ptr_s[k]
-                for c in range(8):
-                    # child c: internal -> node row base_int + c;
-                    # leaf -> leaf row wbk + (c - n_int), ref = -(row + 1)
-                    rc = jnp.where(
+                def ref(c):
+                    return jnp.where(
                         c < n_int,
                         base_int + c,
-                        -(wbk + (c - n_int)) - 1,
+                        -(base_leaf + (c - n_int)) - 1,
                     )
-                    hc = (((hw >> c) & 1) > 0)
-                    take = hc & (found == 0)
-                    push = hc & (found > 0)
-                    cur_new = jnp.where(take, rc, cur_new)
-                    slot = jnp.minimum(ptr_k, STACK - 1)
-                    stack_s[k, slot] = jnp.where(push, rc, stack_s[k, slot])
-                    ptr_k = jnp.minimum(ptr_k + push.astype(jnp.int32), STACK)
-                    found = found + hc.astype(jnp.int32)
+
+                if any_hit:
+                    # unordered first-hit take
+                    cur_new = cur_s[k]
+                    found = jnp.int32(0)
+                    ptr_k = ptr_s[k]
+                    for c in range(8):
+                        rc = ref(jnp.int32(c))
+                        hc = (((hw >> c) & 1) > 0)
+                        take = hc & (found == 0)
+                        push = hc & (found > 0)
+                        cur_new = jnp.where(take, rc, cur_new)
+                        slot = jnp.minimum(ptr_k, STACK - 1)
+                        stack_s[k, slot] = jnp.where(
+                            push, rc, stack_s[k, slot]
+                        )
+                        ptr_k = jnp.minimum(
+                            ptr_k + push.astype(jnp.int32), STACK
+                        )
+                        found = found + hc.astype(jnp.int32)
+                    any_found = found > 0
+                else:
+                    # nearest-first take (c_nr), push the rest in order
+                    any_found = hw != 0
+                    cur_new = jnp.where(any_found, ref(c_nr), cur_s[k])
+                    ptr_k = ptr_s[k]
+                    for c in range(8):
+                        push = (((hw >> c) & 1) > 0) & (c_nr != c)
+                        slot = jnp.minimum(ptr_k, STACK - 1)
+                        stack_s[k, slot] = jnp.where(
+                            push, ref(jnp.int32(c)), stack_s[k, slot]
+                        )
+                        ptr_k = jnp.minimum(
+                            ptr_k + push.astype(jnp.int32), STACK
+                        )
                 ptr_s[k] = ptr_k
                 cur_s[k] = cur_new
-                valid_s[k] = jnp.where(found > 0, 1, 0)
+                valid_s[k] = any_found.astype(jnp.int32)
+
+                # prefetch: if the chosen ref is a leaf, start its DMA now
+                # so it overlaps the loop back-edge and next phase 1
+                @pl.when(any_found & (cur_new < 0))
+                def _prefetch_leaf_dma():
+                    pltpu.make_async_copy(
+                        leaves_hbm.at[pl.ds(-cur_new - 1, 1), :],
+                        leaf_s.at[pl.ds(k, 1), :],
+                        dma_sems.at[k],
+                    ).start()
 
             fin = (live_s[k] > 0) & (valid_s[k] == 0) & (ptr_s[k] == 0)
 
@@ -2145,11 +2210,16 @@ def _kernel_stream8l(nodes_ref, leaves_hbm,
 
             ndone_new = ndone_new + fin.astype(jnp.int32)
 
-        return it + 1, ndone_new
+        return it + 1, ndone_new, nleaf, nvisit
 
-    _it, ndone = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    _it, ndone, _nl, _nv = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+    )
     done_out[0, 0] = ndone
     done_out[0, 1] = _it
+    done_out[0, 2] = _nl
+    done_out[0, 3] = _nv
 
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats"))
@@ -2240,11 +2310,12 @@ def traverse_pallas_stream8l(
         v=v.reshape(n),
     )
     if return_stats:
-        return rec, _cnt  # row: [done, iters, 0, 0]
+        return rec, _cnt  # row: [done, iters, leaf_row_iters, visits]
     return rec
 
 
-MAX_STREAM8L_NODES = 196608  # (M8, 64) f32 node table must fit VMEM (~48 MB)
+MAX_STREAM8L_NODES = 196608   # (M8, 64) f32 node table must fit VMEM (~48 MB)
+MAX_STREAM8L_LEAVES = 1 << 20  # leaf base rides in 20 bits of word B
 
 
 def pallas_stream8l_supported(bvh: BVHData, n: int) -> bool:
@@ -2253,5 +2324,6 @@ def pallas_stream8l_supported(bvh: BVHData, n: int) -> bool:
         and bvh.nodes8l is not None
         and bvh.leaf_rows8 is not None
         and bvh.nodes8l.shape[0] <= MAX_STREAM8L_NODES
+        and bvh.leaf_rows8.shape[0] <= MAX_STREAM8L_LEAVES
         and n % PACKET == 0
     )

@@ -87,6 +87,17 @@ class BVHData:
     # col 120 = 0), rows [M8:] leaf rows (col 120 = 1). One gather serves
     # either kind of visit. ref >= 0 -> row ref; ref < 0 -> row M8 - ref - 1.
     rows8c: jax.Array | None = None     # (M8 + L, 128) f32
+    # Per-LANE traversal tables (ops/pallas_traverse._kernel_lane8): node rows
+    # fetched by one-hot MXU matmul, so boxes are bf16 with DIRECTED rounding
+    # (mins down, maxs up — conservative, never culls a true hit) and meta
+    # rides as bf16-exact byte columns; leaf triangle geometry is an exact-ish
+    # bf16 hi/lo pair (|err| <= 2^-17 relative after hi+lo reconstruction).
+    # nodes_lane8 (M8, 64) bf16: [0:48] dilated child boxes (NaN = empty),
+    #   [48:51] base_int bytes, [51] n_int, [52:55] base_leaf bytes.
+    # leaves_lane8 (L8, 256) bf16: [0:108] coord hi, [108:216] coord lo,
+    #   [216:228]/[228:240]/[240:252] (prim+1) bytes b0/b1/b2, [252] count.
+    nodes_lane8: jax.Array | None = None   # (M8, 64) bf16
+    leaves_lane8: jax.Array | None = None  # (L8, 256) bf16
     # max node depth of the BVH8 (root = 1); static metadata, not traced
     depth8: int = struct.field(pytree_node=False, default=0)
 
@@ -370,6 +381,7 @@ def build_bvh(
             n8, r8 = _collapse8(n16)
             n8l, lr8 = _collapse8_linear(n16, lrows)
             r8c, d8 = _rows8c_and_depth(n8l, lr8)
+            nl8, ll8 = _pack_lane8(n8l, lr8, vertices, triangles)
             return BVHData(
                 nodes=jnp.asarray(rows_native), tri_rows=jnp.asarray(tri_rows),
                 nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
@@ -377,6 +389,7 @@ def build_bvh(
                 nodes8=jnp.asarray(n8), refs8=jnp.asarray(r8),
                 nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
                 rows8c=jnp.asarray(r8c), depth8=d8,
+                nodes_lane8=jnp.asarray(nl8), leaves_lane8=jnp.asarray(ll8),
             )
 
     v0 = vertices[triangles[:, 0]]
@@ -527,6 +540,7 @@ def build_bvh(
     n8, r8 = _collapse8(n16)
     n8l, lr8 = _collapse8_linear(n16, lrows)
     r8c, d8 = _rows8c_and_depth(n8l, lr8)
+    nl8, ll8 = _pack_lane8(n8l, lr8, vertices, triangles)
     return BVHData(
         nodes=jnp.asarray(rows), tri_rows=jnp.asarray(tri_rows),
         nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
@@ -534,6 +548,7 @@ def build_bvh(
         nodes8=jnp.asarray(n8), refs8=jnp.asarray(r8),
         nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
         rows8c=jnp.asarray(r8c), depth8=d8,
+        nodes_lane8=jnp.asarray(nl8), leaves_lane8=jnp.asarray(ll8),
     )
 
 
@@ -555,6 +570,94 @@ def _rows8c_and_depth(n8l: np.ndarray, lr8: np.ndarray):
         [np.pad(n8l, ((0, 0), (0, 128 - n8l.shape[1]))), lr8]
     ).astype(np.float32)
     return rows, int(depth.max(initial=1))
+
+
+def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
+                verts: np.ndarray | None = None,
+                tris: np.ndarray | None = None):
+    """Pack the linear BVH8 into the per-lane MXU-gather tables.
+
+    See BVHData.nodes_lane8/leaves_lane8 for the layout. Boxes use directed
+    bf16 rounding so the slab test can only FALSE-POSITIVE (extra visits),
+    never cull a true hit; triangle coords are split into a bf16 (hi, lo)
+    pair whose f32 reconstruction hi+lo carries <= 2^-17 relative error.
+    """
+    import ml_dtypes
+
+    bf = ml_dtypes.bfloat16
+
+    def _bf16_directed(x: np.ndarray, up: bool) -> np.ndarray:
+        b = x.astype(bf)
+        back = b.astype(np.float32)
+        u = b.view(np.uint16).astype(np.int64)
+        sign = (u & 0x8000) != 0
+        inc = np.where(sign, -1, 1) if up else np.where(sign, 1, -1)
+        nxt = u + inc
+        # stepping off +-0 lands on the smallest subnormal of the target sign
+        nxt = np.where((u & 0x7FFF) == 0, 0x0001 if up else 0x8001, nxt)
+        stepped = nxt.astype(np.uint16).view(bf)
+        need = (back < x) if up else (back > x)
+        need &= np.isfinite(x)
+        return np.where(need, stepped, b)
+
+    M = n8l.shape[0]
+    nodes = np.zeros((M, 64), bf)
+    boxes = n8l[:, :48].reshape(M, 8, 6)
+    nodes_boxes = np.empty((M, 8, 6), bf)
+    nodes_boxes[:, :, 0:3] = _bf16_directed(boxes[:, :, 0:3], up=False)
+    nodes_boxes[:, :, 3:6] = _bf16_directed(boxes[:, :, 3:6], up=True)
+    # Empty children CANNOT stay NaN here: the one-hot matmul multiplies
+    # every table entry (0 * NaN = NaN poisons the whole gather). A far
+    # "point box" (all six coords = +bf16max) never passes the slab test:
+    # all-positive inv -> t_entry = +inf; all-negative -> t_exit = -inf;
+    # mixed signs -> entry +inf. (No finite scene reaches 3.4e38.)
+    empty = ~np.isfinite(boxes)
+    nodes_boxes[empty] = bf(3.38e38)  # bf16 max normal is ~3.39e38
+    nodes[:, 0:48] = nodes_boxes.reshape(M, 48)
+    wa = np.ascontiguousarray(n8l[:, 48]).view(np.int32).astype(np.int64)
+    wb = np.ascontiguousarray(n8l[:, 49]).view(np.int32).astype(np.int64)
+    base_int = wa & ((1 << 26) - 1)
+    n_int = wa >> 26
+    base_leaf = wb & ((1 << 20) - 1)
+    nodes[:, 48] = (base_int & 255).astype(np.float32)
+    nodes[:, 49] = ((base_int >> 8) & 255).astype(np.float32)
+    nodes[:, 50] = ((base_int >> 16) & 255).astype(np.float32)
+    nodes[:, 51] = n_int.astype(np.float32)
+    nodes[:, 52] = (base_leaf & 255).astype(np.float32)
+    nodes[:, 53] = ((base_leaf >> 8) & 255).astype(np.float32)
+    nodes[:, 54] = ((base_leaf >> 16) & 255).astype(np.float32)
+
+    L = lr8.shape[0]
+    leaves = np.zeros((L, 256), bf)
+    prim = np.ascontiguousarray(lr8[:, 108:120]).view(np.int32).astype(np.int64)
+    # Store rounded VERTICES (v0, v1, v2), not (v0, e1, e2): per-triangle
+    # edge rounding breaks shared edges (bisected: a grazing hit with exact
+    # u = 2e-6 fell into a ~1e-5 crack between neighbors). Shared vertices
+    # round identically, so the pair-bf16 mesh stays watertight; the kernel
+    # derives e1 = v1 - v0 in f32. Empty slots (prim < 0) stay all-zero
+    # (det = 0 rejects them); NaN would poison the one-hot gather.
+    coords = np.zeros((L, 108), np.float32)
+    if verts is not None and tris is not None and tris.shape[0]:
+        vmask = prim >= 0  # (L, 12)
+        pv = np.where(vmask, prim, 0)
+        tri_v = verts[tris[pv]]  # (L, 12, 3, 3) v0/v1/v2 per slot
+        tri_v = np.where(vmask[:, :, None, None], tri_v, 0.0)
+        coords = tri_v.reshape(L, 108).astype(np.float32)
+    else:
+        # fallback: reconstruct vertices from the (v0, e1, e2) leaf rows
+        ce = np.nan_to_num(lr8[:, 0:108], nan=0.0).reshape(L, 12, 3, 3)
+        v0, e1, e2 = ce[:, :, 0], ce[:, :, 1], ce[:, :, 2]
+        coords = np.stack([v0, v0 + e1, v0 + e2], axis=2).reshape(L, 108)
+    hi = coords.astype(bf)
+    lo = (coords - hi.astype(np.float32)).astype(bf)
+    leaves[:, 0:108] = hi
+    leaves[:, 108:216] = lo
+    pv = prim + 1  # 0 = invalid slot
+    leaves[:, 216:228] = (pv & 255).astype(np.float32)
+    leaves[:, 228:240] = ((pv >> 8) & 255).astype(np.float32)
+    leaves[:, 240:252] = ((pv >> 16) & 255).astype(np.float32)
+    leaves[:, 252] = lr8[:, 121]
+    return nodes, leaves
 
 
 def _collapse8_linear(n16: np.ndarray, leaf_rows: np.ndarray):

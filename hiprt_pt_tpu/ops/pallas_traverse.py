@@ -2327,3 +2327,542 @@ def pallas_stream8l_supported(bvh: BVHData, n: int) -> bool:
         and bvh.leaf_rows8.shape[0] <= MAX_STREAM8L_LEAVES
         and n % PACKET == 0
     )
+
+
+# --------------------------------------------------------------------------
+# v7: PER-LANE BVH8 traversal ("lane8") — one-hot MXU gather, no packet union.
+#
+# Measurement that motivates this kernel (round 2): a lone incoherent ray
+# needs ~13 node visits on the 29k-node stress BVH8, but a 128-ray packet's
+# UNION is ~1190 visits — the lockstep packet kernels serialize ~90x more
+# row-visits than per-ray work requires (lane utilization ~1%). Here every
+# one of 1024 resident lanes walks its OWN tree path:
+#
+#   * node fetch   = one-hot matmul on the MXU:  G = nodes^T @ OH, where
+#     OH[m, l] = (m == cur[l]).  Boxes are bf16 with DIRECTED rounding
+#     (build._pack_lane8) so the slab test is conservative; meta rides as
+#     bf16-exact byte columns reassembled in f32. ~4-6 us per iteration for
+#     all 1024 lanes — cheaper than ONE packet row-visit per useful visit.
+#   * per-lane stack = (STACK, L) i32 in VMEM; push/pop via iota==ptr masks.
+#   * leaf tests   = banked: lanes park a pending leaf ref; when >=50% of
+#     lanes are pending (or nobody has node work) a LEAF ROUND gathers each
+#     lane's leaf row from the bf16 (hi, lo)-pair table and runs 12
+#     Moller-Trumbore tests per lane in f32 (coord error <= 2^-17).
+#   * streaming refill = finished lanes scatter their result into the
+#     output buffer via an exact f32 one-hot matmul and take the next ray
+#     from the resident ray table, assigned by a matmul prefix-rank. Lane
+#     occupancy stays ~100% like the packet streaming kernels, but per
+#     LANE, not per packet.
+#
+# All cross-layout moves (lane-major <-> sublane-major) are expressed as
+# small exact f32 matmuls (transpose / broadcast / prefix-sum by
+# triangular matrix) — the only dot_general forms used are the two Mosaic
+# supports natively. No vector->scalar crossings in the node phase at all;
+# leaf rounds pay a handful for the round decision and pool bookkeeping.
+#
+# Reference parity: src/Device/includes/Intersect.h:129-142 (the HW
+# traversal this replaces) — redesigned for the MXU instead of translated.
+# --------------------------------------------------------------------------
+
+L8 = 1024            # resident lanes (rays in flight)
+L8_STACK = 64        # per-lane stack depth (>= depth8 * 7)
+L8_NODE_CHUNK = 4096  # node-table rows per one-hot matmul chunk
+L8_LEAF_CHUNK = 2048  # leaf-table rows per one-hot matmul chunk
+L8_SCATW = 8          # scatter window (chunks of 1024 rays)
+L8_MAX_RAYS = 1 << 18  # per-call ray cap (VMEM out buffer)
+MAX_LANE8_NODES = 65536
+MAX_LANE8_LEAVES = 81920
+
+
+def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
+                  cur_s, ptr_s, valid_s, pend_s, done_s, scat_s, rayid_s,
+                  ray_s, bt_s, bu_s, bv_s, bp_s,
+                  stack_s, lt_s,
+                  *, any_hit: bool, n_chunks: int, m_nodes: int,
+                  m_leaves: int, iter_cap: int):
+    NC = n_chunks
+    n_total = NC * L8
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    # ---- one-time init ----
+    out_ref[:] = jnp.zeros((NC * 8, L8), f32)
+    cur_s[:] = jnp.zeros((1, L8), i32)
+    ptr_s[:] = jnp.zeros((1, L8), i32)
+    valid_s[:] = jnp.zeros((1, L8), i32)
+    pend_s[:] = jnp.zeros((1, L8), i32)
+    done_s[:] = jnp.ones((1, L8), i32)
+    scat_s[:] = jnp.ones((1, L8), i32)
+    rayid_s[:] = jnp.full((1, L8), -1, i32)
+    ray_s[:] = jnp.zeros((16, L8), f32)
+    bt_s[:] = jnp.zeros((1, L8), f32)
+    bu_s[:] = jnp.zeros((1, L8), f32)
+    bv_s[:] = jnp.zeros((1, L8), f32)
+    bp_s[:] = jnp.full((1, L8), -1, i32)
+    stack_s[:] = jnp.zeros((L8_STACK, L8), i32)
+    for _si in range(8):
+        stats_ref[0, _si] = jnp.int32(0)
+    # lower-triangular (strict) matrix for matmul prefix-rank
+    lt_s[:] = (
+        jax.lax.broadcasted_iota(i32, (L8, L8), 0)
+        < jax.lax.broadcasted_iota(i32, (L8, L8), 1)
+    ).astype(f32)
+
+    slot_iota = jax.lax.broadcasted_iota(i32, (L8_STACK, L8), 0)
+    eye8 = (jax.lax.broadcasted_iota(i32, (8, 8), 0)
+            == jax.lax.broadcasted_iota(i32, (8, 8), 1)).astype(f32)
+    pad7 = jnp.zeros((7, L8), f32)
+
+    def _t8(row):
+        """(1, L8) f32 -> (L8, 8) f32 whose column 0 is the row (MXU
+        transpose; operands padded to 8 sublanes — Mosaic rejects 1)."""
+        return jax.lax.dot_general(
+            jnp.concatenate([row, pad7], axis=0), eye8,
+            (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def cond(c):
+        it, ndone, pool_head = c
+        return (it < iter_cap) & (ndone < n_total)
+
+    def body(c):
+        it, ndone, pool_head = c
+
+        done = done_s[:]
+        ptr = ptr_s[:]
+        valid = valid_s[:]
+        cur = cur_s[:]
+        pend = pend_s[:]
+
+        # ---- pop ----
+        need_pop = (done == 0) & (valid == 0) & (ptr > 0)
+        top = jnp.maximum(ptr - 1, 0)
+        popped = jnp.sum(
+            jnp.where(slot_iota == top, stack_s[:], 0), axis=0, keepdims=True
+        )
+        cur = jnp.where(need_pop, popped, cur)
+        ptr = jnp.where(need_pop, top, ptr)
+        valid = jnp.where(need_pop, 1, valid)
+
+        # ---- promote leaf cur -> pending bank (one slot per lane) ----
+        promo = (valid > 0) & (cur < 0) & (pend == 0)
+        pend = jnp.where(promo, -cur, pend)
+        valid = jnp.where(promo, 0, valid)
+
+        node_lane = (valid > 0) & (cur >= 0)
+
+        # ---- round decision (scalars) ----
+        n_pend = jnp.sum((pend > 0).astype(i32))
+        n_nodework = jnp.sum(node_lane.astype(i32))
+        leaf_round = (n_pend >= L8 // 2) | (n_nodework == 0)
+
+        # ---- node phase: one-hot MXU gather + slab + descend ----
+        rd = ray_s[:]
+        ox, oy, oz = rd[0:1], rd[1:2], rd[2:3]
+        dx, dy, dz = rd[3:4], rd[4:5], rd[5:6]
+        ix, iy, iz = rd[9:10], rd[10:11], rd[11:12]
+        t_min = rd[6:7]
+        best_t = bt_s[:]
+
+        node_idx = jnp.where(node_lane, cur, -1)
+        # Mosaic strength-reduces (iota == idx) one-hot matmuls into real
+        # VMEM gathers (measured: full-table gather ~0.6 us, vs ~5 us for
+        # the materialized one-hot build alone) — so no chunking: the
+        # (M, L8) one-hot is never materialized
+        iota_nc = jax.lax.broadcasted_iota(i32, (m_nodes, L8), 0)
+        oh_n = (iota_nc == node_idx).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            nodes_ref[:], oh_n, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+        hits = []
+        tents = []
+        for b in range(8):
+            o6 = g[b * 6:(b + 1) * 6]
+            tx0 = (o6[0:1] - ox) * ix
+            tx1 = (o6[3:4] - ox) * ix
+            ty0 = (o6[1:2] - oy) * iy
+            ty1 = (o6[4:5] - oy) * iy
+            tz0 = (o6[2:3] - oz) * iz
+            tz1 = (o6[5:6] - oz) * iz
+            te = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
+            )
+            tx = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+            )
+            hits.append((te <= tx) & node_lane)
+            tents.append(te)
+
+        base_int = (g[48:49] + g[49:50] * 256.0 + g[50:51] * 65536.0
+                    ).astype(i32)
+        n_int = g[51:52].astype(i32)
+        base_leaf = (g[52:53] + g[53:54] * 256.0 + g[54:55] * 65536.0
+                     ).astype(i32)
+
+        big = f32(3e38)
+        t_near = jnp.where(hits[0], tents[0], big)
+        c_near = jnp.zeros((1, L8), i32)
+        anyfound = hits[0]
+        for cc in range(1, 8):
+            tc = jnp.where(hits[cc], tents[cc], big)
+            closer = tc < t_near
+            t_near = jnp.where(closer, tc, t_near)
+            c_near = jnp.where(closer, cc, c_near)
+            anyfound = anyfound | hits[cc]
+
+        def ref_of(cc):
+            return jnp.where(cc < n_int, base_int + cc,
+                             -(base_leaf + (cc - n_int)) - 1)
+
+        cur = jnp.where(node_lane,
+                        jnp.where(anyfound, ref_of(c_near), cur), cur)
+        new_stack = stack_s[:]
+        for cc in range(8):
+            push = hits[cc] & (c_near != cc)
+            slot = jnp.minimum(ptr, L8_STACK - 1)
+            cval = ref_of(jnp.full((1, L8), cc, i32))
+            new_stack = jnp.where((slot_iota == slot) & push, cval, new_stack)
+            ptr = ptr + push.astype(i32)
+        stack_s[:] = new_stack
+        valid = jnp.where(node_lane, anyfound.astype(i32), valid)
+
+        # persist node-phase state (leaf phase reads/writes refs directly)
+        cur_s[:] = cur
+        ptr_s[:] = jnp.minimum(ptr, L8_STACK)
+        valid_s[:] = valid
+        pend_s[:] = pend
+
+        ndone_new = ndone
+        pool_new = pool_head
+
+        # ---- leaf round: gather pending leaf rows + MT tests + refill ----
+        @pl.when(leaf_round)
+        def _leaf_round():
+            pendv = pend_s[:]
+            pend_lane = pendv > 0
+            lidx = jnp.where(pend_lane, pendv - 1, -1)
+            iota_lc = jax.lax.broadcasted_iota(i32, (m_leaves, L8), 0)
+            oh_l = (iota_lc == lidx).astype(jnp.bfloat16)
+            gl = jax.lax.dot_general(
+                leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+            cnt = gl[252:253]
+            btv = bt_s[:]
+            buv = bu_s[:]
+            bvv = bv_s[:]
+            bpv = bp_s[:]
+            deadv = jnp.zeros((1, L8), jnp.bool_)
+            for kk in range(12):
+                off = 9 * kk
+                # slots hold VERTICES (v0, v1, v2) as bf16 hi+lo pairs —
+                # shared vertices round identically, so the perturbed mesh
+                # is watertight; edges derived here in f32
+                v0x = gl[off:off + 1] + gl[108 + off:109 + off]
+                v0y = gl[off + 1:off + 2] + gl[109 + off:110 + off]
+                v0z = gl[off + 2:off + 3] + gl[110 + off:111 + off]
+                e1x = gl[off + 3:off + 4] + gl[111 + off:112 + off] - v0x
+                e1y = gl[off + 4:off + 5] + gl[112 + off:113 + off] - v0y
+                e1z = gl[off + 5:off + 6] + gl[113 + off:114 + off] - v0z
+                e2x = gl[off + 6:off + 7] + gl[114 + off:115 + off] - v0x
+                e2y = gl[off + 7:off + 8] + gl[115 + off:116 + off] - v0y
+                e2z = gl[off + 8:off + 9] + gl[116 + off:117 + off] - v0z
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+                tx_ = ox - v0x
+                ty_ = oy - v0y
+                tz_ = oz - v0z
+                u = (tx_ * px + ty_ * py + tz_ * pz) * inv_det
+                qx = ty_ * e1z - tz_ * e1y
+                qy = tz_ * e1x - tx_ * e1z
+                qz = tx_ * e1y - ty_ * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                hit = (
+                    pend_lane
+                    & (kk < cnt)
+                    & (jnp.abs(det) > TRI_EPS)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > t_min)
+                    & (t < btv)
+                )
+                prim_k = (gl[216 + kk:217 + kk] + gl[228 + kk:229 + kk] * 256.0
+                          + gl[240 + kk:241 + kk] * 65536.0).astype(i32) - 1
+                btv = jnp.where(hit, t, btv)
+                bpv = jnp.where(hit, prim_k, bpv)
+                if any_hit:
+                    deadv = deadv | hit
+                else:
+                    buv = jnp.where(hit, u, buv)
+                    bvv = jnp.where(hit, v, bvv)
+
+            bt_s[:] = btv
+            bu_s[:] = buv
+            bv_s[:] = bvv
+            bp_s[:] = bpv
+            pend_s[:] = jnp.where(pend_lane, 0, pendv)
+            if any_hit:
+                done_s[:] = jnp.where(deadv, 1, done_s[:])
+                ptr_s[:] = jnp.where(deadv, 0, ptr_s[:])
+                valid_s[:] = jnp.where(deadv, 0, valid_s[:])
+
+        # ---- finish detection (any round) ----
+        fin = ((done_s[:] == 0) & (rayid_s[:] >= 0) & (valid_s[:] == 0)
+               & (ptr_s[:] == 0) & (pend_s[:] == 0))
+        done_s[:] = jnp.where(fin, 1, done_s[:])
+
+        # ---- scatter + refill (effective on leaf rounds only: the per-
+        # chunk scatters are pl.when-gated and can_n is 0 otherwise; the
+        # small refill matmuls run unconditionally but change nothing) ----
+        if True:
+            donev = done_s[:]
+            scatv = scat_s[:]
+            ridv = rayid_s[:]
+            # oldest un-flushed ray bounds the scatter window
+            unflushed = scatv == 0
+            oldest = jnp.min(jnp.where(unflushed, ridv, jnp.int32(1 << 30)))
+            oldest = jnp.minimum(oldest, pool_head)
+            oldest_chunk = oldest >> 10
+
+            vals = jnp.concatenate(
+                [bt_s[:], bp_s[:].astype(f32), bu_s[:], bv_s[:],
+                 jnp.zeros((4, L8), f32)], axis=0)  # (8, L8)
+            vals_t = jax.lax.dot_general(
+                vals, eye8, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)  # (L8, 8)
+            ones_row8 = jnp.concatenate(
+                [jnp.ones((1, L8), f32), pad7], axis=0)  # (8, L8)
+
+            lane_iota_s = jax.lax.broadcasted_iota(i32, (L8, L8), 1)
+            for w in range(L8_SCATW):
+                ck = oldest_chunk + w
+
+                n_in_ck = jnp.sum(
+                    ((donev > 0) & (scat_s[:] == 0)
+                     & ((ridv >> 10) == ck)).astype(i32))
+
+                @pl.when(leaf_round & (ck < NC) & (n_in_ck > 0))
+                def _scat_chunk():
+                    mask = ((donev > 0) & (scat_s[:] == 0)
+                            & ((ridv >> 10) == ck))
+                    local = jnp.where(mask, ridv - (ck << 10), -1)
+                    bcast = jax.lax.dot_general(
+                        jnp.concatenate([local.astype(f32), pad7], axis=0),
+                        ones_row8, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)  # (L8, L8)
+                    oh_ls = (bcast == lane_iota_s.astype(f32)).astype(f32)
+                    contrib = jax.lax.dot_general(
+                        vals_t, oh_ls, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)  # (8, L8)
+                    out_ref[pl.ds(ck * 8, 8), :] = (
+                        out_ref[pl.ds(ck * 8, 8), :] + contrib)
+                    scat_s[:] = jnp.where(mask, 1, scat_s[:])
+
+            scat_after = scat_s[:]
+            newly = jnp.sum(
+                ((scat_after > 0) & (scatv == 0)).astype(i32))
+            ndone_new = ndone + jnp.where(leaf_round, newly, 0)
+
+            # ---- refill ----
+            elig = (done_s[:] > 0) & (scat_after > 0)
+            n_avail = n_total - pool_head
+            window_cap = ((oldest_chunk + L8_SCATW) << 10) - pool_head
+            can_n = jnp.maximum(
+                0, jnp.minimum(n_avail, window_cap))
+            can_n = jnp.where(leaf_round, can_n, 0)
+            elig_f = elig.astype(f32)
+            elig_t = _t8(elig_f)  # (L8, 8), col 0 = mask
+            rank = jax.lax.dot_general(
+                elig_t, lt_s[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)[0:1].astype(i32)
+            take = elig & (rank < can_n)
+            slot = jnp.where(take, pool_head + rank, -1)
+            c0 = pool_head >> 10
+            gsum = jnp.zeros((16, L8), f32)
+            iota_p = jax.lax.broadcasted_iota(i32, (L8, L8), 0)
+            for h in range(2):
+                ch_ok = (c0 + h) < NC  # clamped duplicate would double-add
+                ch = jnp.minimum(c0 + h, NC - 1)
+                loc = slot - (ch << 10)
+                sel = take & (loc >= 0) & (loc < L8) & ch_ok
+                ohp = ((iota_p == loc) & sel).astype(f32)
+                rows = rays_ref[pl.ds(ch * 16, 16), :]
+                gsum = gsum + jax.lax.dot_general(
+                    rows, ohp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+            def inv3(c_):
+                return jnp.where(jnp.abs(c_) > 1e-12, 1.0 / c_,
+                                 jnp.sign(c_) * 1e12 + 1e12)
+
+            act = gsum[8:9] > 0.0
+            newray = jnp.concatenate(
+                [gsum[0:9],
+                 inv3(gsum[3:4]), inv3(gsum[4:5]), inv3(gsum[5:6]),
+                 jnp.zeros((4, L8), f32)], axis=0)
+            take_f = take.astype(f32)
+            ray_s[:] = jnp.where(take_f > 0, newray, ray_s[:])
+            bt_s[:] = jnp.where(take, gsum[7:8], bt_s[:])
+            bu_s[:] = jnp.where(take, 0.0, bu_s[:])
+            bv_s[:] = jnp.where(take, 0.0, bv_s[:])
+            bp_s[:] = jnp.where(take, -1, bp_s[:])
+            cur_s[:] = jnp.where(take, 0, cur_s[:])
+            ptr_s[:] = jnp.where(take, 0, ptr_s[:])
+            valid_s[:] = jnp.where(take, act.astype(i32), valid_s[:])
+            pend_s[:] = jnp.where(take, 0, pend_s[:])
+            done_s[:] = jnp.where(take, 1 - act.astype(i32), done_s[:])
+            scat_s[:] = jnp.where(take, 0, scat_s[:])
+            rayid_s[:] = jnp.where(take, slot, rayid_s[:])
+            pool_new = pool_head + jnp.sum(take.astype(i32))
+
+        stats_ref[0, 2] = stats_ref[0, 2] + n_nodework
+        stats_ref[0, 3] = stats_ref[0, 3] + jnp.where(leaf_round, 1, 0)
+        return it + 1, ndone_new, pool_new
+
+    it, ndone, _ph = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    stats_ref[0, 0] = it
+    stats_ref[0, 1] = ndone
+
+
+def _lane8_call(bvh: BVHData, o, d, tmin, tmax, act,
+                any_hit: bool, interpret: bool):
+    """One pallas_call over <= L8_MAX_RAYS rays (padded to 1024-chunks)."""
+    n = o.shape[0]
+    nc = max(1, -(-n // L8))
+    npad = nc * L8
+
+    def padto(x, fill=0.0):
+        return jnp.pad(x, (0, npad - n), constant_values=fill)
+
+    fields = jnp.stack([
+        padto(o[:, 0]), padto(o[:, 1]), padto(o[:, 2]),
+        padto(d[:, 0]), padto(d[:, 1]), padto(d[:, 2], fill=1.0),
+        padto(tmin), padto(tmax), padto(act),
+    ] + [jnp.zeros((npad,), jnp.float32)] * 7, axis=0)  # (16, npad)
+    # chunk-strided 2D layout: rows [c*16:(c+1)*16] = chunk c's 16 fields
+    rays = fields.reshape(16, nc, L8).transpose(1, 0, 2).reshape(nc * 16, L8)
+
+    m_nodes = bvh.nodes_lane8.shape[0]
+    m_leaves = bvh.leaves_lane8.shape[0]
+    # ~14 visits/ray typical; every visit costs at most one iteration of
+    # some lane, so nc*1024*64/1024 iterations is a ~4x-margin backstop
+    iter_cap = 64 * nc + 4096
+
+    out, stats = pl.pallas_call(
+        partial(_kernel_lane8, any_hit=any_hit, n_chunks=nc,
+                m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap),
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc * 8, L8), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, L8), jnp.int32),    # cur_s
+            pltpu.VMEM((1, L8), jnp.int32),    # ptr_s
+            pltpu.VMEM((1, L8), jnp.int32),    # valid_s
+            pltpu.VMEM((1, L8), jnp.int32),    # pend_s
+            pltpu.VMEM((1, L8), jnp.int32),    # done_s
+            pltpu.VMEM((1, L8), jnp.int32),    # scat_s
+            pltpu.VMEM((1, L8), jnp.int32),    # rayid_s
+            pltpu.VMEM((16, L8), jnp.float32),  # ray_s
+            pltpu.VMEM((1, L8), jnp.float32),  # bt_s
+            pltpu.VMEM((1, L8), jnp.float32),  # bu_s
+            pltpu.VMEM((1, L8), jnp.float32),  # bv_s
+            pltpu.VMEM((1, L8), jnp.int32),    # bp_s
+            pltpu.VMEM((L8_STACK, L8), jnp.int32),  # stack_s
+            pltpu.VMEM((L8, L8), jnp.float32),  # lt_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(bvh.nodes_lane8, bvh.leaves_lane8, rays)
+
+    flat = out.reshape(nc, 8, L8).transpose(1, 0, 2).reshape(8, npad)[:, :n]
+    t = flat[0]
+    prim = flat[1].astype(jnp.int32)
+    u = flat[2]
+    v = flat[3]
+    miss = prim < 0
+    return HitRecord(
+        t=jnp.where(miss, jnp.inf, t), prim=prim, u=u, v=v,
+    ), stats
+
+
+@partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats"))
+def traverse_pallas_lane8(
+    bvh: BVHData,
+    o: jax.Array,
+    d: jax.Array,
+    t_min=1e-4,
+    t_max=jnp.inf,
+    active=None,
+    any_hit: bool = False,
+    interpret: bool = False,
+    return_stats: bool = False,
+) -> HitRecord:
+    """Per-lane BVH8 traversal (v7) — see _kernel_lane8.
+
+    Any N (padded internally); calls are sliced at L8_MAX_RAYS rays to
+    bound the VMEM-resident ray/output tables.
+    """
+    n = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    tmax_arr = jnp.where(jnp.isfinite(tmax_arr), tmax_arr, jnp.float32(3e38))
+    act = (
+        jnp.ones((n,), jnp.float32)
+        if active is None
+        else jnp.asarray(active).astype(jnp.float32)
+    )
+    recs = []
+    stats = None
+    for s in range(0, n, L8_MAX_RAYS):
+        e = min(n, s + L8_MAX_RAYS)
+        rec, st = _lane8_call(
+            bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
+            any_hit, interpret)
+        recs.append(rec)
+        stats = st if stats is None else stats + st
+    if len(recs) == 1:
+        rec = recs[0]
+    else:
+        rec = HitRecord(
+            t=jnp.concatenate([r.t for r in recs]),
+            prim=jnp.concatenate([r.prim for r in recs]),
+            u=jnp.concatenate([r.u for r in recs]),
+            v=jnp.concatenate([r.v for r in recs]),
+        )
+    if return_stats:
+        return rec, stats
+    return rec
+
+
+def pallas_lane8_supported(bvh: BVHData, n: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and bvh.nodes_lane8 is not None
+        and bvh.leaves_lane8 is not None
+        and bvh.nodes_lane8.shape[0] <= MAX_LANE8_NODES
+        and bvh.leaves_lane8.shape[0] <= MAX_LANE8_LEAVES
+    )

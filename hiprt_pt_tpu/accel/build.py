@@ -613,7 +613,9 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
     # mixed signs -> entry +inf. (No finite scene reaches 3.4e38.)
     empty = ~np.isfinite(boxes)
     nodes_boxes[empty] = bf(3.38e38)  # bf16 max normal is ~3.39e38
-    nodes[:, 0:48] = nodes_boxes.reshape(M, 48)
+    # COMPONENT-MAJOR: col k*8 + c (component k of child c) so the kernel
+    # slabs all 8 children with (8, L) block ops instead of 48 row ops
+    nodes[:, 0:48] = nodes_boxes.transpose(0, 2, 1).reshape(M, 48)
     wa = np.ascontiguousarray(n8l[:, 48]).view(np.int32).astype(np.int64)
     wb = np.ascontiguousarray(n8l[:, 49]).view(np.int32).astype(np.int64)
     base_int = wa & ((1 << 26) - 1)
@@ -648,8 +650,11 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
         ce = np.nan_to_num(lr8[:, 0:108], nan=0.0).reshape(L, 12, 3, 3)
         v0, e1, e2 = ce[:, :, 0], ce[:, :, 1], ce[:, :, 2]
         coords = np.stack([v0, v0 + e1, v0 + e2], axis=2).reshape(L, 108)
-    hi = coords.astype(bf)
-    lo = (coords - hi.astype(np.float32)).astype(bf)
+    # COMPONENT-MAJOR: col j*12 + kk (component j of tri slot kk) so the
+    # kernel runs Moller-Trumbore on (12, L) blocks
+    coords_cm = coords.reshape(L, 12, 9).transpose(0, 2, 1).reshape(L, 108)
+    hi = coords_cm.astype(bf)
+    lo = (coords_cm - hi.astype(np.float32)).astype(bf)
     leaves[:, 0:108] = hi
     leaves[:, 108:216] = lo
     pv = prim + 1  # 0 = invalid slot

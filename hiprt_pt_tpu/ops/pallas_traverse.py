@@ -2377,7 +2377,7 @@ MAX_LANE8_LEAVES = 81920
 def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                   cur_s, ptr_s, valid_s, pend_s, done_s, scat_s, rayid_s,
                   ray_s, bt_s, bu_s, bv_s, bp_s,
-                  stack_s, lt_s,
+                  stack_s, lt_s, sc_s,
                   *, any_hit: bool, n_chunks: int, m_nodes: int,
                   m_leaves: int, iter_cap: int):
     NC = n_chunks
@@ -2403,6 +2403,8 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
     stack_s[:] = jnp.zeros((L8_STACK, L8), i32)
     for _si in range(8):
         stats_ref[0, _si] = jnp.int32(0)
+    sc_s[0, 0] = jnp.int32(0)  # rays fully scattered (ndone)
+    sc_s[0, 1] = jnp.int32(0)  # pool head (next ray to issue)
     # lower-triangular (strict) matrix for matmul prefix-rank
     lt_s[:] = (
         jax.lax.broadcasted_iota(i32, (L8, L8), 0)
@@ -2410,9 +2412,12 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
     ).astype(f32)
 
     slot_iota = jax.lax.broadcasted_iota(i32, (L8_STACK, L8), 0)
+    iota8 = jax.lax.broadcasted_iota(i32, (8, L8), 0)
+    iota12 = jax.lax.broadcasted_iota(i32, (12, L8), 0)
     eye8 = (jax.lax.broadcasted_iota(i32, (8, 8), 0)
             == jax.lax.broadcasted_iota(i32, (8, 8), 1)).astype(f32)
     pad7 = jnp.zeros((7, L8), f32)
+    IMAX = jnp.int32(0x7FFFFFFF)
 
     def _t8(row):
         """(1, L8) f32 -> (L8, 8) f32 whose column 0 is the row (MXU
@@ -2423,11 +2428,11 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
             precision=jax.lax.Precision.HIGHEST)
 
     def cond(c):
-        it, ndone, pool_head = c
+        it, ndone = c
         return (it < iter_cap) & (ndone < n_total)
 
     def body(c):
-        it, ndone, pool_head = c
+        it, _nd = c
 
         done = done_s[:]
         ptr = ptr_s[:]
@@ -2457,7 +2462,7 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         n_nodework = jnp.sum(node_lane.astype(i32))
         leaf_round = (n_pend >= L8 // 2) | (n_nodework == 0)
 
-        # ---- node phase: one-hot MXU gather + slab + descend ----
+        # ---- node phase: strength-reduced one-hot gather + block slab ----
         rd = ray_s[:]
         ox, oy, oz = rd[0:1], rd[1:2], rd[2:3]
         dx, dy, dz = rd[3:4], rd[4:5], rd[5:6]
@@ -2467,9 +2472,7 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
 
         node_idx = jnp.where(node_lane, cur, -1)
         # Mosaic strength-reduces (iota == idx) one-hot matmuls into real
-        # VMEM gathers (measured: full-table gather ~0.6 us, vs ~5 us for
-        # the materialized one-hot build alone) — so no chunking: the
-        # (M, L8) one-hot is never materialized
+        # VMEM gathers — the (M, L8) one-hot is never materialized
         iota_nc = jax.lax.broadcasted_iota(i32, (m_nodes, L8), 0)
         oh_n = (iota_nc == node_idx).astype(jnp.bfloat16)
         g = jax.lax.dot_general(
@@ -2477,43 +2480,36 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
             preferred_element_type=f32,
         )
 
-        hits = []
-        tents = []
-        for b in range(8):
-            o6 = g[b * 6:(b + 1) * 6]
-            tx0 = (o6[0:1] - ox) * ix
-            tx1 = (o6[3:4] - ox) * ix
-            ty0 = (o6[1:2] - oy) * iy
-            ty1 = (o6[4:5] - oy) * iy
-            tz0 = (o6[2:3] - oz) * iz
-            tz1 = (o6[5:6] - oz) * iz
-            te = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
-            )
-            tx = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
-            )
-            hits.append((te <= tx) & node_lane)
-            tents.append(te)
+        # component-major boxes: rows k*8+c — all 8 children as (8, L8) ops
+        tx0 = (g[0:8] - ox) * ix
+        ty0 = (g[8:16] - oy) * iy
+        tz0 = (g[16:24] - oz) * iz
+        tx1 = (g[24:32] - ox) * ix
+        ty1 = (g[32:40] - oy) * iy
+        tz1 = (g[40:48] - oz) * iz
+        te = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
+        )
+        tx = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+        )
+        hit8 = (te <= tx) & node_lane  # (8, L8)
+
+        # nearest child via order-preserving bit-packed key (te >= 0):
+        # low 3 bits carry the child index, t perturbed by <= 7 ulps
+        te_bits = jax.lax.bitcast_convert_type(te, i32)
+        key8 = jnp.where(hit8, (te_bits & jnp.int32(~7)) | iota8, IMAX)
+        kmin = jnp.min(key8, axis=0, keepdims=True)
+        anyfound = jnp.max(hit8.astype(i32), axis=0, keepdims=True) > 0
+        c_near = kmin & 7
 
         base_int = (g[48:49] + g[49:50] * 256.0 + g[50:51] * 65536.0
                     ).astype(i32)
         n_int = g[51:52].astype(i32)
         base_leaf = (g[52:53] + g[53:54] * 256.0 + g[54:55] * 65536.0
                      ).astype(i32)
-
-        big = f32(3e38)
-        t_near = jnp.where(hits[0], tents[0], big)
-        c_near = jnp.zeros((1, L8), i32)
-        anyfound = hits[0]
-        for cc in range(1, 8):
-            tc = jnp.where(hits[cc], tents[cc], big)
-            closer = tc < t_near
-            t_near = jnp.where(closer, tc, t_near)
-            c_near = jnp.where(closer, cc, c_near)
-            anyfound = anyfound | hits[cc]
 
         def ref_of(cc):
             return jnp.where(cc < n_int, base_int + cc,
@@ -2523,7 +2519,7 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                         jnp.where(anyfound, ref_of(c_near), cur), cur)
         new_stack = stack_s[:]
         for cc in range(8):
-            push = hits[cc] & (c_near != cc)
+            push = hit8[cc:cc + 1] & (c_near != cc)
             slot = jnp.minimum(ptr, L8_STACK - 1)
             cval = ref_of(jnp.full((1, L8), cc, i32))
             new_stack = jnp.where((slot_iota == slot) & push, cval, new_stack)
@@ -2531,16 +2527,12 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         stack_s[:] = new_stack
         valid = jnp.where(node_lane, anyfound.astype(i32), valid)
 
-        # persist node-phase state (leaf phase reads/writes refs directly)
         cur_s[:] = cur
         ptr_s[:] = jnp.minimum(ptr, L8_STACK)
         valid_s[:] = valid
         pend_s[:] = pend
 
-        ndone_new = ndone
-        pool_new = pool_head
-
-        # ---- leaf round: gather pending leaf rows + MT tests + refill ----
+        # ---- leaf round: gather pending leaf rows + block MT tests ----
         @pl.when(leaf_round)
         def _leaf_round():
             pendv = pend_s[:]
@@ -2553,83 +2545,86 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                 preferred_element_type=f32,
             )
 
-            cnt = gl[252:253]
-            btv = bt_s[:]
-            buv = bu_s[:]
-            bvv = bv_s[:]
-            bpv = bp_s[:]
-            deadv = jnp.zeros((1, L8), jnp.bool_)
-            for kk in range(12):
-                off = 9 * kk
-                # slots hold VERTICES (v0, v1, v2) as bf16 hi+lo pairs —
-                # shared vertices round identically, so the perturbed mesh
-                # is watertight; edges derived here in f32
-                v0x = gl[off:off + 1] + gl[108 + off:109 + off]
-                v0y = gl[off + 1:off + 2] + gl[109 + off:110 + off]
-                v0z = gl[off + 2:off + 3] + gl[110 + off:111 + off]
-                e1x = gl[off + 3:off + 4] + gl[111 + off:112 + off] - v0x
-                e1y = gl[off + 4:off + 5] + gl[112 + off:113 + off] - v0y
-                e1z = gl[off + 5:off + 6] + gl[113 + off:114 + off] - v0z
-                e2x = gl[off + 6:off + 7] + gl[114 + off:115 + off] - v0x
-                e2y = gl[off + 7:off + 8] + gl[115 + off:116 + off] - v0y
-                e2z = gl[off + 8:off + 9] + gl[116 + off:117 + off] - v0z
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
-                tx_ = ox - v0x
-                ty_ = oy - v0y
-                tz_ = oz - v0z
-                u = (tx_ * px + ty_ * py + tz_ * pz) * inv_det
-                qx = ty_ * e1z - tz_ * e1y
-                qy = tz_ * e1x - tx_ * e1z
-                qz = tx_ * e1y - ty_ * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                hit = (
-                    pend_lane
-                    & (kk < cnt)
-                    & (jnp.abs(det) > TRI_EPS)
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (t > t_min)
-                    & (t < btv)
-                )
-                prim_k = (gl[216 + kk:217 + kk] + gl[228 + kk:229 + kk] * 256.0
-                          + gl[240 + kk:241 + kk] * 65536.0).astype(i32) - 1
-                btv = jnp.where(hit, t, btv)
-                bpv = jnp.where(hit, prim_k, bpv)
-                if any_hit:
-                    deadv = deadv | hit
-                else:
-                    buv = jnp.where(hit, u, buv)
-                    bvv = jnp.where(hit, v, bvv)
+            # component-major hi/lo pairs: component j at rows j*12..j*12+12
+            def comp(j):
+                return gl[j * 12:(j + 1) * 12] + gl[108 + j * 12:
+                                                    108 + (j + 1) * 12]
 
-            bt_s[:] = btv
-            bu_s[:] = buv
-            bv_s[:] = bvv
-            bp_s[:] = bpv
+            v0x, v0y, v0z = comp(0), comp(1), comp(2)
+            e1x = comp(3) - v0x
+            e1y = comp(4) - v0y
+            e1z = comp(5) - v0z
+            e2x = comp(6) - v0x
+            e2y = comp(7) - v0y
+            e2z = comp(8) - v0z
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            u = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+            cnt = gl[252:253]
+            prim12 = (gl[216:228] + gl[228:240] * 256.0
+                      + gl[240:252] * 65536.0).astype(i32) - 1
+            btv = bt_s[:]
+            hit12 = (
+                pend_lane
+                & (iota12 < cnt)
+                & (jnp.abs(det) > TRI_EPS)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > t_min)
+                & (t < btv)
+            )
+            # winner via bit-packed key (t > t_min >= 0 so bits are ordered;
+            # low 4 bits carry the slot, t perturbed <= 15 ulps)
+            t_bits = jax.lax.bitcast_convert_type(
+                jnp.where(hit12, t, jnp.float32(jnp.inf)), i32)
+            key12 = jnp.where(hit12, (t_bits & jnp.int32(~15)) | iota12, IMAX)
+            kmin12 = jnp.min(key12, axis=0, keepdims=True)
+            newhit = jnp.max(hit12.astype(i32), axis=0, keepdims=True) > 0
+            win_t = jax.lax.bitcast_convert_type(
+                kmin12 & jnp.int32(~15), f32)
+            oh12 = (iota12 == (kmin12 & 15)) & hit12
+            win_p = jnp.sum(jnp.where(oh12, prim12, 0), axis=0, keepdims=True)
+            bt_s[:] = jnp.where(newhit, win_t, btv)
+            bp_s[:] = jnp.where(newhit, win_p, bp_s[:])
             pend_s[:] = jnp.where(pend_lane, 0, pendv)
             if any_hit:
-                done_s[:] = jnp.where(deadv, 1, done_s[:])
-                ptr_s[:] = jnp.where(deadv, 0, ptr_s[:])
-                valid_s[:] = jnp.where(deadv, 0, valid_s[:])
+                done_s[:] = jnp.where(newhit, 1, done_s[:])
+                ptr_s[:] = jnp.where(newhit, 0, ptr_s[:])
+                valid_s[:] = jnp.where(newhit, 0, valid_s[:])
+            else:
+                win_u = jnp.sum(jnp.where(oh12, u, 0.0), axis=0,
+                                keepdims=True)
+                win_v = jnp.sum(jnp.where(oh12, v, 0.0), axis=0,
+                                keepdims=True)
+                bu_s[:] = jnp.where(newhit, win_u, bu_s[:])
+                bv_s[:] = jnp.where(newhit, win_v, bv_s[:])
 
         # ---- finish detection (any round) ----
         fin = ((done_s[:] == 0) & (rayid_s[:] >= 0) & (valid_s[:] == 0)
                & (ptr_s[:] == 0) & (pend_s[:] == 0))
         done_s[:] = jnp.where(fin, 1, done_s[:])
 
-        # ---- scatter + refill (effective on leaf rounds only: the per-
-        # chunk scatters are pl.when-gated and can_n is 0 otherwise; the
-        # small refill matmuls run unconditionally but change nothing) ----
-        if True:
+        # ---- scatter + refill (leaf rounds only; scalars live in SMEM so
+        # the whole machinery stays behind the pl.when) ----
+        @pl.when(leaf_round)
+        def _scatter_refill():
+            pool_head = sc_s[0, 1]
             donev = done_s[:]
             scatv = scat_s[:]
             ridv = rayid_s[:]
-            # oldest un-flushed ray bounds the scatter window
             unflushed = scatv == 0
             oldest = jnp.min(jnp.where(unflushed, ridv, jnp.int32(1 << 30)))
             oldest = jnp.minimum(oldest, pool_head)
@@ -2648,12 +2643,11 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
             lane_iota_s = jax.lax.broadcasted_iota(i32, (L8, L8), 1)
             for w in range(L8_SCATW):
                 ck = oldest_chunk + w
-
                 n_in_ck = jnp.sum(
                     ((donev > 0) & (scat_s[:] == 0)
                      & ((ridv >> 10) == ck)).astype(i32))
 
-                @pl.when(leaf_round & (ck < NC) & (n_in_ck > 0))
+                @pl.when((ck < NC) & (n_in_ck > 0))
                 def _scat_chunk():
                     mask = ((donev > 0) & (scat_s[:] == 0)
                             & ((ridv >> 10) == ck))
@@ -2673,19 +2667,15 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                     scat_s[:] = jnp.where(mask, 1, scat_s[:])
 
             scat_after = scat_s[:]
-            newly = jnp.sum(
-                ((scat_after > 0) & (scatv == 0)).astype(i32))
-            ndone_new = ndone + jnp.where(leaf_round, newly, 0)
+            newly = jnp.sum(((scat_after > 0) & (scatv == 0)).astype(i32))
+            sc_s[0, 0] = sc_s[0, 0] + newly
 
             # ---- refill ----
             elig = (done_s[:] > 0) & (scat_after > 0)
             n_avail = n_total - pool_head
             window_cap = ((oldest_chunk + L8_SCATW) << 10) - pool_head
-            can_n = jnp.maximum(
-                0, jnp.minimum(n_avail, window_cap))
-            can_n = jnp.where(leaf_round, can_n, 0)
-            elig_f = elig.astype(f32)
-            elig_t = _t8(elig_f)  # (L8, 8), col 0 = mask
+            can_n = jnp.maximum(0, jnp.minimum(n_avail, window_cap))
+            elig_t = _t8(elig.astype(f32))  # (L8, 8), col 0 = mask
             rank = jax.lax.dot_general(
                 elig_t, lt_s[:], (((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
@@ -2716,8 +2706,7 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                 [gsum[0:9],
                  inv3(gsum[3:4]), inv3(gsum[4:5]), inv3(gsum[5:6]),
                  jnp.zeros((4, L8), f32)], axis=0)
-            take_f = take.astype(f32)
-            ray_s[:] = jnp.where(take_f > 0, newray, ray_s[:])
+            ray_s[:] = jnp.where(take.astype(f32) > 0, newray, ray_s[:])
             bt_s[:] = jnp.where(take, gsum[7:8], bt_s[:])
             bu_s[:] = jnp.where(take, 0.0, bu_s[:])
             bv_s[:] = jnp.where(take, 0.0, bv_s[:])
@@ -2729,14 +2718,14 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
             done_s[:] = jnp.where(take, 1 - act.astype(i32), done_s[:])
             scat_s[:] = jnp.where(take, 0, scat_s[:])
             rayid_s[:] = jnp.where(take, slot, rayid_s[:])
-            pool_new = pool_head + jnp.sum(take.astype(i32))
+            sc_s[0, 1] = pool_head + jnp.sum(take.astype(i32))
 
         stats_ref[0, 2] = stats_ref[0, 2] + n_nodework
         stats_ref[0, 3] = stats_ref[0, 3] + jnp.where(leaf_round, 1, 0)
-        return it + 1, ndone_new, pool_new
+        return it + 1, sc_s[0, 0]
 
-    it, ndone, _ph = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+    it, ndone = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0)))
     stats_ref[0, 0] = it
     stats_ref[0, 1] = ndone
 
@@ -2791,6 +2780,7 @@ def _lane8_call(bvh: BVHData, o, d, tmin, tmax, act,
             pltpu.VMEM((1, L8), jnp.int32),    # bp_s
             pltpu.VMEM((L8_STACK, L8), jnp.int32),  # stack_s
             pltpu.VMEM((L8, L8), jnp.float32),  # lt_s
+            pltpu.SMEM((1, 4), jnp.int32),      # sc_s (ndone, pool_head)
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,

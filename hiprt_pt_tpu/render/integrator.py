@@ -73,10 +73,12 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
     variance makes lockstep programs wait on their slowest packet)."""
     if options.use_pallas_traversal:
         from ..ops.pallas_traverse import (
+            pallas_lane8_supported,
             pallas_supported,
             pallas_stream8l_supported,
             pallas_wide_supported,
             traverse_pallas,
+            traverse_pallas_lane8,
             traverse_pallas_stream8l,
             traverse_pallas_wide,
         )
@@ -89,6 +91,12 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
             if coherent and pallas_wide_supported(bvh, o.shape[0]):
                 return traverse_pallas_wide(bvh, o, d, t_min, tm,
                                             active, any_hit=any_hit)
+            if not coherent and pallas_lane8_supported(bvh, o.shape[0]):
+                # incoherent bounce/shadow wavefronts: per-lane BVH8 walks
+                # (no packet union — measured 1.5x closest / 3x any-hit
+                # over the streaming packet kernel on random rays)
+                return traverse_pallas_lane8(bvh, o, d, t_min, tm,
+                                             active, any_hit=any_hit)
             if pallas_stream8l_supported(bvh, o.shape[0]):
                 # BVH8 linear streaming-refill kernel: fewest
                 # vector->scalar crossings per iteration, scales to any

@@ -75,7 +75,8 @@ def bake_ggx_glossy_dielectric_ess(
     eta: float = 1.5, res: int = 32, n_samples: int = 8192, seed: int = 7
 ):
     """Fresnel-weighted GGX directional albedo (glossy dielectric reflection;
-    reference artifact: GlossyDielectrics tables)."""
+    reference artifact: GlossyDielectrics tables). 2D slice at a fixed eta —
+    the 3D consumed-by-the-renderer variant is bake_glossy_base_ess."""
     cos_grid = (jnp.arange(res) + 0.5) / res
     rough_grid = (jnp.arange(res) + 0.5) / res
     f = jax.jit(
@@ -90,6 +91,111 @@ def bake_ggx_glossy_dielectric_ess(
         )
     )
     return np.asarray(f(rough_grid, cos_grid))
+
+
+def _glossy_base_albedo(cos_o, rough, eta, n_samples, seed):
+    """Directional albedo of the production glossy base layer: dielectric
+    GGX specular (specular=1) + white Lambert diffuse darkened by the same
+    (1 - F(cos_o))·(1 - F(cos_i)) factors _eval_lobes applies — baked
+    through the production terms so 1/E inverts the layer's actual furnace
+    sag. Mixture-sampled 50/50 VNDF-reflection / cosine, exactly the
+    reference integrand (src/Device/kernels/Baking/
+    GlossyDielectricDirectionalAlbedo.h:71-120; axes differ: we keep the
+    uniform cos/roughness grid + explicit GLASS_IORS axis of the glass
+    tables instead of cos^2.5 / F0^4 warping)."""
+    a = jnp.maximum(rough * rough, 1e-4)
+    sin_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_o * cos_o))
+    wo = jnp.stack(
+        [jnp.broadcast_to(sin_o, (n_samples,)),
+         jnp.zeros((n_samples,)),
+         jnp.broadcast_to(cos_o, (n_samples,))],
+        axis=-1,
+    )
+    s = rng_mod.seed(jnp.arange(n_samples, dtype=jnp.uint32), 1, seed)
+    s, u1 = rng_mod.next_float(s)
+    s, u2 = rng_mod.next_float(s)
+    s, u3 = rng_mod.next_float(s)
+    s, u4 = rng_mod.next_float(s)
+    s, u5 = rng_mod.next_float(s)
+    ax = jnp.full((n_samples,), a)
+    h = mf.sample_vndf_spherical_caps(wo, ax, ax, u1, u2)
+    wi_spec = mf.reflect_local(wo, h)
+    ci = jnp.sqrt(jnp.clip(u4, 1e-7, 1.0))
+    si = jnp.sqrt(jnp.maximum(0.0, 1.0 - u4))
+    phi = 2.0 * jnp.pi * u5
+    wi_cos = jnp.stack([si * jnp.cos(phi), si * jnp.sin(phi), ci], axis=-1)
+    pick_spec = u3 < 0.5
+    wi = jnp.where(pick_spec[..., None], wi_spec, wi_cos)
+    cos_i = wi[..., 2]
+    valid = cos_i > 1e-6
+
+    hf = wo + wi
+    hf = hf / jnp.maximum(jnp.linalg.norm(hf, axis=-1, keepdims=True), 1e-12)
+    doth = jnp.maximum(jnp.sum(wo * hf, axis=-1), 1e-9)
+    d = mf.ggx_ndf(hf, ax, ax)
+    g2 = mf.smith_g2_height_correlated(wo, wi, ax, ax)
+    F_h = fresnel_dielectric(doth, eta)
+    # f_spec * cos_i = D F G2 / (4 cos_o)
+    fspec_cos = d * F_h * g2 / (4.0 * jnp.maximum(cos_o, 1e-6))
+    Fo = fresnel_dielectric(jnp.maximum(cos_o, 0.0), eta)
+    Fi = fresnel_dielectric(jnp.maximum(cos_i, 0.0), eta)
+    fdiff_cos = (1.0 - Fo) * (1.0 - Fi) * cos_i / jnp.pi
+
+    pdf_spec = mf.vndf_pdf(wo, hf, ax, ax) / (4.0 * doth)
+    pdf_cos = jnp.maximum(cos_i, 0.0) / jnp.pi
+    pdf = 0.5 * pdf_spec + 0.5 * pdf_cos
+    est = jnp.where(
+        valid & (pdf > 1e-9), (fspec_cos + fdiff_cos) / pdf, 0.0
+    )
+    return jnp.clip(jnp.mean(est), 0.0, 1.5)
+
+
+def bake_glossy_base_ess(res: int = 16, n_samples: int = 4096,
+                         seed: int = 19):
+    """3D (ior, roughness, cos) glossy-base layer albedo over the GLASS_IORS
+    grid — the table PrincipledEnergyCompensation.h samples for BOTH the
+    glossy-base and clearcoat compensation (reference binds it as
+    bsdfs_data.glossy_dielectric_Ess, BSDFsData.h:41)."""
+    cos_grid = (jnp.arange(res) + 0.5) / res
+    rough_grid = (jnp.arange(res) + 0.5) / res
+    out = np.zeros((len(GLASS_IORS), res, res), np.float32)
+    f = jax.jit(
+        jax.vmap(
+            jax.vmap(
+                lambda r, c, e: _glossy_base_albedo(c, r, e, n_samples, seed),
+                in_axes=(None, 0, None),
+            ),
+            in_axes=(0, None, None),
+        )
+    )
+    for k, ior in enumerate(GLASS_IORS):
+        out[k] = np.asarray(f(rough_grid, cos_grid, jnp.float32(ior)))
+    return out
+
+
+def bake_ggx_fresnel_ess(res: int = 16, n_samples: int = 4096,
+                         seed: int = 23):
+    """3D (ior, roughness, cos) directional albedo of the bare
+    fresnel-weighted GGX lobe (reference baking capability:
+    src/Device/kernels/Baking/GGXFresnelDirectionalAlbedo.h — an offline
+    artifact in the reference too; its renderer never binds it)."""
+    cos_grid = (jnp.arange(res) + 0.5) / res
+    rough_grid = (jnp.arange(res) + 0.5) / res
+    out = np.zeros((len(GLASS_IORS), res, res), np.float32)
+    f = jax.jit(
+        jax.vmap(
+            jax.vmap(
+                lambda r, c, e: _directional_albedo_ggx(
+                    c, r, n_samples, seed, eta=e
+                ),
+                in_axes=(None, 0, None),
+            ),
+            in_axes=(0, None, None),
+        )
+    )
+    for k, ior in enumerate(GLASS_IORS):
+        out[k] = np.asarray(f(rough_grid, cos_grid, jnp.float32(ior)))
+    return out
 
 
 def _glass_albedo(cos_o, rough, eta, n_samples, seed, thin=False):
@@ -213,9 +319,13 @@ def bake_all(out_dir: str = "data/BRDFsData", res: int = 32):
     glass = bake_ggx_glass_ess(res=gres)
     glass_inv = bake_ggx_glass_inv_ess(res=gres)
     thin = bake_ggx_thin_glass_ess(res=gres)
+    glossy_base = bake_glossy_base_ess(res=gres)
+    fresnel = bake_ggx_fresnel_ess(res=gres)
     for name, tab in (("Glass", glass), ("GlassInv", glass_inv),
-                      ("ThinGlass", thin)):
+                      ("ThinGlass", thin), ("GlossyBase", glossy_base),
+                      ("Fresnel", fresnel)):
         np.save(os.path.join(out_dir, f"GGX_{name}_Ess_{gres}.npy"),
                 tab.astype(np.float32))
     return {"conductor": ess, "glossy_dielectric": gd, "glass": glass,
-            "glass_inv": glass_inv, "thin_glass": thin}
+            "glass_inv": glass_inv, "thin_glass": thin,
+            "glossy_base": glossy_base, "fresnel": fresnel}

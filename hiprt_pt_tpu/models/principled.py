@@ -65,10 +65,16 @@ def _load_glass(name):
 _GLASS_ESS = _load_glass("data_ggx_glass_ess_16.npy")
 _GLASS_INV_ESS = _load_glass("data_ggx_glass_inv_ess_16.npy")
 _THIN_GLASS_ESS = _load_glass("data_ggx_thin_glass_ess_16.npy")
+# glossy-base layer albedo (spec + darkened diffuse), the table
+# PrincipledEnergyCompensation.h binds as glossy_dielectric_Ess and samples
+# for both the glossy-base and clearcoat compensation
+_GLOSSY_BASE_ESS = _load_glass("data_glossy_base_ess_16.npy")
 # fused (selector, ior, rough, cos) stack: ONE 8-gather trilinear lookup per
 # eval instead of three (a separate lookup per table tripled the eval's
 # gather count and cost 3x on the full-BSDF bench)
-_GLASS_ALL = np.stack([_GLASS_ESS, _GLASS_INV_ESS, _THIN_GLASS_ESS], 0)
+_GLASS_ALL = np.stack(
+    [_GLASS_ESS, _GLASS_INV_ESS, _THIN_GLASS_ESS, _GLOSSY_BASE_ESS], 0
+)
 
 
 def _fit_glass_poly():
@@ -98,8 +104,9 @@ def _fit_glass_poly():
 
     A = design(RR.ravel(), CC.ravel(), II.ravel())
     coefs = []
-    for t in (_GLASS_ESS, _GLASS_INV_ESS, _THIN_GLASS_ESS):
-        y = np.clip(t, 0.3, 1.0).ravel()
+    for t in (_GLASS_ESS, _GLASS_INV_ESS, _THIN_GLASS_ESS,
+              _GLOSSY_BASE_ESS):
+        y = np.clip(t, 0.2, 1.0).ravel()
         c, *_ = np.linalg.lstsq(A, y, rcond=None)
         coefs.append(c.astype(np.float32))
     return np.stack(coefs, 0), (DR, DC, DI)
@@ -112,12 +119,14 @@ def _glass_ess_poly(rough, cos_o, ior, sel):
     """Evaluate the fitted polynomial — pure VPU math, zero gathers."""
     DR, DC, DI = _GLASS_POLY_DEG
     ip = jnp.clip((ior - 1.0) / 1.5, 0.0, 1.0)
-    coef = jnp.asarray(_GLASS_POLY)  # (3, DR*DC*DI)
-    # per-ray coefficient selection is 3 static branches blended by masks
-    # (sel is tiny-cardinality; no gather needed)
+    coef = jnp.asarray(_GLASS_POLY)  # (4, DR*DC*DI)
+    # per-ray coefficient selection is 4 static branches blended by masks
+    # (sel is tiny-cardinality; no gather needed). Passing a Python int for
+    # sel folds the chain to a single coefficient row at trace time.
     c0 = coef[0]
     c1 = coef[1]
     c2 = coef[2]
+    c3 = coef[3]
     out = jnp.zeros_like(rough)
     k = 0
     ra = jnp.ones_like(rough)
@@ -126,15 +135,23 @@ def _glass_ess_poly(rough, cos_o, ior, sel):
         for b in range(DC):
             ig = jnp.ones_like(ip)
             for g in range(DI):
-                ck = jnp.where(
-                    sel == 0, c0[k], jnp.where(sel == 1, c1[k], c2[k])
-                )
+                if isinstance(sel, int):
+                    ck = (c0, c1, c2, c3)[sel][k]
+                else:
+                    ck = jnp.where(
+                        sel == 0,
+                        c0[k],
+                        jnp.where(
+                            sel == 1, c1[k],
+                            jnp.where(sel == 2, c2[k], c3[k]),
+                        ),
+                    )
                 out = out + ck * ra * cb * ig
                 k += 1
                 ig = ig * ip
             cb = cb * cos_o
         ra = ra * rough
-    return jnp.clip(out, 0.3, 1.0)
+    return jnp.clip(out, 0.2, 1.0)
 
 
 def _ess_lookup(rough, cos_o):
@@ -567,6 +584,26 @@ def _eval_lobes(
         (1.0 - Fo * mats.specular) * (1.0 - Fi * mats.specular)
     )[..., None]
 
+    if options.do_energy_compensation:
+        # glossy-base layer compensation: boost spec+diffuse by the
+        # reciprocal of the layer's baked directional albedo, lerped by
+        # `specular` strength and faded out with thin-film (reference:
+        # PrincipledEnergyCompensation.h
+        # get_principled_energy_compensation_glossy_base)
+        ior_b = jnp.maximum(mats.ior, 1.0 + 1e-3)
+        if options.glass_compensation_exact:
+            E_gb = _glass_ess_lookup(
+                _GLASS_ALL, mats.roughness, cos_o, ior_b,
+                jnp.full(cos_o.shape, 3, jnp.int32),
+            )
+        else:
+            E_gb = _glass_ess_poly(mats.roughness, cos_o, ior_b, 3)
+        E_gb = jnp.clip(E_gb, 0.2, 1.0)
+        boost_gb = 1.0 / (1.0 + mats.specular * (E_gb - 1.0))
+        boost_gb = boost_gb + mats.thin_film * (1.0 - boost_gb)
+        f_spec = f_spec * boost_gb[..., None]
+        f_diff = f_diff * boost_gb[..., None]
+
     trans = mats.specular_transmission
     w_metal = mats.metallic
     w_glass = (1.0 - mats.metallic) * trans
@@ -578,6 +615,27 @@ def _eval_lobes(
         + w_glass[..., None] * f_glass
         + w_base[..., None] * (f_spec + f_diff)
     )
+    if options.do_energy_compensation:
+        # clearcoat layer compensation: treat the coat as a glossy base
+        # (spec over lambertian-ish below) and boost the WHOLE stack by the
+        # reciprocal of that layer's albedo, lerped by coat*(1-transmission)
+        # and faded with thin-film (reference:
+        # PrincipledEnergyCompensation.h
+        # get_principled_energy_compensation_clearcoat_lobe — it samples
+        # the same glossy_dielectric_Ess table)
+        ior_c = jnp.maximum(mats.coat_ior, 1.0 + 1e-3)
+        if options.glass_compensation_exact:
+            E_c = _glass_ess_lookup(
+                _GLASS_ALL, mats.coat_roughness, cos_o, ior_c,
+                jnp.full(cos_o.shape, 3, jnp.int32),
+            )
+        else:
+            E_c = _glass_ess_poly(mats.coat_roughness, cos_o, ior_c, 3)
+        E_c = jnp.clip(E_c, 0.2, 1.0)
+        w_cc = mats.coat * (1.0 - mats.specular_transmission)
+        boost_c = 1.0 / (1.0 + w_cc * (E_c - 1.0))
+        boost_c = boost_c + mats.thin_film * (1.0 - boost_c)
+        f_total = f_total * boost_c[..., None]
     return f_total, [pdf_c, pdf_sh, pdf_m, pdf_g, pdf_s, pdf_d]
 
 

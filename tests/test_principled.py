@@ -253,6 +253,62 @@ def test_energy_compensation_improves_rough_metal():
     assert on < 1.15, on  # must not blow past white-furnace bound badly
 
 
+def _est_with_opts(opts, mats, wo, seed=77, n=N):
+    import hiprt_pt_tpu.models.principled as P
+
+    s = rng.seed(jnp.arange(n), 0, seed)
+    s, wi, f, pdf, aux = P.sample(opts, mats, _nrm(n), wo, s)
+    cos_i = jnp.abs(wi[..., 2])
+    ok = pdf > 1e-8
+    e = jnp.where(
+        ok[..., None], f * (cos_i / jnp.maximum(pdf, 1e-9))[..., None], 0.0
+    )
+    return float(jnp.mean(e))
+
+
+@pytest.mark.parametrize("rough", [0.5, 0.9])
+def test_glossy_base_compensation_furnace(rough):
+    """Glossy base (specular=1 over white diffuse) recovers the layer's
+    (1-F)^2 + GGX multiple-scattering losses via the baked 3D glossy-base
+    table (reference: PrincipledEnergyCompensation.h
+    get_principled_energy_compensation_glossy_base sampling
+    glossy_dielectric_Ess)."""
+    from hiprt_pt_tpu.core.settings import RenderOptions as RO
+
+    mats = _mats(
+        base_color=[1, 1, 1], metallic=0.0, roughness=rough,
+        specular=1.0, ior=1.5,
+    )
+    wo = _wo(40)
+    on = _est_with_opts(RO(do_energy_compensation=True), mats, wo)
+    off = _est_with_opts(RO(do_energy_compensation=False), mats, wo)
+    assert on > off + 0.01, (rough, on, off)
+    assert 0.90 < on < 1.10, (rough, on, off)
+    # exact (trilinear-table) path agrees with the fitted-poly path
+    exact = _est_with_opts(
+        RO(do_energy_compensation=True, glass_compensation_exact=True),
+        mats, wo,
+    )
+    assert abs(exact - on) < 0.06, (exact, on)
+
+
+def test_clearcoat_compensation_furnace():
+    """Coat over white diffuse: the clearcoat-layer boost recovers the
+    coat's fresnel + ms losses (reference:
+    get_principled_energy_compensation_clearcoat_lobe)."""
+    from hiprt_pt_tpu.core.settings import RenderOptions as RO
+
+    mats = _mats(
+        base_color=[1, 1, 1], metallic=0.0, roughness=0.4, specular=0.0,
+        coat=1.0, coat_roughness=0.7, coat_ior=1.5,
+    )
+    wo = _wo(35)
+    on = _est_with_opts(RO(do_energy_compensation=True), mats, wo)
+    off = _est_with_opts(RO(do_energy_compensation=False), mats, wo)
+    assert on > off + 0.01, (on, off)
+    assert on < 1.12, (on, off)
+
+
 def test_vndf_variant_consistency():
     """Both GGX sampling variants must stay sample/eval consistent and agree
     on the furnace estimate."""

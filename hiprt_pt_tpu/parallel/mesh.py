@@ -61,6 +61,92 @@ def init_sharded_render_state(
     return shard_render_state(init_render_state(width, height, seed), mesh)
 
 
+def make_sample_mesh(devices=None) -> Mesh:
+    """1-D mesh over the sample axis (sample-axis DP: every chip renders
+    the FULL image with decorrelated seeds; accumulations merge by mean)."""
+    return make_mesh(devices, axis_name="samples")
+
+
+# deterministic per-chip seed decorrelation stride (any odd constant)
+_SAMPLE_DP_SEED_STRIDE = 9176
+
+
+def init_sample_dp_state(
+    width: int, height: int, mesh: Mesh, seed: int = 42,
+    with_restir: bool = False,
+):
+    """Stack mesh.size decorrelated full-image render states on a leading
+    'samples' axis, sharded one-per-chip."""
+    S = mesh.size
+    states = [
+        init_render_state(
+            width, height, seed + _SAMPLE_DP_SEED_STRIDE * k,
+            with_restir=with_restir,
+        )
+        for k in range(S)
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, 0), *states)
+
+    def place(x):
+        return jax.device_put(
+            x,
+            NamedSharding(mesh, P("samples", *([None] * (x.ndim - 1)))),
+        )
+
+    return jax.tree_util.tree_map(place, stacked)
+
+
+def sample_dp_render(
+    options,
+    width: int,
+    height: int,
+    scene,
+    bvh,
+    camera,
+    settings,
+    world,
+    mesh: Mesh,
+    state,
+):
+    """One render step per chip over the 'samples' mesh axis: same scene and
+    camera (replicated), per-chip decorrelated seeds — sample-axis DP
+    (SURVEY.md §2.5: "optional sample-axis DP (same pixel, different seeds,
+    mean over ICI)"). Useful when the image is too small to saturate many
+    chips with pixel-DP. Accumulation stays chip-local; merge_sample_dp
+    reduces over ICI."""
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover — older jax
+        from jax.experimental.shard_map import shard_map
+
+    from ..render.renderer import render_step
+
+    def one(state_slice):
+        st = jax.tree_util.tree_map(lambda x: x[0], state_slice)
+        st = render_step(
+            options, width, height, (scene, bvh), st, camera, settings, world
+        )
+        return jax.tree_util.tree_map(lambda x: x[None], st)
+
+    fn = shard_map(
+        one,
+        mesh=mesh,
+        in_specs=(P("samples"),),
+        out_specs=P("samples"),
+        check_vma=False,
+    )
+    return fn(state)
+
+
+def merge_sample_dp(state):
+    """Merged beauty accumulation (mean over chips — all chips advance in
+    lockstep) + the total sample count across the mesh. Lowers to an ICI
+    all-reduce when jitted over sharded inputs."""
+    accum = jnp.mean(state.accum, axis=0)
+    total = jnp.sum(state.sample_count)
+    return accum, total
+
+
 def distributed_render(
     options,
     width: int,

@@ -29,6 +29,19 @@ ImGuiObjectsWindow material editor, 78-1238):
   /control?cmd=set&key=<leaf>&value=v          — generic settings edit
   /control?cmd=material&index=i&key=k&value=v  — live material edit
 Both reset accumulation exactly like the reference's edits do.
+
+Camera interactors (reference: mouse/keyboard interactors,
+src/UI/Interaction/):
+  /control?cmd=rotate&yaw=r&pitch=r    — first-person look (left drag)
+  /control?cmd=pan&dx=d&dy=d           — camera-plane pan (middle drag)
+  /control?cmd=walk&dx=&dy=&dz=        — WASD-style walk
+  /control?cmd=orbit|zoom|reset
+
+Modal windows (reference: ImGuiBakingWindow.cpp + ImGuiAnimationWindow.cpp):
+  /bake?what=conductor|glossy_base|fresnel|glass|...&res=&samples=[&out=]
+  /animate?frames=N&spp=S&out=dir[&orbit_deg=][&envmap_deg=][&denoise=1]
+Both run on background threads; poll the bare endpoint for status. The
+animation job owns the renderer while it runs (progressive loop yields).
 """
 
 from __future__ import annotations
@@ -121,15 +134,27 @@ class ViewerServer:
         self._stop = threading.Event()
         self._render_thread = None
         self._httpd = None
+        # busy = a modal job (animation sequence) owns the renderer; the
+        # progressive loop yields, like the reference's animation mode
+        # taking over the frame loop (ImGuiAnimationWindow)
+        self._busy = threading.Event()
+        # serializes renderer ownership between the progressive loop and
+        # modal jobs (render_step donates its state — concurrent steps
+        # would execute on a donated buffer)
+        self._step_lock = threading.Lock()
+        self._bake_status = {"state": "idle"}
+        self._anim_status = {"state": "idle"}
 
     # --- render loop (background) ---
 
     def _render_loop(self):
         while not self._stop.is_set():
-            if self.renderer.is_rendering_done():
+            if self._busy.is_set() or self.renderer.is_rendering_done():
                 time.sleep(0.05)  # reference: 3ms sleep when converged
                 continue
-            self.renderer.step(block=True)
+            with self._step_lock:
+                if not self._busy.is_set():
+                    self.renderer.step(block=True)
 
     def _image_png(self, view: str) -> bytes:
         import imageio.v3 as iio
@@ -267,13 +292,23 @@ class ViewerServer:
             from ..core.camera import camera_zoom
 
             r.set_camera(camera_zoom(r.camera, float(q.get("value", ["0.3"])[0])))
-        elif cmd == "walk":
+        elif cmd in ("walk", "pan"):
+            # pan = middle-drag translate in the camera plane; walk = WASD
+            # (reference: mouse pan + keyboard walk interactors)
             from ..core.camera import camera_translate
 
             dx = float(q.get("dx", ["0"])[0])
             dy = float(q.get("dy", ["0"])[0])
-            dz = float(q.get("dz", ["0"])[0])
+            dz = float(q.get("dz", ["0"])[0]) if cmd == "walk" else 0.0
             r.set_camera(camera_translate(r.camera, dx, dy, dz))
+        elif cmd == "rotate":
+            # first-person look (reference: left-drag mouse rotation,
+            # LinuxRenderWindowMouseInteractor)
+            from ..core.camera import camera_rotate
+
+            yaw = float(q.get("yaw", ["0"])[0])
+            pitch = float(q.get("pitch", ["0"])[0])
+            r.set_camera(camera_rotate(r.camera, yaw, pitch))
         elif cmd == "material":
             idx = int(q.get("index", ["0"])[0])
             key = q.get("key", [""])[0]
@@ -352,6 +387,109 @@ class ViewerServer:
             }
         return json.dumps(out)
 
+    def _bake(self, q) -> str:
+        """Baking window parity (reference: ImGuiBakingWindow.cpp:24-366 —
+        launch a LUT bake on a side stream, poll completion). ?what= one of
+        conductor|glossy_dielectric|glossy_base|fresnel|glass|glass_inv|
+        thin_glass, optional res=/samples=/out=. No args -> status JSON."""
+        what = q.get("what", [""])[0]
+        if not what:
+            return json.dumps(self._bake_status)
+        if self._bake_status.get("state") == "running":
+            return json.dumps({"error": "bake already running",
+                               **self._bake_status})
+        res = int(q.get("res", ["16"])[0])
+        samples = int(q.get("samples", ["2048"])[0])
+        out = q.get("out", [""])[0]
+
+        def run():
+            from ..bake import baker
+
+            fns = {
+                "conductor": baker.bake_ggx_conductor_ess,
+                "glossy_dielectric": baker.bake_ggx_glossy_dielectric_ess,
+                "glossy_base": baker.bake_glossy_base_ess,
+                "fresnel": baker.bake_ggx_fresnel_ess,
+                "glass": baker.bake_ggx_glass_ess,
+                "glass_inv": baker.bake_ggx_glass_inv_ess,
+                "thin_glass": baker.bake_ggx_thin_glass_ess,
+            }
+            try:
+                fn = fns[what]
+                table = fn(res=res, n_samples=samples)
+                if out:
+                    baker.save_lut(np.asarray(table), out)
+                self._bake_status = {
+                    "state": "done", "what": what,
+                    "shape": list(np.asarray(table).shape),
+                    "out": out or None,
+                }
+            except Exception as e:  # surfaced via status poll
+                self._bake_status = {"state": "error", "what": what,
+                                     "error": str(e)}
+
+        self._bake_status = {"state": "running", "what": what, "res": res,
+                             "samples": samples}
+        threading.Thread(target=run, daemon=True).start()
+        return json.dumps(self._bake_status)
+
+    def _animate(self, q) -> str:
+        """Animation window parity (reference: ImGuiAnimationWindow.cpp:20-266
+        — frame-sequence rendering with camera/envmap animation). ?frames=N&
+        spp=S&out=dir [&orbit_deg=D][&envmap_deg=D][&denoise=1]. The modal
+        job owns the renderer; the progressive loop yields until it's done.
+        No args -> status JSON."""
+        if "frames" not in q:
+            return json.dumps(self._anim_status)
+        if self._anim_status.get("state") == "running":
+            return json.dumps({"error": "animation already running",
+                               **self._anim_status})
+        frames = int(q.get("frames", ["4"])[0])
+        spp = int(q.get("spp", ["4"])[0])
+        out = q.get("out", ["/tmp/hiprt_pt_anim"])[0]
+        orbit_deg = float(q.get("orbit_deg", ["0"])[0])
+        envmap_deg = float(q.get("envmap_deg", ["0"])[0])
+        do_denoise = q.get("denoise", ["0"])[0] in ("1", "true")
+
+        def run():
+            from ..render.animation import (
+                CameraOrbitAnimation,
+                EnvmapRotationAnimation,
+                render_frame_sequence,
+            )
+
+            self._busy.set()
+            # wait out any in-flight progressive step before taking over
+            with self._step_lock:
+                pass
+            try:
+                cam_anim = (
+                    CameraOrbitAnimation(
+                        target=(0.0, 0.0, 0.0), degrees_per_frame=orbit_deg
+                    )
+                    if orbit_deg else None
+                )
+                env_anim = (
+                    EnvmapRotationAnimation(degrees_per_frame=envmap_deg)
+                    if envmap_deg else None
+                )
+                paths = render_frame_sequence(
+                    self.renderer, frames, spp, out,
+                    camera_animation=cam_anim, envmap_animation=env_anim,
+                    denoise_frames=do_denoise,
+                )
+                self._anim_status = {"state": "done", "frames": len(paths),
+                                     "out": out, "paths": paths}
+            except Exception as e:
+                self._anim_status = {"state": "error", "error": str(e)}
+            finally:
+                self._busy.clear()
+
+        self._anim_status = {"state": "running", "frames": frames,
+                             "spp": spp, "out": out}
+        threading.Thread(target=run, daemon=True).start()
+        return json.dumps(self._anim_status)
+
     def serve(self, blocking: bool = True):
         viewer = self
 
@@ -382,6 +520,12 @@ class ViewerServer:
                     ctype = "application/json"
                 elif u.path == "/control":
                     body = viewer._control(parse_qs(u.query)).encode()
+                    ctype = "application/json"
+                elif u.path == "/bake":
+                    body = viewer._bake(parse_qs(u.query)).encode()
+                    ctype = "application/json"
+                elif u.path == "/animate":
+                    body = viewer._animate(parse_qs(u.query)).encode()
                     ctype = "application/json"
                 else:
                     self.send_response(404)

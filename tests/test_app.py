@@ -224,6 +224,79 @@ def test_viewer_server(cornell_scene):
             "http://127.0.0.1:18731/settings", timeout=10
         ).read())
         assert s2["rr_min_depth"] == 5
+        # camera interactors: rotate (left drag) + pan (middle drag)
+        # (reference: mouse interactors, RenderWindowKeyboardInteractor)
+        for url in ("control?cmd=rotate&yaw=0.1&pitch=0.05",
+                    "control?cmd=pan&dx=0.1&dy=-0.1"):
+            resp = json.loads(urllib.request.urlopen(
+                f"http://127.0.0.1:18731/{url}", timeout=10
+            ).read())
+            assert resp.get("ok"), url
+        # baking window parity (reference: ImGuiBakingWindow): launch a tiny
+        # conductor bake, poll to completion
+        b = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/bake?what=conductor&res=4&samples=256",
+            timeout=30,
+        ).read())
+        assert b["state"] == "running"
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            b = json.loads(urllib.request.urlopen(
+                "http://127.0.0.1:18731/bake", timeout=10
+            ).read())
+            if b["state"] != "running":
+                break
+            time.sleep(0.5)
+        assert b["state"] == "done" and b["shape"] == [4, 4], b
+    finally:
+        srv.stop()
+
+
+def test_viewer_animation_endpoint(cornell_scene, tmp_path):
+    """Animation window parity (reference: ImGuiAnimationWindow frame-
+    sequence rendering): /animate renders N frames to disk while the
+    progressive loop yields."""
+    from hiprt_pt_tpu.app.viewer import ViewerServer
+    from hiprt_pt_tpu.core.settings import (
+        AmbientLightType, BSDFOverride, LightSamplingStrategy, RenderOptions,
+    )
+    from hiprt_pt_tpu.render.renderer import Renderer
+    import time
+
+    scene, camera = cornell_scene
+    r = Renderer(
+        scene, camera, 16, 16,
+        options=RenderOptions(
+            bsdf_override=BSDFOverride.LAMBERTIAN, max_bounces_static=1,
+            direct_light_sampling=LightSamplingStrategy.MIS,
+        ),
+    )
+    r.settings = r.settings.replace(
+        nb_bounces=jnp.int32(1), samples_per_frame=jnp.int32(1)
+    )
+    r.world = r.world.replace(
+        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+    )
+    srv = ViewerServer(r, port=18732)
+    srv.serve(blocking=False)
+    try:
+        out = str(tmp_path / "anim")
+        a = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18732/animate?frames=2&spp=2&orbit_deg=10"
+            f"&out={out}", timeout=30
+        ).read())
+        assert a["state"] == "running"
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            a = json.loads(urllib.request.urlopen(
+                "http://127.0.0.1:18732/animate", timeout=10
+            ).read())
+            if a["state"] != "running":
+                break
+            time.sleep(0.5)
+        assert a["state"] == "done" and a["frames"] == 2, a
+        import os
+        assert os.path.exists(os.path.join(out, "frame_0001.png"))
     finally:
         srv.stop()
 

@@ -2856,3 +2856,485 @@ def pallas_lane8_supported(bvh: BVHData, n: int) -> bool:
         and bvh.nodes_lane8.shape[0] <= MAX_LANE8_NODES
         and bvh.leaves_lane8.shape[0] <= MAX_LANE8_LEAVES
     )
+
+
+# --------------------------------------------------------------------------
+# v8: lane8 + completion LOG ("lane8log") — windowless refill.
+#
+# The v7 scatter writes results IN ORDER through an 8-chunk window anchored
+# at the oldest unflushed ray: per leaf round it runs up to 8 chunk scatters
+# (two (L8, L8) f32 materializations + matmuls each), and — worse — REFILL
+# is capped to the same window, so one straggler ray stalls refill once the
+# pool head runs L8_SCATW*1024 rays ahead and lanes idle (measured: ~62%
+# node-lane occupancy on incoherent stress rays). Here finished lanes
+# instead append (t, prim, u, v, rayid) UNORDERED to a completion log that
+# is DMA'd to HBM one (5, L8) block at a time, and the caller unscrambles
+# with one XLA scatter keyed on rayid. No window, no per-chunk scatter
+# machinery; refill is bounded only by the ray pool itself.
+#
+# Flushes happen on leaf rounds when >= L8LOG_FLUSH_MIN lanes are done (or
+# unconditionally once the pool is exhausted, to drain), which bounds the
+# log to ~n_total/L8LOG_FLUSH_MIN + drain blocks; the allocation carries a
+# 4x margin over that bound and flushing is gated on log capacity so an
+# overflow degrades to unflushed rays (reported in stats), never OOB.
+# --------------------------------------------------------------------------
+
+L8LOG_FLUSH_MIN = 256   # min finished lanes to justify a log block
+
+
+def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
+                     cur_s, ptr_s, valid_s, pend_s, done_s, scat_s, rayid_s,
+                     ray_s, bt_s, bu_s, bv_s, bp_s,
+                     stack_s, lt_s, sc_s, stage_s, dma_sem,
+                     *, any_hit: bool, n_chunks: int, m_nodes: int,
+                     m_leaves: int, iter_cap: int, log_cap: int):
+    NC = n_chunks
+    n_total = NC * L8
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    cur_s[:] = jnp.zeros((1, L8), i32)
+    ptr_s[:] = jnp.zeros((1, L8), i32)
+    valid_s[:] = jnp.zeros((1, L8), i32)
+    pend_s[:] = jnp.zeros((1, L8), i32)
+    done_s[:] = jnp.ones((1, L8), i32)
+    scat_s[:] = jnp.ones((1, L8), i32)
+    rayid_s[:] = jnp.full((1, L8), -1, i32)
+    ray_s[:] = jnp.zeros((16, L8), f32)
+    bt_s[:] = jnp.zeros((1, L8), f32)
+    bu_s[:] = jnp.zeros((1, L8), f32)
+    bv_s[:] = jnp.zeros((1, L8), f32)
+    bp_s[:] = jnp.full((1, L8), -1, i32)
+    stack_s[:] = jnp.zeros((L8_STACK, L8), i32)
+    for _si in range(8):
+        stats_ref[0, _si] = jnp.int32(0)
+    sc_s[0, 0] = jnp.int32(0)  # ndone (flushed rays)
+    sc_s[0, 1] = jnp.int32(0)  # pool head
+    sc_s[0, 2] = jnp.int32(0)  # log_ptr (blocks written)
+    lt_s[:] = (
+        jax.lax.broadcasted_iota(i32, (L8, L8), 0)
+        < jax.lax.broadcasted_iota(i32, (L8, L8), 1)
+    ).astype(f32)
+
+    slot_iota = jax.lax.broadcasted_iota(i32, (L8_STACK, L8), 0)
+    iota8 = jax.lax.broadcasted_iota(i32, (8, L8), 0)
+    iota12 = jax.lax.broadcasted_iota(i32, (12, L8), 0)
+    eye8 = (jax.lax.broadcasted_iota(i32, (8, 8), 0)
+            == jax.lax.broadcasted_iota(i32, (8, 8), 1)).astype(f32)
+    pad7 = jnp.zeros((7, L8), f32)
+    IMAX = jnp.int32(0x7FFFFFFF)
+
+    def _t8(row):
+        return jax.lax.dot_general(
+            jnp.concatenate([row, pad7], axis=0), eye8,
+            (((0,), (0,)), ((), ())), preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def cond(c):
+        it, ndone = c
+        return (it < iter_cap) & (ndone < n_total)
+
+    def body(c):
+        it, _nd = c
+
+        done = done_s[:]
+        ptr = ptr_s[:]
+        valid = valid_s[:]
+        cur = cur_s[:]
+        pend = pend_s[:]
+
+        # ---- pop (per-lane dynamic sublane gather, tpu.dynamic_gather) ----
+        need_pop = (done == 0) & (valid == 0) & (ptr > 0)
+        top = jnp.maximum(ptr - 1, 0)
+        popped = jnp.take_along_axis(
+            stack_s[:], jnp.broadcast_to(top, (L8_STACK, L8)), axis=0,
+            mode="promise_in_bounds",
+        )[0:1]
+        cur = jnp.where(need_pop, popped, cur)
+        ptr = jnp.where(need_pop, top, ptr)
+        valid = jnp.where(need_pop, 1, valid)
+
+        # ---- promote leaf cur -> pending bank ----
+        promo = (valid > 0) & (cur < 0) & (pend == 0)
+        pend = jnp.where(promo, -cur, pend)
+        valid = jnp.where(promo, 0, valid)
+
+        node_lane = (valid > 0) & (cur >= 0)
+
+        n_pend = jnp.sum((pend > 0).astype(i32))
+        n_nodework = jnp.sum(node_lane.astype(i32))
+        leaf_round = (n_pend >= L8 // 2) | (n_nodework == 0)
+
+        # ---- node phase ----
+        rd = ray_s[:]
+        ox, oy, oz = rd[0:1], rd[1:2], rd[2:3]
+        dx, dy, dz = rd[3:4], rd[4:5], rd[5:6]
+        ix, iy, iz = rd[9:10], rd[10:11], rd[11:12]
+        t_min = rd[6:7]
+        best_t = bt_s[:]
+
+        node_idx = jnp.where(node_lane, cur, -1)
+        iota_nc = jax.lax.broadcasted_iota(i32, (m_nodes, L8), 0)
+        oh_n = (iota_nc == node_idx).astype(jnp.bfloat16)
+        g = jax.lax.dot_general(
+            nodes_ref[:], oh_n, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
+        tx0 = (g[0:8] - ox) * ix
+        ty0 = (g[8:16] - oy) * iy
+        tz0 = (g[16:24] - oz) * iz
+        tx1 = (g[24:32] - ox) * ix
+        ty1 = (g[32:40] - oy) * iy
+        tz1 = (g[40:48] - oz) * iz
+        te = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
+        )
+        tx = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+        )
+        hit8 = (te <= tx) & node_lane
+
+        te_bits = jax.lax.bitcast_convert_type(te, i32)
+        key8 = jnp.where(hit8, (te_bits & jnp.int32(~7)) | iota8, IMAX)
+        kmin = jnp.min(key8, axis=0, keepdims=True)
+        anyfound = jnp.max(hit8.astype(i32), axis=0, keepdims=True) > 0
+        c_near = kmin & 7
+
+        base_int = (g[48:49] + g[49:50] * 256.0 + g[50:51] * 65536.0
+                    ).astype(i32)
+        n_int = g[51:52].astype(i32)
+        base_leaf = (g[52:53] + g[53:54] * 256.0 + g[54:55] * 65536.0
+                     ).astype(i32)
+
+        def ref_of(cc):
+            return jnp.where(cc < n_int, base_int + cc,
+                             -(base_leaf + (cc - n_int)) - 1)
+
+        cur = jnp.where(node_lane,
+                        jnp.where(anyfound, ref_of(c_near), cur), cur)
+        new_stack = stack_s[:]
+        for cc in range(8):
+            push = hit8[cc:cc + 1] & (c_near != cc)
+            slot = jnp.minimum(ptr, L8_STACK - 1)
+            cval = ref_of(jnp.full((1, L8), cc, i32))
+            new_stack = jnp.where((slot_iota == slot) & push, cval, new_stack)
+            ptr = ptr + push.astype(i32)
+        stack_s[:] = new_stack
+        valid = jnp.where(node_lane, anyfound.astype(i32), valid)
+
+        cur_s[:] = cur
+        ptr_s[:] = jnp.minimum(ptr, L8_STACK)
+        valid_s[:] = valid
+        pend_s[:] = pend
+
+        # ---- leaf round ----
+        @pl.when(leaf_round)
+        def _leaf_round():
+            pendv = pend_s[:]
+            pend_lane = pendv > 0
+            lidx = jnp.where(pend_lane, pendv - 1, -1)
+            iota_lc = jax.lax.broadcasted_iota(i32, (m_leaves, L8), 0)
+            oh_l = (iota_lc == lidx).astype(jnp.bfloat16)
+            gl = jax.lax.dot_general(
+                leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+
+            def comp(j):
+                return gl[j * 12:(j + 1) * 12] + gl[108 + j * 12:
+                                                    108 + (j + 1) * 12]
+
+            v0x, v0y, v0z = comp(0), comp(1), comp(2)
+            e1x = comp(3) - v0x
+            e1y = comp(4) - v0y
+            e1z = comp(5) - v0z
+            e2x = comp(6) - v0x
+            e2y = comp(7) - v0y
+            e2z = comp(8) - v0z
+            px = dy * e2z - dz * e2y
+            py = dz * e2x - dx * e2z
+            pz = dx * e2y - dy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            u = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            v = (dx * qx + dy * qy + dz * qz) * inv_det
+            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+            cnt = gl[252:253]
+            prim12 = (gl[216:228] + gl[228:240] * 256.0
+                      + gl[240:252] * 65536.0).astype(i32) - 1
+            btv = bt_s[:]
+            hit12 = (
+                pend_lane
+                & (iota12 < cnt)
+                & (jnp.abs(det) > TRI_EPS)
+                & (u >= 0.0)
+                & (v >= 0.0)
+                & (u + v <= 1.0)
+                & (t > t_min)
+                & (t < btv)
+            )
+            t_bits = jax.lax.bitcast_convert_type(
+                jnp.where(hit12, t, jnp.float32(jnp.inf)), i32)
+            key12 = jnp.where(hit12, (t_bits & jnp.int32(~15)) | iota12, IMAX)
+            kmin12 = jnp.min(key12, axis=0, keepdims=True)
+            newhit = jnp.max(hit12.astype(i32), axis=0, keepdims=True) > 0
+            win_t = jax.lax.bitcast_convert_type(
+                kmin12 & jnp.int32(~15), f32)
+            oh12 = (iota12 == (kmin12 & 15)) & hit12
+            win_p = jnp.sum(jnp.where(oh12, prim12, 0), axis=0, keepdims=True)
+            bt_s[:] = jnp.where(newhit, win_t, btv)
+            bp_s[:] = jnp.where(newhit, win_p, bp_s[:])
+            pend_s[:] = jnp.where(pend_lane, 0, pendv)
+            if any_hit:
+                done_s[:] = jnp.where(newhit, 1, done_s[:])
+                ptr_s[:] = jnp.where(newhit, 0, ptr_s[:])
+                valid_s[:] = jnp.where(newhit, 0, valid_s[:])
+            else:
+                win_u = jnp.sum(jnp.where(oh12, u, 0.0), axis=0,
+                                keepdims=True)
+                win_v = jnp.sum(jnp.where(oh12, v, 0.0), axis=0,
+                                keepdims=True)
+                bu_s[:] = jnp.where(newhit, win_u, bu_s[:])
+                bv_s[:] = jnp.where(newhit, win_v, bv_s[:])
+
+        # ---- finish detection ----
+        fin = ((done_s[:] == 0) & (rayid_s[:] >= 0) & (valid_s[:] == 0)
+               & (ptr_s[:] == 0) & (pend_s[:] == 0))
+        done_s[:] = jnp.where(fin, 1, done_s[:])
+
+        # ---- flush + refill (leaf rounds only) ----
+        @pl.when(leaf_round)
+        def _flush_refill():
+            pool_head = sc_s[0, 1]
+            log_ptr = sc_s[0, 2]
+            donev = done_s[:]
+            scatv = scat_s[:]
+            ridv = rayid_s[:]
+            unflushed = (donev > 0) & (scatv == 0)
+            n_unflushed = jnp.sum(unflushed.astype(i32))
+            drain = pool_head >= n_total
+            do_flush = (
+                ((n_unflushed >= L8LOG_FLUSH_MIN)
+                 | (drain & (n_unflushed > 0)))
+                & (log_ptr < log_cap)
+            )
+
+            @pl.when(do_flush)
+            def _flush():
+                stage_s[0:1] = bt_s[:]
+                stage_s[1:2] = bp_s[:].astype(f32)
+                stage_s[2:3] = bu_s[:]
+                stage_s[3:4] = bv_s[:]
+                stage_s[4:5] = jnp.where(unflushed, ridv, -1).astype(f32)
+                cp = pltpu.make_async_copy(
+                    stage_s, log_ref.at[pl.ds(log_ptr * 8, 8)], dma_sem
+                )
+                cp.start()
+                cp.wait()
+                scat_s[:] = jnp.where(unflushed, 1, scat_s[:])
+                sc_s[0, 0] = sc_s[0, 0] + n_unflushed
+                sc_s[0, 2] = log_ptr + 1
+
+            # ---- refill (windowless: bounded only by the pool) ----
+            scat_after = scat_s[:]
+            elig = (done_s[:] > 0) & (scat_after > 0)
+            can_n = jnp.maximum(0, n_total - pool_head)
+            elig_t = _t8(elig.astype(f32))
+            rank = jax.lax.dot_general(
+                elig_t, lt_s[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)[0:1].astype(i32)
+            take = elig & (rank < can_n)
+            slot = jnp.where(take, pool_head + rank, -1)
+            c0 = pool_head >> 10
+            gsum = jnp.zeros((16, L8), f32)
+            iota_p = jax.lax.broadcasted_iota(i32, (L8, L8), 0)
+            for h in range(2):
+                ch_ok = (c0 + h) < NC
+                ch = jnp.minimum(c0 + h, NC - 1)
+                loc = slot - (ch << 10)
+                sel = take & (loc >= 0) & (loc < L8) & ch_ok
+                ohp = ((iota_p == loc) & sel).astype(f32)
+                rows = rays_ref[pl.ds(ch * 16, 16), :]
+                gsum = gsum + jax.lax.dot_general(
+                    rows, ohp, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)
+
+            def inv3(c_):
+                return jnp.where(jnp.abs(c_) > 1e-12, 1.0 / c_,
+                                 jnp.sign(c_) * 1e12 + 1e12)
+
+            act = gsum[8:9] > 0.0
+            newray = jnp.concatenate(
+                [gsum[0:9],
+                 inv3(gsum[3:4]), inv3(gsum[4:5]), inv3(gsum[5:6]),
+                 jnp.zeros((4, L8), f32)], axis=0)
+            ray_s[:] = jnp.where(take.astype(f32) > 0, newray, ray_s[:])
+            bt_s[:] = jnp.where(take, gsum[7:8], bt_s[:])
+            bu_s[:] = jnp.where(take, 0.0, bu_s[:])
+            bv_s[:] = jnp.where(take, 0.0, bv_s[:])
+            bp_s[:] = jnp.where(take, -1, bp_s[:])
+            cur_s[:] = jnp.where(take, 0, cur_s[:])
+            ptr_s[:] = jnp.where(take, 0, ptr_s[:])
+            valid_s[:] = jnp.where(take, act.astype(i32), valid_s[:])
+            pend_s[:] = jnp.where(take, 0, pend_s[:])
+            done_s[:] = jnp.where(take, 1 - act.astype(i32), done_s[:])
+            scat_s[:] = jnp.where(take, 0, scat_s[:])
+            rayid_s[:] = jnp.where(take, slot, rayid_s[:])
+            sc_s[0, 1] = pool_head + jnp.sum(take.astype(i32))
+
+        stats_ref[0, 2] = stats_ref[0, 2] + n_nodework
+        stats_ref[0, 3] = stats_ref[0, 3] + jnp.where(leaf_round, 1, 0)
+        return it + 1, sc_s[0, 0]
+
+    it, ndone = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0)))
+    stats_ref[0, 0] = it
+    stats_ref[0, 1] = ndone
+    stats_ref[0, 4] = sc_s[0, 2]  # log blocks written
+
+
+def _lane8log_call(bvh: BVHData, o, d, tmin, tmax, act,
+                   any_hit: bool, interpret: bool):
+    """One pallas_call over <= L8LOG_MAX_RAYS rays; the completion log is
+    unscrambled into ray order by ONE XLA scatter keyed on rayid."""
+    n = o.shape[0]
+    nc = max(1, -(-n // L8))
+    npad = nc * L8
+
+    def padto(x, fill=0.0):
+        return jnp.pad(x, (0, npad - n), constant_values=fill)
+
+    fields = jnp.stack([
+        padto(o[:, 0]), padto(o[:, 1]), padto(o[:, 2]),
+        padto(d[:, 0]), padto(d[:, 1]), padto(d[:, 2], fill=1.0),
+        padto(tmin), padto(tmax), padto(act),
+    ] + [jnp.zeros((npad,), jnp.float32)] * 7, axis=0)
+    rays = fields.reshape(16, nc, L8).transpose(1, 0, 2).reshape(nc * 16, L8)
+
+    m_nodes = bvh.nodes_lane8.shape[0]
+    m_leaves = bvh.leaves_lane8.shape[0]
+    iter_cap = 64 * nc + 4096
+    # flush blocks: <= n/L8LOG_FLUSH_MIN + drain rounds; 4x margin
+    log_cap = 4 * max(1, npad // L8LOG_FLUSH_MIN) + 64
+
+    log, stats = pl.pallas_call(
+        partial(_kernel_lane8log, any_hit=any_hit, n_chunks=nc,
+                m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
+                log_cap=log_cap),
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((log_cap * 8, L8), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, L8), jnp.int32),    # cur_s
+            pltpu.VMEM((1, L8), jnp.int32),    # ptr_s
+            pltpu.VMEM((1, L8), jnp.int32),    # valid_s
+            pltpu.VMEM((1, L8), jnp.int32),    # pend_s
+            pltpu.VMEM((1, L8), jnp.int32),    # done_s
+            pltpu.VMEM((1, L8), jnp.int32),    # scat_s
+            pltpu.VMEM((1, L8), jnp.int32),    # rayid_s
+            pltpu.VMEM((16, L8), jnp.float32),  # ray_s
+            pltpu.VMEM((1, L8), jnp.float32),  # bt_s
+            pltpu.VMEM((1, L8), jnp.float32),  # bu_s
+            pltpu.VMEM((1, L8), jnp.float32),  # bv_s
+            pltpu.VMEM((1, L8), jnp.int32),    # bp_s
+            pltpu.VMEM((L8_STACK, L8), jnp.int32),  # stack_s
+            pltpu.VMEM((L8, L8), jnp.float32),  # lt_s
+            pltpu.SMEM((1, 4), jnp.int32),      # sc_s
+            pltpu.VMEM((8, L8), jnp.float32),   # stage_s
+            pltpu.SemaphoreType.DMA,            # dma_sem
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(bvh.nodes_lane8, bvh.leaves_lane8, rays)
+
+    # unscramble: one scatter keyed on the logged rayid. Blocks past the
+    # kernel's final log_ptr (stats[0, 4]) were never written (garbage) and
+    # are masked out; flushed blocks mark non-flushing lanes with rayid -1.
+    n_blocks = log.shape[0] // 8
+    blk = log.reshape(n_blocks, 8, L8)
+    written = (
+        jnp.arange(n_blocks, dtype=jnp.int32)[:, None] < stats[0, 4]
+    )
+    rid = jnp.where(written, blk[:, 4].astype(jnp.int32), -1).reshape(-1)
+    tv = blk[:, 0].reshape(-1)
+    pv = blk[:, 1].reshape(-1).astype(jnp.int32)
+    uv = blk[:, 2].reshape(-1)
+    vv = blk[:, 3].reshape(-1)
+    idx = jnp.where(rid >= 0, rid, npad)  # sentinel row dropped by .at[]
+    t = jnp.full((npad + 1,), jnp.inf, jnp.float32).at[idx].set(
+        tv, mode="drop")[:npad][:n]
+    prim = jnp.full((npad + 1,), -1, jnp.int32).at[idx].set(
+        pv, mode="drop")[:npad][:n]
+    u = jnp.zeros((npad + 1,), jnp.float32).at[idx].set(
+        uv, mode="drop")[:npad][:n]
+    v = jnp.zeros((npad + 1,), jnp.float32).at[idx].set(
+        vv, mode="drop")[:npad][:n]
+    miss = prim < 0
+    return HitRecord(
+        t=jnp.where(miss, jnp.inf, t), prim=prim, u=u, v=v,
+    ), stats
+
+
+@partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats"))
+def traverse_pallas_lane8log(
+    bvh: BVHData,
+    o: jax.Array,
+    d: jax.Array,
+    t_min=1e-4,
+    t_max=jnp.inf,
+    active=None,
+    any_hit: bool = False,
+    interpret: bool = False,
+    return_stats: bool = False,
+) -> HitRecord:
+    """Per-lane BVH8 traversal with completion-log output (v8)."""
+    n = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    tmax_arr = jnp.where(jnp.isfinite(tmax_arr), tmax_arr, jnp.float32(3e38))
+    act = (
+        jnp.ones((n,), jnp.float32)
+        if active is None
+        else jnp.asarray(active).astype(jnp.float32)
+    )
+    recs = []
+    stats = None
+    for s in range(0, n, L8_MAX_RAYS):
+        e = min(n, s + L8_MAX_RAYS)
+        rec, st = _lane8log_call(
+            bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
+            any_hit, interpret)
+        recs.append(rec)
+        stats = st if stats is None else stats + st
+    if len(recs) == 1:
+        rec = recs[0]
+    else:
+        rec = HitRecord(
+            t=jnp.concatenate([r.t for r in recs]),
+            prim=jnp.concatenate([r.prim for r in recs]),
+            u=jnp.concatenate([r.u for r in recs]),
+            v=jnp.concatenate([r.v for r in recs]),
+        )
+    if return_stats:
+        return rec, stats
+    return rec

@@ -30,7 +30,7 @@ def env_scene(cornell_scene):
                          emissive_tri_indices=jnp.full((1,), -1, jnp.int32)), camera
 
 
-def _render(env_scene, strategy, spp=96, seed=42, mis=True):
+def _render(env_scene, strategy, spp=48, seed=42, mis=True):
     scene, camera = env_scene
     opts = RenderOptions(
         bsdf_override=BSDFOverride.LAMBERTIAN,
@@ -53,7 +53,7 @@ def _render(env_scene, strategy, spp=96, seed=42, mis=True):
 def test_envmap_strategies_agree(env_scene):
     img_alias = _render(env_scene, EnvmapSamplingStrategy.ALIAS_TABLE)
     img_cdf = _render(env_scene, EnvmapSamplingStrategy.CDF_BINARY, seed=7)
-    img_none = _render(env_scene, EnvmapSamplingStrategy.NO_SAMPLING, spp=512,
+    img_none = _render(env_scene, EnvmapSamplingStrategy.NO_SAMPLING, spp=160,
                        seed=13)
     a = img_alias[4:-4, 4:-4].mean()
     c = img_cdf[4:-4, 4:-4].mean()

@@ -60,7 +60,7 @@ def test_strategies_agree(cornell_scene, mis_image):
     """Unbiasedness cross-check: NEE-MIS and BSDF-only sampling must converge
     to the same radiance (within MC noise)."""
     r_bsdf = _make_renderer(
-        cornell_scene, LightSamplingStrategy.BSDF_ONLY, spp=512, seed=7
+        cornell_scene, LightSamplingStrategy.BSDF_ONLY, spp=192, seed=7
     )
     r_bsdf.step(block=True)
     img_b = r_bsdf.hdr_image()
@@ -176,7 +176,7 @@ def test_ris_proxy_target_agrees_with_exact(cornell_scene):
         )
         r = Renderer(scene, camera, RES, RES, options=opts, seed=seed)
         r.settings = r.settings.replace(
-            nb_bounces=jnp.int32(3), samples_per_frame=jnp.int32(96)
+            nb_bounces=jnp.int32(3), samples_per_frame=jnp.int32(64)
         )
         r.world = r.world.replace(
             ambient_light_type=jnp.int32(int(AmbientLightType.NONE))

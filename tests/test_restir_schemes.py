@@ -66,7 +66,7 @@ def test_new_bias_schemes_agree(cornell_scene, mis_ref, scheme):
         max_bounces_static=3,
     )
     r = _renderer(cornell_scene, opts, spp=8, seed=23)
-    for _ in range(8):
+    for _ in range(4):
         r.step(block=True)
     img = r.hdr_image()
     assert np.all(np.isfinite(img))
@@ -240,7 +240,7 @@ def test_automatic_interior_stack():
         )
         r = Renderer(scene, camera, RES, RES, options=opts, seed=4)
         r.settings = r.settings.replace(
-            nb_bounces=jnp.int32(6), samples_per_frame=jnp.int32(16)
+            nb_bounces=jnp.int32(6), samples_per_frame=jnp.int32(8)
         )
         r.world = r.world.replace(
             ambient_light_type=jnp.int32(int(AmbientLightType.UNIFORM)),

@@ -9,7 +9,7 @@ The five configurations map 1:1 onto the build-plan milestones (SURVEY.md §7.1)
   5. ReSTIR DI spatiotemporal + light presampling + adaptive sampling +
      denoised AOVs
 
-Usage: python benchmarks/run_configs.py [--frames N] [--res WxH]
+Usage: python benchmarks/run_configs.py [--frames N] [--scale S]
 """
 
 from __future__ import annotations
@@ -105,7 +105,15 @@ def run_config(name, scene_path, res, options_kw, settings_kw, world_kw,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument(
+        "--scale", type=float, default=1.0,
+        help="resolution scale on each config's native size "
+             "(e.g. 0.25 for a quick CPU smoke run)",
+    )
     args = ap.parse_args()
+
+    def res(w, h):
+        return (max(16, int(w * args.scale)), max(16, int(h * args.scale)))
 
     import jax.numpy as jnp
 
@@ -120,7 +128,7 @@ def main():
     run_config(
         "1-cornell-diffuse-mis",
         CORNELL,
-        (256, 256),
+        res(256, 256),
         dict(
             bsdf_override=BSDFOverride.OREN_NAYAR,
             direct_light_sampling=LightSamplingStrategy.MIS,
@@ -134,7 +142,7 @@ def main():
     run_config(
         "2-glass-dispersion-envmap-cdf",
         DISPERSION,
-        (256, 256),
+        res(256, 256),
         dict(
             direct_light_sampling=LightSamplingStrategy.MIS,
             envmap_sampling=EnvmapSamplingStrategy.CDF_BINARY,
@@ -150,7 +158,7 @@ def main():
     run_config(
         "3-principled-alias-envmap",
         CORNELL,
-        (256, 256),
+        res(256, 256),
         dict(
             direct_light_sampling=LightSamplingStrategy.MIS,
             envmap_sampling=EnvmapSamplingStrategy.ALIAS_TABLE,
@@ -165,7 +173,7 @@ def main():
     run_config(
         "4-ris-wrs-stress",
         "stress",
-        (512, 512),
+        res(512, 512),
         dict(
             direct_light_sampling=LightSamplingStrategy.RIS_BSDF_LIGHT,
             max_bounces_static=4,
@@ -178,7 +186,7 @@ def main():
     run_config(
         "5-restir-di-adaptive-stress",
         "stress",
-        (512, 512),
+        res(512, 512),
         dict(
             direct_light_sampling=LightSamplingStrategy.RESTIR_DI,
             max_bounces_static=4,

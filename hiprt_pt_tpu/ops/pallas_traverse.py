@@ -2944,13 +2944,14 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
         cur = cur_s[:]
         pend = pend_s[:]
 
-        # ---- pop (per-lane dynamic sublane gather, tpu.dynamic_gather) ----
+        # ---- pop (masked-sum over stack slots; Mosaic's dynamic_gather
+        # cannot gather along a >1-vreg sublane dim: "Multiple source vregs
+        # along gather dimension", measured on v5e 2026-08-18) ----
         need_pop = (done == 0) & (valid == 0) & (ptr > 0)
         top = jnp.maximum(ptr - 1, 0)
-        popped = jnp.take_along_axis(
-            stack_s[:], jnp.broadcast_to(top, (L8_STACK, L8)), axis=0,
-            mode="promise_in_bounds",
-        )[0:1]
+        popped = jnp.sum(
+            jnp.where(slot_iota == top, stack_s[:], 0), axis=0, keepdims=True
+        )
         cur = jnp.where(need_pop, popped, cur)
         ptr = jnp.where(need_pop, top, ptr)
         valid = jnp.where(need_pop, 1, valid)

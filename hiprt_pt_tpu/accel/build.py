@@ -90,14 +90,31 @@ class BVHData:
     # Per-LANE traversal tables (ops/pallas_traverse._kernel_lane8): node rows
     # fetched by one-hot MXU matmul, so boxes are bf16 with DIRECTED rounding
     # (mins down, maxs up — conservative, never culls a true hit) and meta
-    # rides as bf16-exact byte columns; leaf triangle geometry is an exact-ish
-    # bf16 hi/lo pair (|err| <= 2^-17 relative after hi+lo reconstruction).
+    # rides as bf16-exact byte columns.
     # nodes_lane8 (M8, 64) bf16: [0:48] dilated child boxes (NaN = empty),
     #   [48:51] base_int bytes, [51] n_int, [52:55] base_leaf bytes.
-    # leaves_lane8 (L8, 256) bf16: [0:108] coord hi, [108:216] coord lo,
-    #   [216:228]/[228:240]/[240:252] (prim+1) bytes b0/b1/b2, [252] count.
+    # leaves_lane8 (L, W) int8, W = roundup8(21*Tc + 10), Tc =
+    # lane8_leaf_tris: leaf geometry QUANTIZED to one global power-of-2
+    # lattice (origin/step in `lane8_frame`) so the gather runs on the
+    # int8 MXU path at 2x bf16 throughput and 1/4 the VMEM. Vertex lattice
+    # coords are stored uint16 relative to a per-leaf lattice origin:
+    # every vertex lands on the SAME global lattice, so vertices shared
+    # across leaves quantize identically (watertight) and the kernel's
+    # e1 = v1 - v0 is lattice-exact. Rows (component-major, slot kk of
+    # component j = vert*3+axis at row j*Tc+kk; every byte value x is
+    # stored -128 encoded as int8 x-128): [0:9Tc] q hi byte, [9Tc:18Tc]
+    # q lo byte (q = hi*256+lo in [0, 65535] after decode; vertex lattice
+    # coord = k_axis + q), [18Tc:19Tc]/[19Tc:20Tc]/[20Tc:21Tc] (prim+1)
+    # bytes b0/b1/b2, [21Tc] count, [21Tc+1:21Tc+10] leaf origin lattice
+    # coords kx/ky/kz bytes b0/b1/b2 each, rest pad.
     nodes_lane8: jax.Array | None = None   # (M8, 64) bf16
-    leaves_lane8: jax.Array | None = None  # (L8, 256) bf16
+    leaves_lane8: jax.Array | None = None  # (L, W) int8
+    # (ox, oy, oz, step) of the global quantization lattice — static python
+    # floats baked into the lane8 kernel (step is a power of 2)
+    lane8_frame: tuple | None = struct.field(pytree_node=False, default=None)
+    # triangle-slot capacity Tc of a lane8 leaf row (12 on the python
+    # fallback path; LANE8_LEAF_TRIS cluster leaves on the native path)
+    lane8_leaf_tris: int = struct.field(pytree_node=False, default=12)
     # max node depth of the BVH8 (root = 1); static metadata, not traced
     depth8: int = struct.field(pytree_node=False, default=0)
 
@@ -214,6 +231,93 @@ def _compact_from_raw(bounds, meta, order, vertices, triangles):
     ).astype(np.int32)
     n16[:, 12:16] = meta16.view(np.float32)
     return n16, lrows
+
+
+LANE8_LEAF_TRIS = 128  # cluster-leaf capacity of the lane8 tables
+
+
+def _cluster_from_raw(bounds, meta, order, leaf_tris: int):
+    """Raw BVH2 (max_leaf=leaf_tris) → (n16, prims (L, Tc) i64, counts (L,)).
+
+    Same n16 node/meta conventions as _compact_from_raw, but leaves carry
+    only padded prim-id lists — the lane8 packer re-derives coordinates
+    from the mesh. Dummy leaf row 0 kept. A root-is-leaf scene gets a
+    synthesized internal root (leaf as child 0, child 1 empty) so
+    _collapse8_linear never needs its degenerate path."""
+    M = bounds.shape[0]
+    left = meta[:, 0]
+    count = meta[:, 1]
+    is_leaf = count > 0
+    internal = np.nonzero(~is_leaf)[0]
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    Tc = leaf_tris
+    L = len(leaf_nodes) + 1
+    prims = np.full((L, Tc), -1, np.int64)
+    counts = np.zeros((L,), np.int64)
+    if len(leaf_nodes):
+        cnt = count[leaf_nodes]
+        offs = left[leaf_nodes][:, None] + np.arange(Tc)[None, :]
+        valid = np.arange(Tc)[None, :] < cnt[:, None]
+        tri_idx = order[np.clip(offs, 0, len(order) - 1)]
+        prims[1:] = np.where(valid, tri_idx, -1)
+        counts[1:] = cnt
+    if not len(internal):
+        n16 = np.zeros((1, 16), np.float32)
+        if M:
+            n16[0, 0:6] = bounds[0]
+        m16 = np.asarray(
+            [[-2, int(count[0]) if M else 0, 0, -1]], np.int32)
+        n16[:, 12:16] = m16.view(np.float32)
+        return n16, prims, counts
+    id_map = np.full((M,), -1, np.int64)
+    id_map[internal] = np.arange(len(internal))
+    leaf_id = np.zeros((M,), np.int64)
+    leaf_id[leaf_nodes] = 1 + np.arange(len(leaf_nodes))
+    n16 = np.zeros((len(internal), 16), np.float32)
+    c0 = left[internal]
+    c1 = c0 + 1
+    n16[:, 0:6] = bounds[c0]
+    n16[:, 6:12] = bounds[c1]
+    refs = np.zeros((len(internal), 2), np.int32)
+    cnts = np.zeros((len(internal), 2), np.int32)
+    for j, ch in enumerate((c0, c1)):
+        ch_leaf = is_leaf[ch]
+        refs[:, j] = np.where(
+            ch_leaf, -(leaf_id[ch] + 1), id_map[ch]).astype(np.int32)
+        cnts[:, j] = np.where(ch_leaf, count[ch], 0).astype(np.int32)
+    meta16 = np.stack(
+        [refs[:, 0], cnts[:, 0], refs[:, 1], cnts[:, 1]], axis=1
+    ).astype(np.int32)
+    n16[:, 12:16] = meta16.view(np.float32)
+    return n16, prims, counts
+
+
+def _lane8_cluster_tables(vertices, triangles, leaf_tris: int = LANE8_LEAF_TRIS):
+    """Build the lane8 tables over their OWN cluster-leaf BVH8.
+
+    The lane8 leaf gather streams the whole leaf table through the MXU
+    every round, so its cost scales with TOTAL table bytes per round —
+    fat cluster leaves (~128 tris) cut the number of leaf rounds AND
+    shrink the node table ~10x (node iterations drop with tree depth)
+    while per-round cost stays roughly flat. Returns
+    (nodes (M8, 64) bf16, leaves (L, W) int8, frame, leaf_tris) or None
+    if the native builder is unavailable."""
+    from .native import build_bvh_raw_native
+
+    raw = build_bvh_raw_native(vertices, triangles, leaf_tris)
+    if raw is None:
+        return None
+    n16c, primsc, countsc = _cluster_from_raw(*raw, leaf_tris)
+    n8lc, _lr, src = _collapse8_linear(
+        n16c, np.zeros((primsc.shape[0], 1), np.float32), return_src=True)
+    prims_l = primsc[np.maximum(src, 0)]
+    prims_l[src < 0] = -1
+    counts_l = countsc[np.maximum(src, 0)]
+    counts_l[src < 0] = 0
+    nl8, ll8, fr8 = _pack_lane8(
+        n8lc, None, vertices, triangles,
+        prims=prims_l, counts=counts_l, leaf_tris=leaf_tris)
+    return nl8, ll8, fr8, leaf_tris
 
 
 def _collapse4(n16: np.ndarray):
@@ -381,7 +485,12 @@ def build_bvh(
             n8, r8 = _collapse8(n16)
             n8l, lr8 = _collapse8_linear(n16, lrows)
             r8c, d8 = _rows8c_and_depth(n8l, lr8)
-            nl8, ll8 = _pack_lane8(n8l, lr8, vertices, triangles)
+            lc = _lane8_cluster_tables(vertices, triangles)
+            if lc is not None:
+                nl8, ll8, fr8, l8t = lc
+            else:
+                nl8, ll8, fr8 = _pack_lane8(n8l, lr8, vertices, triangles)
+                l8t = 12
             return BVHData(
                 nodes=jnp.asarray(rows_native), tri_rows=jnp.asarray(tri_rows),
                 nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
@@ -390,6 +499,7 @@ def build_bvh(
                 nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
                 rows8c=jnp.asarray(r8c), depth8=d8,
                 nodes_lane8=jnp.asarray(nl8), leaves_lane8=jnp.asarray(ll8),
+                lane8_frame=fr8, lane8_leaf_tris=l8t,
             )
 
     v0 = vertices[triangles[:, 0]]
@@ -540,7 +650,7 @@ def build_bvh(
     n8, r8 = _collapse8(n16)
     n8l, lr8 = _collapse8_linear(n16, lrows)
     r8c, d8 = _rows8c_and_depth(n8l, lr8)
-    nl8, ll8 = _pack_lane8(n8l, lr8, vertices, triangles)
+    nl8, ll8, fr8 = _pack_lane8(n8l, lr8, vertices, triangles)
     return BVHData(
         nodes=jnp.asarray(rows), tri_rows=jnp.asarray(tri_rows),
         nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
@@ -549,6 +659,7 @@ def build_bvh(
         nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
         rows8c=jnp.asarray(r8c), depth8=d8,
         nodes_lane8=jnp.asarray(nl8), leaves_lane8=jnp.asarray(ll8),
+        lane8_frame=fr8,
     )
 
 
@@ -574,13 +685,21 @@ def _rows8c_and_depth(n8l: np.ndarray, lr8: np.ndarray):
 
 def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
                 verts: np.ndarray | None = None,
-                tris: np.ndarray | None = None):
+                tris: np.ndarray | None = None,
+                prims: np.ndarray | None = None,
+                counts: np.ndarray | None = None,
+                leaf_tris: int = 12):
     """Pack the linear BVH8 into the per-lane MXU-gather tables.
 
     See BVHData.nodes_lane8/leaves_lane8 for the layout. Boxes use directed
     bf16 rounding so the slab test can only FALSE-POSITIVE (extra visits),
-    never cull a true hit; triangle coords are split into a bf16 (hi, lo)
-    pair whose f32 reconstruction hi+lo carries <= 2^-17 relative error.
+    never cull a true hit; leaf triangle geometry is quantized to a single
+    global power-of-2 lattice and stored int8 so the leaf gather runs on
+    the int8 MXU path (~2x bf16 throughput, 1/4 the VMEM — measured 36 vs
+    71 us/iter at 29.4k x 216 on v5e).
+
+    Returns (nodes (M8, 64) bf16, leaves (L, 264) int8,
+             frame (ox, oy, oz, step)).
     """
     import ml_dtypes
 
@@ -629,43 +748,80 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
     nodes[:, 53] = ((base_leaf >> 8) & 255).astype(np.float32)
     nodes[:, 54] = ((base_leaf >> 16) & 255).astype(np.float32)
 
-    L = lr8.shape[0]
-    leaves = np.zeros((L, 256), bf)
-    prim = np.ascontiguousarray(lr8[:, 108:120]).view(np.int32).astype(np.int64)
-    # Store rounded VERTICES (v0, v1, v2), not (v0, e1, e2): per-triangle
-    # edge rounding breaks shared edges (bisected: a grazing hit with exact
-    # u = 2e-6 fell into a ~1e-5 crack between neighbors). Shared vertices
-    # round identically, so the pair-bf16 mesh stays watertight; the kernel
-    # derives e1 = v1 - v0 in f32. Empty slots (prim < 0) stay all-zero
-    # (det = 0 rejects them); NaN would poison the one-hot gather.
-    coords = np.zeros((L, 108), np.float32)
-    if verts is not None and tris is not None and tris.shape[0]:
-        vmask = prim >= 0  # (L, 12)
-        pv = np.where(vmask, prim, 0)
-        tri_v = verts[tris[pv]]  # (L, 12, 3, 3) v0/v1/v2 per slot
-        tri_v = np.where(vmask[:, :, None, None], tri_v, 0.0)
-        coords = tri_v.reshape(L, 108).astype(np.float32)
+    if prims is None:
+        prims = np.ascontiguousarray(
+            lr8[:, 108:120]).view(np.int32).astype(np.int64)
+        counts = lr8[:, 121].astype(np.int64)
+    Tc = leaf_tris
+    L = prims.shape[0]
+    prim = prims
+    vmask = prim >= 0  # (L, Tc)
+    # Quantize VERTICES (v0, v1, v2), not (v0, e1, e2): per-triangle edge
+    # rounding breaks shared edges (bisected: a grazing hit with exact
+    # u = 2e-6 fell into a ~1e-5 crack between neighbors). Every vertex
+    # lands on the SAME global lattice, so vertices shared across
+    # triangles/leaves (incl. SBVH duplicates) quantize identically and
+    # the quantized mesh stays watertight; the kernel derives e1 = v1 - v0
+    # in f32 from lattice-exact coords.
+    pv = np.where(vmask, prim, 0)
+    tri_v = verts[tris[pv]].astype(np.float64)  # (L, Tc, 3v, 3a)
+    tri_v = np.where(vmask[:, :, None, None], tri_v, 0.0)
+
+    # ---- global power-of-2 lattice ----
+    # Constraints: per-axis lattice coords fit [0, 2^24 - 2^17) so
+    # (k + q) -> f32 is exact; every leaf's vertex spread fits 16 bits
+    # relative to its own quantized min.
+    LAT_SPAN = (1 << 24) - (1 << 17)
+    REL_SPAN = 65000
+    vm4 = vmask[:, :, None, None]
+    used = vmask.any(axis=1)
+    if used.any():
+        leaf_min = np.where(vm4, tri_v, np.inf).min(axis=(1, 2))   # (L, 3)
+        leaf_max = np.where(vm4, tri_v, -np.inf).max(axis=(1, 2))
+        smin = leaf_min[used].min(axis=0)
+        smax = leaf_max[used].max(axis=0)
+        span = float((smax - smin).max())
+        leaf_ext = float((leaf_max[used] - leaf_min[used]).max())
     else:
-        # fallback: reconstruct vertices from the (v0, e1, e2) leaf rows
-        ce = np.nan_to_num(lr8[:, 0:108], nan=0.0).reshape(L, 12, 3, 3)
-        v0, e1, e2 = ce[:, :, 0], ce[:, :, 1], ce[:, :, 2]
-        coords = np.stack([v0, v0 + e1, v0 + e2], axis=2).reshape(L, 108)
-    # COMPONENT-MAJOR: col j*12 + kk (component j of tri slot kk) so the
-    # kernel runs Moller-Trumbore on (12, L) blocks
-    coords_cm = coords.reshape(L, 12, 9).transpose(0, 2, 1).reshape(L, 108)
-    hi = coords_cm.astype(bf)
-    lo = (coords_cm - hi.astype(np.float32)).astype(bf)
-    leaves[:, 0:108] = hi
-    leaves[:, 108:216] = lo
-    pv = prim + 1  # 0 = invalid slot
-    leaves[:, 216:228] = (pv & 255).astype(np.float32)
-    leaves[:, 228:240] = ((pv >> 8) & 255).astype(np.float32)
-    leaves[:, 240:252] = ((pv >> 16) & 255).astype(np.float32)
-    leaves[:, 252] = lr8[:, 121]
-    return nodes, leaves
+        smin = np.zeros(3)
+        span = leaf_ext = 0.0
+    need = max(span / LAT_SPAN, leaf_ext / REL_SPAN, 1e-30)
+    step = float(2.0 ** np.ceil(np.log2(need)))
+    origin = (smin - step).astype(np.float32).astype(np.float64)
+
+    lat = np.rint((tri_v - origin) / step).astype(np.int64)  # (L,Tc,3,3)
+    lat = np.clip(lat, 0, (1 << 24) - 1)
+    k = np.where(vm4, lat, np.int64(1 << 30)).min(axis=(1, 2))  # (L, 3)
+    k = np.where(used[:, None], k, 0)
+    q = np.where(vm4, lat - k[:, None, None, :], 0)
+    assert q.min() >= 0 and q.max() < 65536, (q.min(), q.max())
+
+    def enc(x):  # -128 encode byte values in [0, 255]
+        return (x - 128).astype(np.int8)
+
+    W = -(-(21 * Tc + 10) // 8) * 8
+    leaves = np.zeros((L, W), np.int8)
+    # COMPONENT-MAJOR: row j*Tc + kk (component j = vert*3 + axis of tri
+    # slot kk) so the kernel runs Moller-Trumbore on (Tc, L8) blocks
+    q_cm = q.transpose(0, 2, 3, 1).reshape(L, 9 * Tc)
+    leaves[:, 0:9 * Tc] = enc(q_cm >> 8)
+    leaves[:, 9 * Tc:18 * Tc] = enc(q_cm & 255)
+    pv1 = np.where(vmask, prim + 1, 0)  # 0 = invalid slot
+    leaves[:, 18 * Tc:19 * Tc] = enc(pv1 & 255)
+    leaves[:, 19 * Tc:20 * Tc] = enc((pv1 >> 8) & 255)
+    leaves[:, 20 * Tc:21 * Tc] = enc((pv1 >> 16) & 255)
+    leaves[:, 21 * Tc] = enc(np.asarray(counts, np.int64))  # count
+    for a in range(3):
+        ka = k[:, a]
+        leaves[:, 21 * Tc + 1 + a * 3] = enc(ka & 255)
+        leaves[:, 21 * Tc + 2 + a * 3] = enc((ka >> 8) & 255)
+        leaves[:, 21 * Tc + 3 + a * 3] = enc((ka >> 16) & 255)
+    frame = (float(origin[0]), float(origin[1]), float(origin[2]), step)
+    return nodes, leaves, frame
 
 
-def _collapse8_linear(n16: np.ndarray, leaf_rows: np.ndarray):
+def _collapse8_linear(n16: np.ndarray, leaf_rows: np.ndarray,
+                      return_src: bool = False):
     """BVH8 collapse with a CONSECUTIVE-CHILDREN layout (v6 kernel).
 
     The SMEM refs-table variant (_collapse8) cannot scale: SMEM allocates
@@ -784,4 +940,6 @@ def _collapse8_linear(n16: np.ndarray, leaf_rows: np.ndarray):
     src = np.asarray(leaf_src, np.int64) - 1  # -1 = dummy slot
     lr = leaf_rows[np.maximum(src, 0)]        # fancy index -> fresh copy
     lr[0] = 0.0
+    if return_src:
+        return out, np.ascontiguousarray(lr), src
     return out, np.ascontiguousarray(lr)

@@ -2371,7 +2371,7 @@ L8_LEAF_CHUNK = 2048  # leaf-table rows per one-hot matmul chunk
 L8_SCATW = 8          # scatter window (chunks of 1024 rays)
 L8_MAX_RAYS = 1 << 18  # per-call ray cap (VMEM out buffer)
 MAX_LANE8_NODES = 65536
-MAX_LANE8_LEAVES = 81920
+MAX_LANE8_LEAF_BYTES = 48 * 1024 * 1024  # int8 leaf table VMEM budget
 
 
 def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
@@ -2379,7 +2379,8 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                   ray_s, bt_s, bu_s, bv_s, bp_s,
                   stack_s, lt_s, sc_s,
                   *, any_hit: bool, n_chunks: int, m_nodes: int,
-                  m_leaves: int, iter_cap: int):
+                  m_leaves: int, iter_cap: int, frame: tuple,
+                  leaf_tris: int):
     NC = n_chunks
     n_total = NC * L8
 
@@ -2413,7 +2414,10 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
 
     slot_iota = jax.lax.broadcasted_iota(i32, (L8_STACK, L8), 0)
     iota8 = jax.lax.broadcasted_iota(i32, (8, L8), 0)
-    iota12 = jax.lax.broadcasted_iota(i32, (12, L8), 0)
+    Tc = leaf_tris
+    iota_t = jax.lax.broadcasted_iota(i32, (Tc, L8), 0)
+    # slot id rides the low bits of the winner key: power-of-2 block >= Tc
+    SLOTM = jnp.int32(max(16, 1 << (Tc - 1).bit_length()) - 1)
     eye8 = (jax.lax.broadcasted_iota(i32, (8, 8), 0)
             == jax.lax.broadcasted_iota(i32, (8, 8), 1)).astype(f32)
     pad7 = jnp.zeros((7, L8), f32)
@@ -2539,24 +2543,41 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
             pend_lane = pendv > 0
             lidx = jnp.where(pend_lane, pendv - 1, -1)
             iota_lc = jax.lax.broadcasted_iota(i32, (m_leaves, L8), 0)
-            oh_l = (iota_lc == lidx).astype(jnp.bfloat16)
+            # int8 x int8 one-hot on the MXU: 2x bf16 throughput, exact
+            # i32 accumulation (build._pack_lane8 layout)
+            oh_l = (iota_lc == lidx).astype(jnp.int8)
             gl = jax.lax.dot_general(
                 leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
+                preferred_element_type=i32,
+            )  # (264, L8) i32 of -128-encoded bytes
 
-            # component-major hi/lo pairs: component j at rows j*12..j*12+12
-            def comp(j):
-                return gl[j * 12:(j + 1) * 12] + gl[108 + j * 12:
-                                                    108 + (j + 1) * 12]
+            # lattice reconstruction: vertex = origin + step * (k + q);
+            # k + q < 2^24 so the i32 -> f32 cast is exact, and edges are
+            # exact integer differences scaled by the power-of-2 step
+            step = jnp.float32(frame[3])
 
-            v0x, v0y, v0z = comp(0), comp(1), comp(2)
-            e1x = comp(3) - v0x
-            e1y = comp(4) - v0y
-            e1z = comp(5) - v0z
-            e2x = comp(6) - v0x
-            e2y = comp(7) - v0y
-            e2z = comp(8) - v0z
+            def kax(base):
+                return (gl[base:base + 1] + gl[base + 1:base + 2] * 256
+                        + gl[base + 2:base + 3] * 65536
+                        + (128 + 128 * 256 + 128 * 65536))
+
+            kx, ky, kz = kax(21 * Tc + 1), kax(21 * Tc + 4), kax(21 * Tc + 7)
+
+            def qc(j):  # component j lattice offset, (Tc, L8) in [0, 65535]
+                return (gl[j * Tc:(j + 1) * Tc] * 256
+                        + gl[9 * Tc + j * Tc:9 * Tc + (j + 1) * Tc]
+                        + (128 * 256 + 128))
+
+            q0x, q0y, q0z = qc(0), qc(1), qc(2)
+            v0x = jnp.float32(frame[0]) + (kx + q0x).astype(f32) * step
+            v0y = jnp.float32(frame[1]) + (ky + q0y).astype(f32) * step
+            v0z = jnp.float32(frame[2]) + (kz + q0z).astype(f32) * step
+            e1x = (qc(3) - q0x).astype(f32) * step
+            e1y = (qc(4) - q0y).astype(f32) * step
+            e1z = (qc(5) - q0z).astype(f32) * step
+            e2x = (qc(6) - q0x).astype(f32) * step
+            e2y = (qc(7) - q0y).astype(f32) * step
+            e2z = (qc(8) - q0z).astype(f32) * step
             px = dy * e2z - dz * e2y
             py = dz * e2x - dx * e2z
             pz = dx * e2y - dy * e2x
@@ -2572,13 +2593,14 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
             v = (dx * qx + dy * qy + dz * qz) * inv_det
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
 
-            cnt = gl[252:253]
-            prim12 = (gl[216:228] + gl[228:240] * 256.0
-                      + gl[240:252] * 65536.0).astype(i32) - 1
+            cnt = gl[21 * Tc:21 * Tc + 1] + 128
+            prim12 = (gl[18 * Tc:19 * Tc] + gl[19 * Tc:20 * Tc] * 256
+                      + gl[20 * Tc:21 * Tc] * 65536
+                      + (128 + 128 * 256 + 128 * 65536)) - 1
             btv = bt_s[:]
             hit12 = (
                 pend_lane
-                & (iota12 < cnt)
+                & (iota_t < cnt)
                 & (jnp.abs(det) > TRI_EPS)
                 & (u >= 0.0)
                 & (v >= 0.0)
@@ -2586,16 +2608,16 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                 & (t > t_min)
                 & (t < btv)
             )
-            # winner via bit-packed key (t > t_min >= 0 so bits are ordered;
-            # low 4 bits carry the slot, t perturbed <= 15 ulps)
+            # winner via bit-packed key (t > t_min >= 0 so bits are
+            # ordered; low bits carry the slot, t perturbed <= SLOTM ulps)
             t_bits = jax.lax.bitcast_convert_type(
                 jnp.where(hit12, t, jnp.float32(jnp.inf)), i32)
-            key12 = jnp.where(hit12, (t_bits & jnp.int32(~15)) | iota12, IMAX)
+            key12 = jnp.where(hit12, (t_bits & ~SLOTM) | iota_t, IMAX)
             kmin12 = jnp.min(key12, axis=0, keepdims=True)
             newhit = jnp.max(hit12.astype(i32), axis=0, keepdims=True) > 0
             win_t = jax.lax.bitcast_convert_type(
-                kmin12 & jnp.int32(~15), f32)
-            oh12 = (iota12 == (kmin12 & 15)) & hit12
+                kmin12 & ~SLOTM, f32)
+            oh12 = (iota_t == (kmin12 & SLOTM)) & hit12
             win_p = jnp.sum(jnp.where(oh12, prim12, 0), axis=0, keepdims=True)
             bt_s[:] = jnp.where(newhit, win_t, btv)
             bp_s[:] = jnp.where(newhit, win_p, bp_s[:])
@@ -2756,7 +2778,8 @@ def _lane8_call(bvh: BVHData, o, d, tmin, tmax, act,
 
     out, stats = pl.pallas_call(
         partial(_kernel_lane8, any_hit=any_hit, n_chunks=nc,
-                m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap),
+                m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
+                frame=bvh.lane8_frame, leaf_tris=bvh.lane8_leaf_tris),
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -2853,8 +2876,9 @@ def pallas_lane8_supported(bvh: BVHData, n: int) -> bool:
         jax.default_backend() == "tpu"
         and bvh.nodes_lane8 is not None
         and bvh.leaves_lane8 is not None
+        and bvh.lane8_frame is not None
         and bvh.nodes_lane8.shape[0] <= MAX_LANE8_NODES
-        and bvh.leaves_lane8.shape[0] <= MAX_LANE8_LEAVES
+        and bvh.leaves_lane8.size <= MAX_LANE8_LEAF_BYTES
     )
 
 
@@ -2887,7 +2911,8 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
                      ray_s, bt_s, bu_s, bv_s, bp_s,
                      stack_s, lt_s, sc_s, stage_s, dma_sem,
                      *, any_hit: bool, n_chunks: int, m_nodes: int,
-                     m_leaves: int, iter_cap: int, log_cap: int):
+                     m_leaves: int, iter_cap: int, log_cap: int,
+                     frame: tuple, leaf_tris: int):
     NC = n_chunks
     n_total = NC * L8
 
@@ -2919,7 +2944,9 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
 
     slot_iota = jax.lax.broadcasted_iota(i32, (L8_STACK, L8), 0)
     iota8 = jax.lax.broadcasted_iota(i32, (8, L8), 0)
-    iota12 = jax.lax.broadcasted_iota(i32, (12, L8), 0)
+    Tc = leaf_tris
+    iota_t = jax.lax.broadcasted_iota(i32, (Tc, L8), 0)
+    SLOTM = jnp.int32(max(16, 1 << (Tc - 1).bit_length()) - 1)
     eye8 = (jax.lax.broadcasted_iota(i32, (8, 8), 0)
             == jax.lax.broadcasted_iota(i32, (8, 8), 1)).astype(f32)
     pad7 = jnp.zeros((7, L8), f32)
@@ -3039,23 +3066,36 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
             pend_lane = pendv > 0
             lidx = jnp.where(pend_lane, pendv - 1, -1)
             iota_lc = jax.lax.broadcasted_iota(i32, (m_leaves, L8), 0)
-            oh_l = (iota_lc == lidx).astype(jnp.bfloat16)
+            oh_l = (iota_lc == lidx).astype(jnp.int8)
             gl = jax.lax.dot_general(
                 leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )
+                preferred_element_type=i32,
+            )  # (264, L8) i32 of -128-encoded bytes (see _kernel_lane8)
 
-            def comp(j):
-                return gl[j * 12:(j + 1) * 12] + gl[108 + j * 12:
-                                                    108 + (j + 1) * 12]
+            step = jnp.float32(frame[3])
 
-            v0x, v0y, v0z = comp(0), comp(1), comp(2)
-            e1x = comp(3) - v0x
-            e1y = comp(4) - v0y
-            e1z = comp(5) - v0z
-            e2x = comp(6) - v0x
-            e2y = comp(7) - v0y
-            e2z = comp(8) - v0z
+            def kax(base):
+                return (gl[base:base + 1] + gl[base + 1:base + 2] * 256
+                        + gl[base + 2:base + 3] * 65536
+                        + (128 + 128 * 256 + 128 * 65536))
+
+            kx, ky, kz = kax(21 * Tc + 1), kax(21 * Tc + 4), kax(21 * Tc + 7)
+
+            def qc(j):
+                return (gl[j * Tc:(j + 1) * Tc] * 256
+                        + gl[9 * Tc + j * Tc:9 * Tc + (j + 1) * Tc]
+                        + (128 * 256 + 128))
+
+            q0x, q0y, q0z = qc(0), qc(1), qc(2)
+            v0x = jnp.float32(frame[0]) + (kx + q0x).astype(f32) * step
+            v0y = jnp.float32(frame[1]) + (ky + q0y).astype(f32) * step
+            v0z = jnp.float32(frame[2]) + (kz + q0z).astype(f32) * step
+            e1x = (qc(3) - q0x).astype(f32) * step
+            e1y = (qc(4) - q0y).astype(f32) * step
+            e1z = (qc(5) - q0z).astype(f32) * step
+            e2x = (qc(6) - q0x).astype(f32) * step
+            e2y = (qc(7) - q0y).astype(f32) * step
+            e2z = (qc(8) - q0z).astype(f32) * step
             px = dy * e2z - dz * e2y
             py = dz * e2x - dx * e2z
             pz = dx * e2y - dy * e2x
@@ -3071,13 +3111,14 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
             v = (dx * qx + dy * qy + dz * qz) * inv_det
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
 
-            cnt = gl[252:253]
-            prim12 = (gl[216:228] + gl[228:240] * 256.0
-                      + gl[240:252] * 65536.0).astype(i32) - 1
+            cnt = gl[21 * Tc:21 * Tc + 1] + 128
+            prim12 = (gl[18 * Tc:19 * Tc] + gl[19 * Tc:20 * Tc] * 256
+                      + gl[20 * Tc:21 * Tc] * 65536
+                      + (128 + 128 * 256 + 128 * 65536)) - 1
             btv = bt_s[:]
             hit12 = (
                 pend_lane
-                & (iota12 < cnt)
+                & (iota_t < cnt)
                 & (jnp.abs(det) > TRI_EPS)
                 & (u >= 0.0)
                 & (v >= 0.0)
@@ -3087,12 +3128,12 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
             )
             t_bits = jax.lax.bitcast_convert_type(
                 jnp.where(hit12, t, jnp.float32(jnp.inf)), i32)
-            key12 = jnp.where(hit12, (t_bits & jnp.int32(~15)) | iota12, IMAX)
+            key12 = jnp.where(hit12, (t_bits & ~SLOTM) | iota_t, IMAX)
             kmin12 = jnp.min(key12, axis=0, keepdims=True)
             newhit = jnp.max(hit12.astype(i32), axis=0, keepdims=True) > 0
             win_t = jax.lax.bitcast_convert_type(
-                kmin12 & jnp.int32(~15), f32)
-            oh12 = (iota12 == (kmin12 & 15)) & hit12
+                kmin12 & ~SLOTM, f32)
+            oh12 = (iota_t == (kmin12 & SLOTM)) & hit12
             win_p = jnp.sum(jnp.where(oh12, prim12, 0), axis=0, keepdims=True)
             bt_s[:] = jnp.where(newhit, win_t, btv)
             bp_s[:] = jnp.where(newhit, win_p, bp_s[:])
@@ -3234,7 +3275,8 @@ def _lane8log_call(bvh: BVHData, o, d, tmin, tmax, act,
     log, stats = pl.pallas_call(
         partial(_kernel_lane8log, any_hit=any_hit, n_chunks=nc,
                 m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
-                log_cap=log_cap),
+                log_cap=log_cap, frame=bvh.lane8_frame,
+                leaf_tris=bvh.lane8_leaf_tris),
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),

@@ -78,7 +78,7 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
             pallas_stream8l_supported,
             pallas_wide_supported,
             traverse_pallas,
-            traverse_pallas_lane8,
+            traverse_pallas_lane8log,
             traverse_pallas_stream8l,
             traverse_pallas_wide,
         )
@@ -93,10 +93,11 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
                                             active, any_hit=any_hit)
             if not coherent and pallas_lane8_supported(bvh, o.shape[0]):
                 # incoherent bounce/shadow wavefronts: per-lane BVH8 walks
-                # (no packet union — measured 1.5x closest / 3x any-hit
-                # over the streaming packet kernel on random rays)
-                return traverse_pallas_lane8(bvh, o, d, t_min, tm,
-                                             active, any_hit=any_hit)
+                # (no packet union). lane8log (completion-log scatter, no
+                # ordered window) over lane8: 1.6x any-hit / par closest
+                # once int8 cluster leaves shrank the leaf-gather cost.
+                return traverse_pallas_lane8log(bvh, o, d, t_min, tm,
+                                                active, any_hit=any_hit)
             if pallas_stream8l_supported(bvh, o.shape[0]):
                 # BVH8 linear streaming-refill kernel: fewest
                 # vector->scalar crossings per iteration, scales to any

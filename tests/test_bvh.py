@@ -143,3 +143,28 @@ def test_pallas_traversal_matches_xla(cornell_scene):
     # any-hit variant
     rec_a = traverse_pallas(bvh, o, d, t_min=0.0, any_hit=True, interpret=True)
     assert np.array_equal(np.asarray(rec_a.prim) >= 0, m)
+
+
+def test_lane8_traversal_matches_xla(cornell_scene):
+    """Per-lane BVH8 kernel (int8 lattice-quantized cluster leaves) must
+    agree with the XLA traversal in interpreter mode: same winning prim,
+    same any-hit verdict, t within the lattice quantization tolerance."""
+    from hiprt_pt_tpu.core.camera import generate_camera_rays
+    from hiprt_pt_tpu.ops.pallas_traverse import traverse_pallas_lane8
+    from hiprt_pt_tpu.ops.traverse import occluded
+
+    scene, camera = cornell_scene
+    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
+    assert bvh.lane8_frame is not None
+    o, d = generate_camera_rays(camera, 32, 16)  # 512 rays
+    rec_r = closest_hit(bvh, o, d, t_min=0.0)
+    rec_p = traverse_pallas_lane8(bvh, o, d, t_min=0.0, interpret=True)
+    p_r = np.asarray(rec_r.prim)
+    assert np.mean(p_r == np.asarray(rec_p.prim)) > 0.999
+    m = p_r >= 0
+    assert np.allclose(np.asarray(rec_p.t)[m], np.asarray(rec_r.t)[m],
+                       rtol=1e-4)
+    occ_r = np.asarray(occluded(bvh, o, d, t_min=0.0))
+    rec_a = traverse_pallas_lane8(bvh, o, d, t_min=0.0, any_hit=True,
+                                  interpret=True)
+    assert np.array_equal(occ_r, np.asarray(rec_a.prim) >= 0)

@@ -28,6 +28,7 @@ any-hit) — see tests/test_pallas_traverse.py.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -37,6 +38,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..accel.build import BVHData, MAX_LEAF
 from .traverse import HitRecord
+
+# marginal-cost probe switches for _kernel_lane8log (comma list, e.g.
+# L8_DUP=node,stack): duplicate a sub-phase with un-CSE-able inputs so the
+# runtime delta isolates that phase's marginal cost. Measurement-only.
+_L8DUP = set(filter(None, os.environ.get("L8_DUP", "").split(",")))
 
 K = 8            # packets per program
 PACKET = 128     # rays per packet
@@ -2912,7 +2918,7 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
                      stack_s, lt_s, sc_s, stage_s, dma_sem,
                      *, any_hit: bool, n_chunks: int, m_nodes: int,
                      m_leaves: int, iter_cap: int, log_cap: int,
-                     frame: tuple, leaf_tris: int):
+                     frame: tuple, leaf_tris: int, round_every: int):
     NC = n_chunks
     n_total = NC * L8
 
@@ -2990,9 +2996,17 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
 
         node_lane = (valid > 0) & (cur >= 0)
 
-        n_pend = jnp.sum((pend > 0).astype(i32))
-        n_nodework = jnp.sum(node_lane.astype(i32))
-        leaf_round = (n_pend >= L8 // 2) | (n_nodework == 0)
+        if round_every > 0:
+            # fixed cadence: the round decision is pure SCALAR arithmetic
+            # on `it` — no per-body vector->scalar reduction at all. The
+            # drain case (no node work left) is covered within
+            # round_every bodies by the cadence itself.
+            leaf_round = (it % round_every) == (round_every - 1)
+            n_nodework = jnp.int32(0)  # stats-only in this mode
+        else:
+            n_pend = jnp.sum((pend > 0).astype(i32))
+            n_nodework = jnp.sum(node_lane.astype(i32))
+            leaf_round = (n_pend >= L8 // 2) | (n_nodework == 0)
 
         # ---- node phase ----
         rd = ray_s[:]
@@ -3054,6 +3068,33 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
         stack_s[:] = new_stack
         valid = jnp.where(node_lane, anyfound.astype(i32), valid)
 
+        if "node" in _L8DUP:
+            node_idx2 = jnp.where(node_lane, cur, -2)
+            oh2 = (iota_nc == node_idx2).astype(jnp.bfloat16)
+            g2 = jax.lax.dot_general(
+                nodes_ref[:], oh2, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            te2 = jnp.maximum(jnp.maximum(
+                jnp.minimum((g2[0:8] - ox) * ix, (g2[24:32] - ox) * ix),
+                jnp.minimum((g2[8:16] - oy) * iy, (g2[32:40] - oy) * iy)),
+                jnp.maximum(
+                    jnp.minimum((g2[16:24] - oz) * iz,
+                                (g2[40:48] - oz) * iz), 0.0))
+            stats_ref[0, 5] = stats_ref[0, 5] + (
+                jnp.sum((te2 > 0).astype(i32)) & 1)
+        if "stack" in _L8DUP:
+            ns2 = stack_s[:]
+            ptr2 = ptr + 1
+            for cc in range(8):
+                push2 = hit8[cc:cc + 1] & (c_near != (7 - cc))
+                slot2 = jnp.minimum(ptr2, L8_STACK - 1)
+                cv2 = ref_of(jnp.full((1, L8), cc + 1, i32))
+                ns2 = jnp.where((slot_iota == slot2) & push2, cv2, ns2)
+                ptr2 = ptr2 + push2.astype(i32)
+            top2 = jnp.minimum(ptr2, L8_STACK - 1)
+            stats_ref[0, 5] = stats_ref[0, 5] + (jnp.sum(
+                jnp.where(slot_iota == top2, ns2, 0)) & 1)
+
         cur_s[:] = cur
         ptr_s[:] = jnp.minimum(ptr, L8_STACK)
         valid_s[:] = valid
@@ -3071,6 +3112,13 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
                 leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
                 preferred_element_type=i32,
             )  # (264, L8) i32 of -128-encoded bytes (see _kernel_lane8)
+
+            if "leafgather" in _L8DUP:
+                oh_l2 = (iota_lc == (lidx + 1)).astype(jnp.int8)
+                gl2 = jax.lax.dot_general(
+                    leaves_ref[:], oh_l2, (((0,), (0,)), ((), ())),
+                    preferred_element_type=i32)
+                stats_ref[0, 5] = stats_ref[0, 5] + (jnp.sum(gl2[0:1]) & 1)
 
             step = jnp.float32(frame[3])
 
@@ -3110,6 +3158,47 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
             qz = tvx * e1y - tvy * e1x
             v = (dx * qx + dy * qy + dz * qz) * inv_det
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+            if "leafmt" in _L8DUP:
+                glv = gl + (it & 1) + 1
+
+                def kax2(base):
+                    return (glv[base:base + 1] + glv[base + 1:base + 2] * 256
+                            + glv[base + 2:base + 3] * 65536 + 8421504)
+
+                kx2, ky2, kz2 = (kax2(21 * Tc + 1), kax2(21 * Tc + 4),
+                                 kax2(21 * Tc + 7))
+
+                def qc2(j):
+                    return (glv[j * Tc:(j + 1) * Tc] * 256
+                            + glv[9 * Tc + j * Tc:9 * Tc + (j + 1) * Tc]
+                            + 32896)
+
+                q0x2, q0y2, q0z2 = qc2(0), qc2(1), qc2(2)
+                v0x2 = (kx2 + q0x2).astype(f32) * step
+                v0y2 = (ky2 + q0y2).astype(f32) * step
+                v0z2 = (kz2 + q0z2).astype(f32) * step
+                e1x2 = (qc2(3) - q0x2).astype(f32) * step
+                e1y2 = (qc2(4) - q0y2).astype(f32) * step
+                e1z2 = (qc2(5) - q0z2).astype(f32) * step
+                e2x2 = (qc2(6) - q0x2).astype(f32) * step
+                e2y2 = (qc2(7) - q0y2).astype(f32) * step
+                e2z2 = (qc2(8) - q0z2).astype(f32) * step
+                px2 = dy * e2z2 - dz * e2y2
+                py2 = dz * e2x2 - dx * e2z2
+                pz2 = dx * e2y2 - dy * e2x2
+                det2 = e1x2 * px2 + e1y2 * py2 + e1z2 * pz2
+                tv2x = ox - v0x2
+                tv2y = oy - v0y2
+                tv2z = oz - v0z2
+                u2 = tv2x * px2 + tv2y * py2 + tv2z * pz2
+                qx2 = tv2y * e1z2 - tv2z * e1y2
+                qy2 = tv2z * e1x2 - tv2x * e1z2
+                qz2 = tv2x * e1y2 - tv2y * e1x2
+                v2 = dx * qx2 + dy * qy2 + dz * qz2
+                t2 = e2x2 * qx2 + e2y2 * qy2 + e2z2 * qz2
+                stats_ref[0, 5] = stats_ref[0, 5] + (jnp.sum(
+                    ((det2 + u2 + v2 + t2) > 0).astype(i32)) & 1)
 
             cnt = gl[21 * Tc:21 * Tc + 1] + 128
             prim12 = (gl[18 * Tc:19 * Tc] + gl[19 * Tc:20 * Tc] * 256
@@ -3197,6 +3286,30 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
                 elig_t, lt_s[:], (((0,), (0,)), ((), ())),
                 preferred_element_type=f32,
                 precision=jax.lax.Precision.HIGHEST)[0:1].astype(i32)
+            if "refillrank" in _L8DUP:
+                elig2_t = _t8((~elig).astype(f32))
+                rank2 = jax.lax.dot_general(
+                    elig2_t, lt_s[:], (((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)[0:1].astype(i32)
+                stats_ref[0, 5] = stats_ref[0, 5] + (jnp.sum(rank2) & 1)
+            if "refillgather" in _L8DUP:
+                iota_p2 = jax.lax.broadcasted_iota(i32, (L8, L8), 0)
+                rank2b = jnp.broadcast_to(
+                    jax.lax.broadcasted_iota(i32, (1, L8), 1) + (it & 3),
+                    (1, L8))
+                gsum2 = jnp.zeros((16, L8), f32)
+                for h in range(2):
+                    loc2 = rank2b - h * 7
+                    sel2 = (loc2 >= 0) & (loc2 < L8)
+                    ohp2 = ((iota_p2 == loc2) & sel2).astype(f32)
+                    rows2 = rays_ref[pl.ds(h * 16, 16), :]
+                    gsum2 = gsum2 + jax.lax.dot_general(
+                        rows2, ohp2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)
+                stats_ref[0, 5] = stats_ref[0, 5] + (jnp.sum(
+                    (gsum2[0:1] > 0).astype(i32)) & 1)
             take = elig & (rank < can_n)
             slot = jnp.where(take, pool_head + rank, -1)
             c0 = pool_head >> 10
@@ -3237,8 +3350,13 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
             rayid_s[:] = jnp.where(take, slot, rayid_s[:])
             sc_s[0, 1] = pool_head + jnp.sum(take.astype(i32))
 
-        stats_ref[0, 2] = stats_ref[0, 2] + n_nodework
-        stats_ref[0, 3] = stats_ref[0, 3] + jnp.where(leaf_round, 1, 0)
+        if round_every > 0:
+            @pl.when(leaf_round)
+            def _stats():
+                stats_ref[0, 3] = stats_ref[0, 3] + 1
+        else:
+            stats_ref[0, 2] = stats_ref[0, 2] + n_nodework
+            stats_ref[0, 3] = stats_ref[0, 3] + jnp.where(leaf_round, 1, 0)
         return it + 1, sc_s[0, 0]
 
     it, ndone = jax.lax.while_loop(
@@ -3249,7 +3367,7 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
 
 
 def _lane8log_call(bvh: BVHData, o, d, tmin, tmax, act,
-                   any_hit: bool, interpret: bool):
+                   any_hit: bool, interpret: bool, round_every: int = 0):
     """One pallas_call over <= L8LOG_MAX_RAYS rays; the completion log is
     unscrambled into ray order by ONE XLA scatter keyed on rayid."""
     n = o.shape[0]
@@ -3276,7 +3394,7 @@ def _lane8log_call(bvh: BVHData, o, d, tmin, tmax, act,
         partial(_kernel_lane8log, any_hit=any_hit, n_chunks=nc,
                 m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
                 log_cap=log_cap, frame=bvh.lane8_frame,
-                leaf_tris=bvh.lane8_leaf_tris),
+                leaf_tris=bvh.lane8_leaf_tris, round_every=round_every),
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
@@ -3338,7 +3456,8 @@ def _lane8log_call(bvh: BVHData, o, d, tmin, tmax, act,
     ), stats
 
 
-@partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats"))
+@partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats",
+                                  "round_every"))
 def traverse_pallas_lane8log(
     bvh: BVHData,
     o: jax.Array,
@@ -3349,8 +3468,14 @@ def traverse_pallas_lane8log(
     any_hit: bool = False,
     interpret: bool = False,
     return_stats: bool = False,
+    round_every: int = 0,
 ) -> HitRecord:
-    """Per-lane BVH8 traversal with completion-log output (v8)."""
+    """Per-lane BVH8 traversal with completion-log output (v8).
+
+    round_every > 0 runs leaf rounds on a fixed every-k-bodies cadence
+    (pure scalar decision on the iteration counter) instead of the
+    dynamic >=50%-pending vote, removing two full-lane vector->scalar
+    reductions from every body."""
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -3366,7 +3491,7 @@ def traverse_pallas_lane8log(
         e = min(n, s + L8_MAX_RAYS)
         rec, st = _lane8log_call(
             bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
-            any_hit, interpret)
+            any_hit, interpret, round_every)
         recs.append(rec)
         stats = st if stats is None else stats + st
     if len(recs) == 1:

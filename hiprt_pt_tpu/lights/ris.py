@@ -223,6 +223,7 @@ def ris_direct_lighting(
             bvh, scene, options, settings, so, res["wi"], rng_state,
             t_max=t_max_w, active=has_winner,
             closest_fn=closest_hit_coherent,
+            occluded_fn=occluded_coherent,
         )
     else:
         blocked = occluded_coherent(

@@ -28,7 +28,6 @@ any-hit) — see tests/test_pallas_traverse.py.
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
@@ -39,10 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..accel.build import BVHData, MAX_LEAF
 from .traverse import HitRecord
 
-# marginal-cost probe switches for _kernel_lane8log (comma list, e.g.
-# L8_DUP=node,stack): duplicate a sub-phase with un-CSE-able inputs so the
-# runtime delta isolates that phase's marginal cost. Measurement-only.
-_L8DUP = set(filter(None, os.environ.get("L8_DUP", "").split(",")))
+# (the L8_DUP marginal-cost probe scaffolding lived here through commit
+# 0743450 — duplicate a sub-phase with un-CSE-able inputs and read its
+# marginal cost off the wall clock; re-add from git history when needed)
 
 K = 8            # packets per program
 PACKET = 128     # rays per packet
@@ -2887,82 +2885,86 @@ def pallas_lane8_supported(bvh: BVHData, n: int) -> bool:
         and bvh.leaves_lane8.size <= MAX_LANE8_LEAF_BYTES
     )
 
-
 # --------------------------------------------------------------------------
 # v8: lane8 + completion LOG ("lane8log") — windowless refill.
 #
 # The v7 scatter writes results IN ORDER through an 8-chunk window anchored
 # at the oldest unflushed ray: per leaf round it runs up to 8 chunk scatters
-# (two (L8, L8) f32 materializations + matmuls each), and — worse — REFILL
+# (two (LN, LN) f32 materializations + matmuls each), and — worse — REFILL
 # is capped to the same window, so one straggler ray stalls refill once the
-# pool head runs L8_SCATW*1024 rays ahead and lanes idle (measured: ~62%
-# node-lane occupancy on incoherent stress rays). Here finished lanes
-# instead append (t, prim, u, v, rayid) UNORDERED to a completion log that
-# is DMA'd to HBM one (5, L8) block at a time, and the caller unscrambles
-# with one XLA scatter keyed on rayid. No window, no per-chunk scatter
-# machinery; refill is bounded only by the ray pool itself.
+# pool head runs ahead and lanes idle (measured: ~62% node-lane occupancy on
+# incoherent stress rays). Here finished lanes instead append
+# (t, prim, u, v, rayid) UNORDERED to a completion log that is DMA'd to HBM
+# one (5, LN) block at a time, and the caller unscrambles with one XLA
+# scatter keyed on rayid. No window, no per-chunk scatter machinery; refill
+# is bounded only by the ray pool itself.
 #
-# Flushes happen on leaf rounds when >= L8LOG_FLUSH_MIN lanes are done (or
+# Flushes happen on leaf rounds when >= LN/4 lanes are done (or
 # unconditionally once the pool is exhausted, to drain), which bounds the
-# log to ~n_total/L8LOG_FLUSH_MIN + drain blocks; the allocation carries a
-# 4x margin over that bound and flushing is gated on log capacity so an
-# overflow degrades to unflushed rays (reported in stats), never OOB.
+# log to ~n_total/(LN/4) + drain blocks; the allocation carries a 2x margin
+# over that bound and flushing is gated on log capacity so an overflow
+# degrades to unflushed rays (reported in stats), never OOB.
+#
+# The ray pool is 8 rows per chunk [ox oy oz dx dy dz tmin tmax'] with
+# activity encoded in the sign of tmax' (inactive rays carry tmax' = -1), so
+# the refill gather moves exactly one aligned sublane tile per chunk. The
+# refill rank is an exclusive prefix sum over lanes computed with log-step
+# pltpu.roll shifts — no (LN, LN) lower-triangular scratch, no
+# transpose-by-matmul chain (measured ~87 us/round at LN=1024, the largest
+# marginal cost in the kernel; see ROUND2.md and commit 0743450 for the
+# L8_DUP probe methodology).
+#
+# `lanes` parameterizes the resident-lane count. All per-lane state rows are
+# (1, lanes): at 1024 lanes every op runs at 1/8 sublane occupancy and the
+# body is issue/latency-bound (duplicating whole phases measured ~free at
+# the margin), so wider programs amortize per-op overhead nearly linearly
+# until VMEM caps out (leaf gather result is (21*Tc+10, lanes) i32).
 # --------------------------------------------------------------------------
-
-L8LOG_FLUSH_MIN = 256   # min finished lanes to justify a log block
 
 
 def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
                      cur_s, ptr_s, valid_s, pend_s, done_s, scat_s, rayid_s,
                      ray_s, bt_s, bu_s, bv_s, bp_s,
-                     stack_s, lt_s, sc_s, stage_s, dma_sem,
+                     stack_s, sc_s, stage_s, dma_sem,
                      *, any_hit: bool, n_chunks: int, m_nodes: int,
                      m_leaves: int, iter_cap: int, log_cap: int,
-                     frame: tuple, leaf_tris: int, round_every: int):
+                     frame: tuple, leaf_tris: int, round_every: int,
+                     lanes: int):
     NC = n_chunks
-    n_total = NC * L8
+    LN = lanes
+    LOG_LN = LN.bit_length() - 1
+    n_total = NC * LN
+    flush_min = LN // 4
 
     f32 = jnp.float32
     i32 = jnp.int32
 
-    cur_s[:] = jnp.zeros((1, L8), i32)
-    ptr_s[:] = jnp.zeros((1, L8), i32)
-    valid_s[:] = jnp.zeros((1, L8), i32)
-    pend_s[:] = jnp.zeros((1, L8), i32)
-    done_s[:] = jnp.ones((1, L8), i32)
-    scat_s[:] = jnp.ones((1, L8), i32)
-    rayid_s[:] = jnp.full((1, L8), -1, i32)
-    ray_s[:] = jnp.zeros((16, L8), f32)
-    bt_s[:] = jnp.zeros((1, L8), f32)
-    bu_s[:] = jnp.zeros((1, L8), f32)
-    bv_s[:] = jnp.zeros((1, L8), f32)
-    bp_s[:] = jnp.full((1, L8), -1, i32)
-    stack_s[:] = jnp.zeros((L8_STACK, L8), i32)
+    cur_s[:] = jnp.zeros((1, LN), i32)
+    ptr_s[:] = jnp.zeros((1, LN), i32)
+    valid_s[:] = jnp.zeros((1, LN), i32)
+    pend_s[:] = jnp.zeros((1, LN), i32)
+    done_s[:] = jnp.ones((1, LN), i32)
+    scat_s[:] = jnp.ones((1, LN), i32)
+    rayid_s[:] = jnp.full((1, LN), -1, i32)
+    ray_s[:] = jnp.zeros((16, LN), f32)
+    bt_s[:] = jnp.zeros((1, LN), f32)
+    bu_s[:] = jnp.zeros((1, LN), f32)
+    bv_s[:] = jnp.zeros((1, LN), f32)
+    bp_s[:] = jnp.full((1, LN), -1, i32)
+    stack_s[:] = jnp.zeros((L8_STACK, LN), i32)
     for _si in range(8):
         stats_ref[0, _si] = jnp.int32(0)
     sc_s[0, 0] = jnp.int32(0)  # ndone (flushed rays)
     sc_s[0, 1] = jnp.int32(0)  # pool head
     sc_s[0, 2] = jnp.int32(0)  # log_ptr (blocks written)
-    lt_s[:] = (
-        jax.lax.broadcasted_iota(i32, (L8, L8), 0)
-        < jax.lax.broadcasted_iota(i32, (L8, L8), 1)
-    ).astype(f32)
 
-    slot_iota = jax.lax.broadcasted_iota(i32, (L8_STACK, L8), 0)
-    iota8 = jax.lax.broadcasted_iota(i32, (8, L8), 0)
+    slot_iota = jax.lax.broadcasted_iota(i32, (L8_STACK, LN), 0)
+    lane_iota = jax.lax.broadcasted_iota(i32, (1, LN), 1)
+    iota8 = jax.lax.broadcasted_iota(i32, (8, LN), 0)
     Tc = leaf_tris
-    iota_t = jax.lax.broadcasted_iota(i32, (Tc, L8), 0)
+    iota_t = jax.lax.broadcasted_iota(i32, (Tc, LN), 0)
     SLOTM = jnp.int32(max(16, 1 << (Tc - 1).bit_length()) - 1)
-    eye8 = (jax.lax.broadcasted_iota(i32, (8, 8), 0)
-            == jax.lax.broadcasted_iota(i32, (8, 8), 1)).astype(f32)
-    pad7 = jnp.zeros((7, L8), f32)
     IMAX = jnp.int32(0x7FFFFFFF)
-
-    def _t8(row):
-        return jax.lax.dot_general(
-            jnp.concatenate([row, pad7], axis=0), eye8,
-            (((0,), (0,)), ((), ())), preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST)
 
     def cond(c):
         it, ndone = c
@@ -3006,7 +3008,7 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
         else:
             n_pend = jnp.sum((pend > 0).astype(i32))
             n_nodework = jnp.sum(node_lane.astype(i32))
-            leaf_round = (n_pend >= L8 // 2) | (n_nodework == 0)
+            leaf_round = (n_pend >= LN // 2) | (n_nodework == 0)
 
         # ---- node phase ----
         rd = ray_s[:]
@@ -3017,7 +3019,7 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
         best_t = bt_s[:]
 
         node_idx = jnp.where(node_lane, cur, -1)
-        iota_nc = jax.lax.broadcasted_iota(i32, (m_nodes, L8), 0)
+        iota_nc = jax.lax.broadcasted_iota(i32, (m_nodes, LN), 0)
         oh_n = (iota_nc == node_idx).astype(jnp.bfloat16)
         g = jax.lax.dot_general(
             nodes_ref[:], oh_n, (((0,), (0,)), ((), ())),
@@ -3062,38 +3064,11 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
         for cc in range(8):
             push = hit8[cc:cc + 1] & (c_near != cc)
             slot = jnp.minimum(ptr, L8_STACK - 1)
-            cval = ref_of(jnp.full((1, L8), cc, i32))
+            cval = ref_of(jnp.full((1, LN), cc, i32))
             new_stack = jnp.where((slot_iota == slot) & push, cval, new_stack)
             ptr = ptr + push.astype(i32)
         stack_s[:] = new_stack
         valid = jnp.where(node_lane, anyfound.astype(i32), valid)
-
-        if "node" in _L8DUP:
-            node_idx2 = jnp.where(node_lane, cur, -2)
-            oh2 = (iota_nc == node_idx2).astype(jnp.bfloat16)
-            g2 = jax.lax.dot_general(
-                nodes_ref[:], oh2, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32)
-            te2 = jnp.maximum(jnp.maximum(
-                jnp.minimum((g2[0:8] - ox) * ix, (g2[24:32] - ox) * ix),
-                jnp.minimum((g2[8:16] - oy) * iy, (g2[32:40] - oy) * iy)),
-                jnp.maximum(
-                    jnp.minimum((g2[16:24] - oz) * iz,
-                                (g2[40:48] - oz) * iz), 0.0))
-            stats_ref[0, 5] = stats_ref[0, 5] + (
-                jnp.sum((te2 > 0).astype(i32)) & 1)
-        if "stack" in _L8DUP:
-            ns2 = stack_s[:]
-            ptr2 = ptr + 1
-            for cc in range(8):
-                push2 = hit8[cc:cc + 1] & (c_near != (7 - cc))
-                slot2 = jnp.minimum(ptr2, L8_STACK - 1)
-                cv2 = ref_of(jnp.full((1, L8), cc + 1, i32))
-                ns2 = jnp.where((slot_iota == slot2) & push2, cv2, ns2)
-                ptr2 = ptr2 + push2.astype(i32)
-            top2 = jnp.minimum(ptr2, L8_STACK - 1)
-            stats_ref[0, 5] = stats_ref[0, 5] + (jnp.sum(
-                jnp.where(slot_iota == top2, ns2, 0)) & 1)
 
         cur_s[:] = cur
         ptr_s[:] = jnp.minimum(ptr, L8_STACK)
@@ -3106,19 +3081,12 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
             pendv = pend_s[:]
             pend_lane = pendv > 0
             lidx = jnp.where(pend_lane, pendv - 1, -1)
-            iota_lc = jax.lax.broadcasted_iota(i32, (m_leaves, L8), 0)
+            iota_lc = jax.lax.broadcasted_iota(i32, (m_leaves, LN), 0)
             oh_l = (iota_lc == lidx).astype(jnp.int8)
             gl = jax.lax.dot_general(
                 leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
                 preferred_element_type=i32,
-            )  # (264, L8) i32 of -128-encoded bytes (see _kernel_lane8)
-
-            if "leafgather" in _L8DUP:
-                oh_l2 = (iota_lc == (lidx + 1)).astype(jnp.int8)
-                gl2 = jax.lax.dot_general(
-                    leaves_ref[:], oh_l2, (((0,), (0,)), ((), ())),
-                    preferred_element_type=i32)
-                stats_ref[0, 5] = stats_ref[0, 5] + (jnp.sum(gl2[0:1]) & 1)
+            )  # (21*Tc + 10 rounded, LN) i32 of -128-encoded bytes
 
             step = jnp.float32(frame[3])
 
@@ -3158,47 +3126,6 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
             qz = tvx * e1y - tvy * e1x
             v = (dx * qx + dy * qy + dz * qz) * inv_det
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-
-            if "leafmt" in _L8DUP:
-                glv = gl + (it & 1) + 1
-
-                def kax2(base):
-                    return (glv[base:base + 1] + glv[base + 1:base + 2] * 256
-                            + glv[base + 2:base + 3] * 65536 + 8421504)
-
-                kx2, ky2, kz2 = (kax2(21 * Tc + 1), kax2(21 * Tc + 4),
-                                 kax2(21 * Tc + 7))
-
-                def qc2(j):
-                    return (glv[j * Tc:(j + 1) * Tc] * 256
-                            + glv[9 * Tc + j * Tc:9 * Tc + (j + 1) * Tc]
-                            + 32896)
-
-                q0x2, q0y2, q0z2 = qc2(0), qc2(1), qc2(2)
-                v0x2 = (kx2 + q0x2).astype(f32) * step
-                v0y2 = (ky2 + q0y2).astype(f32) * step
-                v0z2 = (kz2 + q0z2).astype(f32) * step
-                e1x2 = (qc2(3) - q0x2).astype(f32) * step
-                e1y2 = (qc2(4) - q0y2).astype(f32) * step
-                e1z2 = (qc2(5) - q0z2).astype(f32) * step
-                e2x2 = (qc2(6) - q0x2).astype(f32) * step
-                e2y2 = (qc2(7) - q0y2).astype(f32) * step
-                e2z2 = (qc2(8) - q0z2).astype(f32) * step
-                px2 = dy * e2z2 - dz * e2y2
-                py2 = dz * e2x2 - dx * e2z2
-                pz2 = dx * e2y2 - dy * e2x2
-                det2 = e1x2 * px2 + e1y2 * py2 + e1z2 * pz2
-                tv2x = ox - v0x2
-                tv2y = oy - v0y2
-                tv2z = oz - v0z2
-                u2 = tv2x * px2 + tv2y * py2 + tv2z * pz2
-                qx2 = tv2y * e1z2 - tv2z * e1y2
-                qy2 = tv2z * e1x2 - tv2x * e1z2
-                qz2 = tv2x * e1y2 - tv2y * e1x2
-                v2 = dx * qx2 + dy * qy2 + dz * qz2
-                t2 = e2x2 * qx2 + e2y2 * qy2 + e2z2 * qz2
-                stats_ref[0, 5] = stats_ref[0, 5] + (jnp.sum(
-                    ((det2 + u2 + v2 + t2) > 0).astype(i32)) & 1)
 
             cnt = gl[21 * Tc:21 * Tc + 1] + 128
             prim12 = (gl[18 * Tc:19 * Tc] + gl[19 * Tc:20 * Tc] * 256
@@ -3256,7 +3183,7 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
             n_unflushed = jnp.sum(unflushed.astype(i32))
             drain = pool_head >= n_total
             do_flush = (
-                ((n_unflushed >= L8LOG_FLUSH_MIN)
+                ((n_unflushed >= flush_min)
                  | (drain & (n_unflushed > 0)))
                 & (log_ptr < log_cap)
             )
@@ -3278,50 +3205,29 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
                 sc_s[0, 2] = log_ptr + 1
 
             # ---- refill (windowless: bounded only by the pool) ----
-            scat_after = scat_s[:]
-            elig = (done_s[:] > 0) & (scat_after > 0)
+            elig = (done_s[:] > 0) & (scat_s[:] > 0)
             can_n = jnp.maximum(0, n_total - pool_head)
-            elig_t = _t8(elig.astype(f32))
-            rank = jax.lax.dot_general(
-                elig_t, lt_s[:], (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST)[0:1].astype(i32)
-            if "refillrank" in _L8DUP:
-                elig2_t = _t8((~elig).astype(f32))
-                rank2 = jax.lax.dot_general(
-                    elig2_t, lt_s[:], (((0,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST)[0:1].astype(i32)
-                stats_ref[0, 5] = stats_ref[0, 5] + (jnp.sum(rank2) & 1)
-            if "refillgather" in _L8DUP:
-                iota_p2 = jax.lax.broadcasted_iota(i32, (L8, L8), 0)
-                rank2b = jnp.broadcast_to(
-                    jax.lax.broadcasted_iota(i32, (1, L8), 1) + (it & 3),
-                    (1, L8))
-                gsum2 = jnp.zeros((16, L8), f32)
-                for h in range(2):
-                    loc2 = rank2b - h * 7
-                    sel2 = (loc2 >= 0) & (loc2 < L8)
-                    ohp2 = ((iota_p2 == loc2) & sel2).astype(f32)
-                    rows2 = rays_ref[pl.ds(h * 16, 16), :]
-                    gsum2 = gsum2 + jax.lax.dot_general(
-                        rows2, ohp2, (((1,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)
-                stats_ref[0, 5] = stats_ref[0, 5] + (jnp.sum(
-                    (gsum2[0:1] > 0).astype(i32)) & 1)
+            # exclusive prefix rank over lanes: log-step rolls, i32-exact
+            ev = elig.astype(i32)
+            cs = ev
+            k = 1
+            while k < LN:
+                cs = cs + jnp.where(
+                    lane_iota >= k, pltpu.roll(cs, k, 1), 0)
+                k *= 2
+            rank = cs - ev
             take = elig & (rank < can_n)
             slot = jnp.where(take, pool_head + rank, -1)
-            c0 = pool_head >> 10
-            gsum = jnp.zeros((16, L8), f32)
-            iota_p = jax.lax.broadcasted_iota(i32, (L8, L8), 0)
+            c0 = pool_head >> LOG_LN
+            gsum = jnp.zeros((8, LN), f32)
+            iota_p = jax.lax.broadcasted_iota(i32, (LN, LN), 0)
             for h in range(2):
                 ch_ok = (c0 + h) < NC
                 ch = jnp.minimum(c0 + h, NC - 1)
-                loc = slot - (ch << 10)
-                sel = take & (loc >= 0) & (loc < L8) & ch_ok
+                loc = slot - (ch << LOG_LN)
+                sel = take & (loc >= 0) & (loc < LN) & ch_ok
                 ohp = ((iota_p == loc) & sel).astype(f32)
-                rows = rays_ref[pl.ds(ch * 16, 16), :]
+                rows = rays_ref[pl.ds(ch * 8, 8), :]
                 gsum = gsum + jax.lax.dot_general(
                     rows, ohp, (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
@@ -3331,12 +3237,12 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
                 return jnp.where(jnp.abs(c_) > 1e-12, 1.0 / c_,
                                  jnp.sign(c_) * 1e12 + 1e12)
 
-            act = gsum[8:9] > 0.0
+            act = gsum[7:8] > 0.0
             newray = jnp.concatenate(
-                [gsum[0:9],
+                [gsum, jnp.zeros((1, LN), f32),
                  inv3(gsum[3:4]), inv3(gsum[4:5]), inv3(gsum[5:6]),
-                 jnp.zeros((4, L8), f32)], axis=0)
-            ray_s[:] = jnp.where(take.astype(f32) > 0, newray, ray_s[:])
+                 jnp.zeros((4, LN), f32)], axis=0)
+            ray_s[:] = jnp.where(take, newray, ray_s[:])
             bt_s[:] = jnp.where(take, gsum[7:8], bt_s[:])
             bu_s[:] = jnp.where(take, 0.0, bu_s[:])
             bv_s[:] = jnp.where(take, 0.0, bv_s[:])
@@ -3367,59 +3273,64 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
 
 
 def _lane8log_call(bvh: BVHData, o, d, tmin, tmax, act,
-                   any_hit: bool, interpret: bool, round_every: int = 0):
-    """One pallas_call over <= L8LOG_MAX_RAYS rays; the completion log is
+                   any_hit: bool, interpret: bool, round_every: int = 0,
+                   lanes: int = 1024):
+    """One pallas_call over <= L8_MAX_RAYS rays; the completion log is
     unscrambled into ray order by ONE XLA scatter keyed on rayid."""
     n = o.shape[0]
-    nc = max(1, -(-n // L8))
-    npad = nc * L8
+    LN = lanes
+    nc = max(1, -(-n // LN))
+    npad = nc * LN
 
     def padto(x, fill=0.0):
         return jnp.pad(x, (0, npad - n), constant_values=fill)
 
+    # 8-row chunks: [ox oy oz dx dy dz tmin tmax'] with activity in the
+    # sign of tmax' (one aligned sublane tile per chunk)
+    f7 = jnp.where(act > 0, tmax, -1.0)
     fields = jnp.stack([
         padto(o[:, 0]), padto(o[:, 1]), padto(o[:, 2]),
         padto(d[:, 0]), padto(d[:, 1]), padto(d[:, 2], fill=1.0),
-        padto(tmin), padto(tmax), padto(act),
-    ] + [jnp.zeros((npad,), jnp.float32)] * 7, axis=0)
-    rays = fields.reshape(16, nc, L8).transpose(1, 0, 2).reshape(nc * 16, L8)
+        padto(tmin), padto(f7, fill=-1.0),
+    ], axis=0)
+    rays = fields.reshape(8, nc, LN).transpose(1, 0, 2).reshape(nc * 8, LN)
 
     m_nodes = bvh.nodes_lane8.shape[0]
     m_leaves = bvh.leaves_lane8.shape[0]
-    iter_cap = 64 * nc + 4096
-    # flush blocks: <= n/L8LOG_FLUSH_MIN + drain rounds; 4x margin
-    log_cap = 4 * max(1, npad // L8LOG_FLUSH_MIN) + 64
+    iter_cap = 64 * nc * max(1, LN // 1024) + 4096
+    # flush blocks: <= n/(LN/4) + drain rounds; 2x margin
+    log_cap = 2 * max(1, npad // (LN // 4)) + 64
 
     log, stats = pl.pallas_call(
         partial(_kernel_lane8log, any_hit=any_hit, n_chunks=nc,
                 m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
                 log_cap=log_cap, frame=bvh.lane8_frame,
-                leaf_tris=bvh.lane8_leaf_tris, round_every=round_every),
+                leaf_tris=bvh.lane8_leaf_tris, round_every=round_every,
+                lanes=LN),
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[
-            jax.ShapeDtypeStruct((log_cap * 8, L8), jnp.float32),
+            jax.ShapeDtypeStruct((log_cap * 8, LN), jnp.float32),
             jax.ShapeDtypeStruct((1, 8), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, L8), jnp.int32),    # cur_s
-            pltpu.VMEM((1, L8), jnp.int32),    # ptr_s
-            pltpu.VMEM((1, L8), jnp.int32),    # valid_s
-            pltpu.VMEM((1, L8), jnp.int32),    # pend_s
-            pltpu.VMEM((1, L8), jnp.int32),    # done_s
-            pltpu.VMEM((1, L8), jnp.int32),    # scat_s
-            pltpu.VMEM((1, L8), jnp.int32),    # rayid_s
-            pltpu.VMEM((16, L8), jnp.float32),  # ray_s
-            pltpu.VMEM((1, L8), jnp.float32),  # bt_s
-            pltpu.VMEM((1, L8), jnp.float32),  # bu_s
-            pltpu.VMEM((1, L8), jnp.float32),  # bv_s
-            pltpu.VMEM((1, L8), jnp.int32),    # bp_s
-            pltpu.VMEM((L8_STACK, L8), jnp.int32),  # stack_s
-            pltpu.VMEM((L8, L8), jnp.float32),  # lt_s
+            pltpu.VMEM((1, LN), jnp.int32),    # cur_s
+            pltpu.VMEM((1, LN), jnp.int32),    # ptr_s
+            pltpu.VMEM((1, LN), jnp.int32),    # valid_s
+            pltpu.VMEM((1, LN), jnp.int32),    # pend_s
+            pltpu.VMEM((1, LN), jnp.int32),    # done_s
+            pltpu.VMEM((1, LN), jnp.int32),    # scat_s
+            pltpu.VMEM((1, LN), jnp.int32),    # rayid_s
+            pltpu.VMEM((16, LN), jnp.float32),  # ray_s
+            pltpu.VMEM((1, LN), jnp.float32),  # bt_s
+            pltpu.VMEM((1, LN), jnp.float32),  # bu_s
+            pltpu.VMEM((1, LN), jnp.float32),  # bv_s
+            pltpu.VMEM((1, LN), jnp.int32),    # bp_s
+            pltpu.VMEM((L8_STACK, LN), jnp.int32),  # stack_s
             pltpu.SMEM((1, 4), jnp.int32),      # sc_s
-            pltpu.VMEM((8, L8), jnp.float32),   # stage_s
+            pltpu.VMEM((8, LN), jnp.float32),   # stage_s
             pltpu.SemaphoreType.DMA,            # dma_sem
         ],
         compiler_params=pltpu.CompilerParams(
@@ -3432,7 +3343,7 @@ def _lane8log_call(bvh: BVHData, o, d, tmin, tmax, act,
     # kernel's final log_ptr (stats[0, 4]) were never written (garbage) and
     # are masked out; flushed blocks mark non-flushing lanes with rayid -1.
     n_blocks = log.shape[0] // 8
-    blk = log.reshape(n_blocks, 8, L8)
+    blk = log.reshape(n_blocks, 8, LN)
     written = (
         jnp.arange(n_blocks, dtype=jnp.int32)[:, None] < stats[0, 4]
     )
@@ -3457,7 +3368,7 @@ def _lane8log_call(bvh: BVHData, o, d, tmin, tmax, act,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats",
-                                  "round_every"))
+                                  "round_every", "lanes"))
 def traverse_pallas_lane8log(
     bvh: BVHData,
     o: jax.Array,
@@ -3469,13 +3380,15 @@ def traverse_pallas_lane8log(
     interpret: bool = False,
     return_stats: bool = False,
     round_every: int = 0,
+    lanes: int = 1024,
 ) -> HitRecord:
     """Per-lane BVH8 traversal with completion-log output (v8).
 
     round_every > 0 runs leaf rounds on a fixed every-k-bodies cadence
     (pure scalar decision on the iteration counter) instead of the
     dynamic >=50%-pending vote, removing two full-lane vector->scalar
-    reductions from every body."""
+    reductions from every body. lanes widens the resident-lane count
+    (per-op overhead amortization; VMEM-bounded)."""
     n = o.shape[0]
     tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
@@ -3491,7 +3404,7 @@ def traverse_pallas_lane8log(
         e = min(n, s + L8_MAX_RAYS)
         rec, st = _lane8log_call(
             bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
-            any_hit, interpret, round_every)
+            any_hit, interpret, round_every, lanes)
         recs.append(rec)
         stats = st if stats is None else stats + st
     if len(recs) == 1:

@@ -44,6 +44,16 @@ class HitRecord:
     v: jax.Array
 
 
+def empty_hit_record(n: int) -> HitRecord:
+    """All-miss record — the cheap branch of empty-wavefront guards."""
+    return HitRecord(
+        t=jnp.full((n,), jnp.inf, jnp.float32),
+        prim=jnp.full((n,), -1, jnp.int32),
+        u=jnp.zeros((n,), jnp.float32),
+        v=jnp.zeros((n,), jnp.float32),
+    )
+
+
 @partial(jax.jit, static_argnames=("any_hit",))
 def traverse(
     bvh: BVHData,
@@ -582,15 +592,21 @@ def occluded_alpha(
     active=None,
     max_segments: int = 4,
     closest_fn=None,
+    occluded_fn=None,
 ):
     """Alpha-aware shadow test (reference: stochastic alpha in the traversal
     filter function, FilterFunction.h:19-49): march up to `max_segments`
     closest hits, passing through each surface with probability (1 - alpha).
 
     Only worth the extra traversals when the scene actually has alpha-mapped
-    materials; callers gate on that (TextureAtlas.has_alpha). closest_fn
-    overrides the traversal backend (callers pass the Pallas-aware tracer —
-    this module cannot select it without a circular import).
+    materials; callers gate on that (TextureAtlas.has_alpha). closest_fn /
+    occluded_fn override the traversal backend (callers pass the Pallas-aware
+    tracers — this module cannot select them without a circular import).
+
+    When occluded_fn is given, a cheap alpha-blind ANY-HIT pass prunes rays
+    with no blocker at all (most shadow rays toward a visible light): only
+    rays that found *something* enter the closest-hit march, and each march
+    segment is wrapped in lax.cond so drained segments cost nothing.
     Returns (rng_state, occluded (N,) bool).
     """
     from ..core import rng as rng_mod
@@ -600,11 +616,16 @@ def occluded_alpha(
     if active is None:
         active = jnp.ones((n,), jnp.bool_)
     searching = jnp.asarray(active)
+    if occluded_fn is not None:
+        blocked0 = occluded_fn(
+            bvh, o, d, t_min=t_min, t_max=t_max, active=searching
+        )
+        searching = searching & blocked0
     occluded_mask = jnp.zeros((n,), jnp.bool_)
-    cur_o = o
     remaining = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
 
-    for _ in range(max_segments):
+    def segment(carry):
+        rng_state, occluded_mask, cur_o, remaining, searching = carry
         if closest_fn is not None:
             rec = closest_fn(
                 bvh, cur_o, d, t_min=t_min, t_max=remaining, active=searching
@@ -643,6 +664,15 @@ def occluded_alpha(
             passthrough[:, None], cur_o + d * (seg + 1e-4)[:, None], cur_o
         )
         remaining = jnp.where(passthrough, remaining - seg - 1e-4, remaining)
-        searching = passthrough
+        return rng_state, occluded_mask, cur_o, remaining, passthrough
+
+    carry = (rng_state, occluded_mask, o, remaining, searching)
+    for _ in range(max_segments):
+        # skip drained segments entirely (traversal AND the dense texture /
+        # material fetches above)
+        carry = jax.lax.cond(
+            jnp.any(carry[4]), segment, lambda c: c, carry
+        )
+    rng_state, occluded_mask = carry[0], carry[1]
     # anything still passing after max_segments is treated as unoccluded
     return rng_state, occluded_mask

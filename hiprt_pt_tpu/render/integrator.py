@@ -111,22 +111,47 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
             return None
 
         def closest(bvh, o, d, t_min=1e-4, t_max=None, active=None):
+            import jax
             import jax.numpy as _jnp
 
+            from ..ops.traverse import empty_hit_record
+
             tm = _jnp.inf if t_max is None else t_max
-            rec = _trace(bvh, o, d, t_min, tm, active, any_hit=False)
-            if rec is not None:
-                return rec
-            return _xla_closest(bvh, o, d, t_min, tm, active)
+
+            def run():
+                rec = _trace(bvh, o, d, t_min, tm, active, any_hit=False)
+                if rec is not None:
+                    return rec
+                return _xla_closest(bvh, o, d, t_min, tm, active)
+
+            if active is None:
+                return run()
+            # empty-wavefront guard: an all-inactive wave (e.g. a masked-off
+            # bounce iteration of the statically-unrolled loop, or a drained
+            # alpha-march segment) would still sweep the whole ray pool
+            # through the streaming kernel — skip it entirely at runtime
+            return jax.lax.cond(
+                _jnp.any(active), run, lambda: empty_hit_record(o.shape[0])
+            )
 
         def occluded(bvh, o, d, t_min=1e-4, t_max=None, active=None):
+            import jax
             import jax.numpy as _jnp
 
             tm = _jnp.inf if t_max is None else t_max
-            rec = _trace(bvh, o, d, t_min, tm, active, any_hit=True)
-            if rec is not None:
-                return rec.prim >= 0
-            return _xla_occluded(bvh, o, d, t_min, tm, active)
+
+            def run():
+                rec = _trace(bvh, o, d, t_min, tm, active, any_hit=True)
+                if rec is not None:
+                    return rec.prim >= 0
+                return _xla_occluded(bvh, o, d, t_min, tm, active)
+
+            if active is None:
+                return run()
+            return jax.lax.cond(
+                _jnp.any(active), run,
+                lambda: _jnp.zeros((o.shape[0],), _jnp.bool_),
+            )
 
         return closest, occluded
     return _xla_closest, _xla_occluded
@@ -329,11 +354,12 @@ def _direct_lighting(
             if scene.textures is not None and scene.textures.has_alpha:
                 from ..ops.traverse import occluded_alpha
 
+                _cl, _oc = _make_tracers(options)
                 rng_state, shadow_blocked = occluded_alpha(
                     bvh, scene, options, settings, so, wi, rng_state,
                     t_max=ls["dist"] * (1.0 - 1e-3), active=cand,
-                closest_fn=_make_tracers(options)[0],
-            )
+                    closest_fn=_cl, occluded_fn=_oc,
+                )
             else:
                 _, occl = _make_tracers(options)
                 shadow_blocked = occl(

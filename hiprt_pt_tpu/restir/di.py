@@ -1238,10 +1238,11 @@ def final_shading(
         if (scene.textures is not None and scene.textures.has_alpha and rng_state is not None):
             from ..ops.traverse import occluded_alpha
 
+            _cl, _oc = _tracers(options)
             rng_state, blocked = occluded_alpha(
                 bvh, scene, options, settings, so, wi, rng_state,
                 t_max=t_max, active=has,
-                closest_fn=_tracers(options)[0],
+                closest_fn=_cl, occluded_fn=_oc,
             )
         else:
             blocked = _tracers(options)[1](bvh, so, wi, t_max=t_max, active=has)

@@ -168,3 +168,39 @@ def test_lane8_traversal_matches_xla(cornell_scene):
     rec_a = traverse_pallas_lane8(bvh, o, d, t_min=0.0, any_hit=True,
                                   interpret=True)
     assert np.array_equal(occ_r, np.asarray(rec_a.prim) >= 0)
+
+def test_lane8log_traversal_matches_xla(cornell_scene):
+    """Completion-log lane8 variant (v8): windowless refill, prefix-sum
+    rank via log-step rolls, 8-row ray chunks with activity in sign(tmax).
+    Must agree with XLA traversal; inactive rays must come back as misses;
+    non-default `lanes` must produce identical results."""
+    import jax.numpy as jnp
+    from hiprt_pt_tpu.core.camera import generate_camera_rays
+    from hiprt_pt_tpu.ops.pallas_traverse import traverse_pallas_lane8log
+    from hiprt_pt_tpu.ops.traverse import occluded
+
+    scene, camera = cornell_scene
+    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
+    assert bvh.lane8_frame is not None
+    o, d = generate_camera_rays(camera, 32, 16)  # 512 rays
+    rec_r = closest_hit(bvh, o, d, t_min=0.0)
+    p_r = np.asarray(rec_r.prim)
+    m = p_r >= 0
+    for lanes in (1024, 256):
+        rec_p = traverse_pallas_lane8log(bvh, o, d, t_min=0.0,
+                                         interpret=True, lanes=lanes)
+        assert np.mean(p_r == np.asarray(rec_p.prim)) > 0.999
+        assert np.allclose(np.asarray(rec_p.t)[m], np.asarray(rec_r.t)[m],
+                           rtol=1e-4)
+    occ_r = np.asarray(occluded(bvh, o, d, t_min=0.0))
+    rec_a = traverse_pallas_lane8log(bvh, o, d, t_min=0.0, any_hit=True,
+                                     interpret=True)
+    assert np.array_equal(occ_r, np.asarray(rec_a.prim) >= 0)
+    # inactive rays must be reported as misses
+    active = np.zeros(512, bool); active[::5] = True
+    rec_m = traverse_pallas_lane8log(bvh, o, d, t_min=0.0,
+                                     active=jnp.asarray(active),
+                                     interpret=True)
+    pm = np.asarray(rec_m.prim)
+    assert np.all(pm[~active] == -1)
+    assert np.mean(pm[active] == p_r[active]) > 0.999

@@ -52,13 +52,25 @@ def main():
     tmax = jnp.full((n,), jnp.inf, jnp.float32)
     act = jnp.ones((n,), jnp.float32)
 
-    for name, fn, kw in [
-        ("lane8log ah re6", pt.traverse_pallas_lane8log,
-         dict(any_hit=True, round_every=6)),
-        ("lane8log cl re6", pt.traverse_pallas_lane8log,
-         dict(any_hit=False, round_every=6)),
-    ]:
+    import os
+    lanes_list = [int(x) for x in os.environ.get(
+        "L8_LANES", "1024").split(",")]
+    re_list = [int(x) for x in os.environ.get("L8_RE", "6").split(",")]
+    cases = []
+    for ln in lanes_list:
+        for re_ in re_list:
+            cases.append((f"lane8log ah re{re_} ln{ln}",
+                          pt.traverse_pallas_lane8log,
+                          dict(any_hit=True, round_every=re_, lanes=ln)))
+            if os.environ.get("L8_CLOSEST", "1") == "1":
+                cases.append((f"lane8log cl re{re_} ln{ln}",
+                              pt.traverse_pallas_lane8log,
+                              dict(any_hit=False, round_every=re_, lanes=ln)))
+    for name, fn, kw in cases:
         try:
+            rec, st = fn(bvh, o, d, tmin, tmax, act,
+                         return_stats=True, **kw)
+            jax.block_until_ready(rec.t)
             rec = fn(bvh, o, d, tmin, tmax, act, **kw)
             jax.block_until_ready(rec.t)
             t0 = time.perf_counter()
@@ -66,8 +78,11 @@ def main():
                 rec = fn(bvh, o, d, tmin, tmax, act, **kw)
                 jax.block_until_ready(rec.t)
             dt = (time.perf_counter() - t0) / 3
+            st = np.asarray(st)
             print(f"{name}: {dt * 1e3:.1f} ms "
-                  f"({n / dt / 1e6:.2f} Mrays/s)")
+                  f"({n / dt / 1e6:.2f} Mrays/s) "
+                  f"iters={st[0, 0]} done={st[0, 1]} "
+                  f"leaf_rounds={st[0, 3]} log_blocks={st[0, 4]}")
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {e}")
 

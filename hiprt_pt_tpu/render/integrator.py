@@ -96,12 +96,14 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
                 # (no packet union). lane8log (completion-log scatter, no
                 # ordered window) over lane8: 1.6x any-hit / par closest
                 # once int8 cluster leaves shrank the leaf-gather cost.
-                # round_every=6: fixed leaf-round cadence removes two
-                # full-lane reductions per body (149 vs 156 ms any-hit,
-                # 158 vs 175 closest at 256k stress rays).
+                # round_every=8 (fixed leaf-round cadence; no per-body
+                # pending vote) + lanes=512 (half-width resident set —
+                # better refill locality): 96 vs 149 ms any-hit, 105 vs
+                # 158 ms closest at 256k incoherent stress rays; the win
+                # holds at 1M (296 vs 332 ms any-hit).
                 return traverse_pallas_lane8log(bvh, o, d, t_min, tm,
                                                 active, any_hit=any_hit,
-                                                round_every=6)
+                                                round_every=8, lanes=512)
             if pallas_stream8l_supported(bvh, o.shape[0]):
                 # BVH8 linear streaming-refill kernel: fewest
                 # vector->scalar crossings per iteration, scales to any

@@ -59,13 +59,30 @@ def main():
     cases = []
     for ln in lanes_list:
         for re_ in re_list:
-            cases.append((f"lane8log ah re{re_} ln{ln}",
-                          pt.traverse_pallas_lane8log,
-                          dict(any_hit=True, round_every=re_, lanes=ln)))
-            if os.environ.get("L8_CLOSEST", "1") == "1":
-                cases.append((f"lane8log cl re{re_} ln{ln}",
+            if os.environ.get("L8_LOG", "1") == "1":
+                cases.append((f"lane8log ah re{re_} ln{ln}",
                               pt.traverse_pallas_lane8log,
-                              dict(any_hit=False, round_every=re_, lanes=ln)))
+                              dict(any_hit=True, round_every=re_, lanes=ln)))
+                if os.environ.get("L8_CLOSEST", "1") == "1":
+                    cases.append((f"lane8log cl re{re_} ln{ln}",
+                                  pt.traverse_pallas_lane8log,
+                                  dict(any_hit=False, round_every=re_,
+                                       lanes=ln)))
+    if os.environ.get("L8_S", "0") == "1":
+        print("pallas_lane8s_supported:", pt.pallas_lane8s_supported(bvh, n),
+              "lane8_depth:", bvh.lane8_depth)
+        s_lanes = [int(x) for x in os.environ.get(
+            "L8S_LANES", "512").split(",")]
+        s_win = [int(x) for x in os.environ.get("L8S_WIN", "8").split(",")]
+        for ln in s_lanes:
+            for w in s_win:
+                cases.append((f"lane8s ah ln{ln} w{w}",
+                              pt.traverse_pallas_lane8s,
+                              dict(any_hit=True, lanes=ln, window=w)))
+                if os.environ.get("L8_CLOSEST", "1") == "1":
+                    cases.append((f"lane8s cl ln{ln} w{w}",
+                                  pt.traverse_pallas_lane8s,
+                                  dict(any_hit=False, lanes=ln, window=w)))
     for name, fn, kw in cases:
         try:
             rec, st = fn(bvh, o, d, tmin, tmax, act,

@@ -117,6 +117,12 @@ class BVHData:
     lane8_leaf_tris: int = struct.field(pytree_node=False, default=12)
     # max node depth of the BVH8 (root = 1); static metadata, not traced
     depth8: int = struct.field(pytree_node=False, default=0)
+    # max node depth of the BVH8 behind nodes_lane8/leaves_lane8 (the
+    # cluster-leaf tree on the native path — NOT depth8, which describes
+    # the main 12-tri-leaf BVH8). Bounds the per-level compressed stack of
+    # the grouped static-strided kernel (_kernel_lane8s): entries are
+    # pushed at most once per level along the current path.
+    lane8_depth: int = struct.field(pytree_node=False, default=16)
 
     @property
     def num_nodes(self) -> int:
@@ -292,6 +298,19 @@ def _cluster_from_raw(bounds, meta, order, leaf_tris: int):
     return n16, prims, counts
 
 
+def _depth8_of(n8l: np.ndarray) -> int:
+    """Max node depth (root = 1) of a linear BVH8 node table."""
+    M = n8l.shape[0]
+    wa = np.ascontiguousarray(n8l[:, 48]).view(np.int32)
+    base = wa & ((1 << 26) - 1)
+    n_int = wa >> 26
+    depth = np.zeros((M,), np.int32)
+    depth[0] = 1
+    for r in np.nonzero(n_int)[0]:
+        depth[base[r]:base[r] + n_int[r]] = depth[r] + 1
+    return int(depth.max(initial=1))
+
+
 def _lane8_cluster_tables(vertices, triangles, leaf_tris: int = LANE8_LEAF_TRIS):
     """Build the lane8 tables over their OWN cluster-leaf BVH8.
 
@@ -317,7 +336,7 @@ def _lane8_cluster_tables(vertices, triangles, leaf_tris: int = LANE8_LEAF_TRIS)
     nl8, ll8, fr8 = _pack_lane8(
         n8lc, None, vertices, triangles,
         prims=prims_l, counts=counts_l, leaf_tris=leaf_tris)
-    return nl8, ll8, fr8, leaf_tris
+    return nl8, ll8, fr8, leaf_tris, _depth8_of(n8lc)
 
 
 def _collapse4(n16: np.ndarray):
@@ -487,10 +506,11 @@ def build_bvh(
             r8c, d8 = _rows8c_and_depth(n8l, lr8)
             lc = _lane8_cluster_tables(vertices, triangles)
             if lc is not None:
-                nl8, ll8, fr8, l8t = lc
+                nl8, ll8, fr8, l8t, l8d = lc
             else:
                 nl8, ll8, fr8 = _pack_lane8(n8l, lr8, vertices, triangles)
                 l8t = 12
+                l8d = _depth8_of(n8l)
             return BVHData(
                 nodes=jnp.asarray(rows_native), tri_rows=jnp.asarray(tri_rows),
                 nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
@@ -499,7 +519,7 @@ def build_bvh(
                 nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
                 rows8c=jnp.asarray(r8c), depth8=d8,
                 nodes_lane8=jnp.asarray(nl8), leaves_lane8=jnp.asarray(ll8),
-                lane8_frame=fr8, lane8_leaf_tris=l8t,
+                lane8_frame=fr8, lane8_leaf_tris=l8t, lane8_depth=l8d,
             )
 
     v0 = vertices[triangles[:, 0]]
@@ -659,7 +679,7 @@ def build_bvh(
         nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
         rows8c=jnp.asarray(r8c), depth8=d8,
         nodes_lane8=jnp.asarray(nl8), leaves_lane8=jnp.asarray(ll8),
-        lane8_frame=fr8,
+        lane8_frame=fr8, lane8_depth=_depth8_of(n8l),
     )
 
 

@@ -74,11 +74,13 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
     if options.use_pallas_traversal:
         from ..ops.pallas_traverse import (
             pallas_lane8_supported,
+            pallas_lane8s_supported,
             pallas_supported,
             pallas_stream8l_supported,
             pallas_wide_supported,
             traverse_pallas,
             traverse_pallas_lane8log,
+            traverse_pallas_lane8s,
             traverse_pallas_stream8l,
             traverse_pallas_wide,
         )
@@ -91,16 +93,21 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
             if coherent and pallas_wide_supported(bvh, o.shape[0]):
                 return traverse_pallas_wide(bvh, o, d, t_min, tm,
                                             active, any_hit=any_hit)
-            if not coherent and pallas_lane8_supported(bvh, o.shape[0]):
+            if not coherent and pallas_lane8s_supported(bvh, o.shape[0]):
                 # incoherent bounce/shadow wavefronts: per-lane BVH8 walks
-                # (no packet union). lane8log (completion-log scatter, no
-                # ordered window) over lane8: 1.6x any-hit / par closest
-                # once int8 cluster leaves shrank the leaf-gather cost.
-                # round_every=8 (fixed leaf-round cadence; no per-body
-                # pending vote) + lanes=512 (half-width resident set —
-                # better refill locality): 96 vs 149 ms any-hit, 105 vs
-                # 158 ms closest at 256k incoherent stress rays; the win
-                # holds at 1M (296 vs 332 ms any-hit).
+                # (no packet union). lane8s (v10: 8 rays per lane-column —
+                # sublane-dense state — static-strided windowed refill, no
+                # rank/log/unscramble, one compressed stack entry per
+                # level) over lane8log: 59 vs 118 ms any-hit, 68 vs 133 ms
+                # closest at 256k incoherent stress rays (v5e). window=16
+                # is on the measured plateau (w8 60/71, w16 58/68,
+                # w64 57/69).
+                return traverse_pallas_lane8s(bvh, o, d, t_min, tm,
+                                              active, any_hit=any_hit,
+                                              lanes=512, window=16)
+            if not coherent and pallas_lane8_supported(bvh, o.shape[0]):
+                # fallback when the cluster-BVH8 is too deep/large for the
+                # lane8s packed refs (14-bit) or compressed stack (<=16).
                 return traverse_pallas_lane8log(bvh, o, d, t_min, tm,
                                                 active, any_hit=any_hit,
                                                 round_every=8, lanes=512)

@@ -204,3 +204,41 @@ def test_lane8log_traversal_matches_xla(cornell_scene):
     pm = np.asarray(rec_m.prim)
     assert np.all(pm[~active] == -1)
     assert np.mean(pm[active] == p_r[active]) > 0.999
+
+
+def test_lane8s_traversal_matches_xla(cornell_scene):
+    """Sublane-grouped lane8 variant (v10): 8 rays per lane-column,
+    static-strided windowed refill (no rank/completion log), compressed
+    one-entry-per-level stack. Must agree with XLA traversal across lane
+    widths; inactive rays must come back as misses."""
+    import jax.numpy as jnp
+    from hiprt_pt_tpu.core.camera import generate_camera_rays
+    from hiprt_pt_tpu.ops.pallas_traverse import (
+        pallas_lane8s_supported, traverse_pallas_lane8s)
+    from hiprt_pt_tpu.ops.traverse import occluded
+
+    scene, camera = cornell_scene
+    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
+    assert pallas_lane8s_supported(bvh, 512)
+    o, d = generate_camera_rays(camera, 32, 16)  # 512 rays
+    rec_r = closest_hit(bvh, o, d, t_min=0.0)
+    p_r = np.asarray(rec_r.prim)
+    m = p_r >= 0
+    for lanes in (512, 256):
+        rec_p = traverse_pallas_lane8s(bvh, o, d, t_min=0.0,
+                                       interpret=True, lanes=lanes)
+        assert np.mean(p_r == np.asarray(rec_p.prim)) > 0.999
+        assert np.allclose(np.asarray(rec_p.t)[m], np.asarray(rec_r.t)[m],
+                           rtol=1e-4)
+    occ_r = np.asarray(occluded(bvh, o, d, t_min=0.0))
+    rec_a = traverse_pallas_lane8s(bvh, o, d, t_min=0.0, any_hit=True,
+                                   interpret=True)
+    assert np.array_equal(occ_r, np.asarray(rec_a.prim) >= 0)
+    # inactive rays must be reported as misses
+    active = np.zeros(512, bool); active[::5] = True
+    rec_m = traverse_pallas_lane8s(bvh, o, d, t_min=0.0,
+                                   active=jnp.asarray(active),
+                                   interpret=True)
+    pm = np.asarray(rec_m.prim)
+    assert np.all(pm[~active] == -1)
+    assert np.mean(pm[active] == p_r[active]) > 0.999

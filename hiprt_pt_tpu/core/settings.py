@@ -143,8 +143,9 @@ class RenderOptions:
     do_energy_compensation: bool = True
     do_dispersion: bool = True
     do_thin_film: bool = True
-    # exact (trilinear table) vs fitted-polynomial glass energy compensation
-    # — the table path costs 8 per-ray gathers per BSDF eval (quality knob)
+    # exact (bilinear/trilinear table) vs fitted-polynomial energy-
+    # compensation lookups (glass 3D tables AND the conductor Ess table) —
+    # each table path costs 4-8 per-ray gathers per BSDF eval (quality knob)
     glass_compensation_exact: bool = False
     # Wavefront knobs (TPU-native; no reference equivalent)
     max_bounces_static: int = 8          # static unroll bound for the bounce scan

@@ -154,6 +154,48 @@ def _glass_ess_poly(rough, cos_o, ior, sel):
     return jnp.clip(out, 0.2, 1.0)
 
 
+def _fit_conductor_poly():
+    """Gather-free polynomial fit of the conductor Ess table.
+
+    The bilinear table path costs 4 per-ray gathers per lookup and the metal
+    lobe does two lookups per eval — measured ~46 ms of the ~162 ms dense
+    per-bounce shading body at 540p (dead-lane ablation, v5e). The table is
+    smooth, so a (7,7)-degree polynomial fits to 2.7% max abs / 3.3% max
+    boost error; options.glass_compensation_exact keeps the table path."""
+    res_r, res_c = _GGX_ESS.shape
+    rough = (np.arange(res_r) + 0.5) / res_r
+    cos = (np.arange(res_c) + 0.5) / res_c
+    DR, DC = 7, 7
+    RR, CC = np.meshgrid(rough, cos, indexing="ij")
+    A = np.stack(
+        [(RR.ravel() ** a) * (CC.ravel() ** b)
+         for a in range(DR) for b in range(DC)], -1,
+    )
+    y = np.clip(_GGX_ESS, 0.05, 1.0).ravel()
+    c, *_ = np.linalg.lstsq(A, y, rcond=None)
+    return c.astype(np.float32), (DR, DC)
+
+
+_CONDUCTOR_POLY, _CONDUCTOR_POLY_DEG = _fit_conductor_poly()
+
+
+def _ess_poly(rough, cos_o):
+    """Fitted-polynomial Ess(roughness, cos) — pure VPU math, zero gathers."""
+    DR, DC = _CONDUCTOR_POLY_DEG
+    coef = _CONDUCTOR_POLY
+    out = jnp.zeros_like(rough)
+    k = 0
+    ra = jnp.ones_like(rough)
+    for a in range(DR):
+        cb = jnp.ones_like(cos_o)
+        for b in range(DC):
+            out = out + float(coef[k]) * ra * cb
+            k += 1
+            cb = cb * cos_o
+        ra = ra * rough
+    return jnp.clip(out, 0.05, 1.0)
+
+
 def _ess_lookup(rough, cos_o):
     """Bilinear lookup of Ess(roughness, cos). Both args (N,) in [0,1]."""
     res_r, res_c = _GGX_ESS.shape
@@ -513,8 +555,12 @@ def _eval_lobes(
         # (wo, wi) to preserve reciprocity: boost by (1-E)/E with
         # E = sqrt(Ess(mu_o) Ess(mu_i)) (reference:
         # MicrofacetEnergyCompensation.h reading the baked Ess LUTs)
-        E_o = _ess_lookup(mats.roughness, jnp.abs(wo[..., 2]))
-        E_i = _ess_lookup(mats.roughness, jnp.abs(wi[..., 2]))
+        if options.glass_compensation_exact:
+            E_o = _ess_lookup(mats.roughness, jnp.abs(wo[..., 2]))
+            E_i = _ess_lookup(mats.roughness, jnp.abs(wi[..., 2]))
+        else:
+            E_o = _ess_poly(mats.roughness, jnp.abs(wo[..., 2]))
+            E_i = _ess_poly(mats.roughness, jnp.abs(wi[..., 2]))
         E = jnp.sqrt(jnp.clip(E_o * E_i, 1e-3, 1.0))
         ms_boost = 1.0 + mats.base_color * ((1.0 - E) / E)[..., None]
         f_metal = f_metal * ms_boost

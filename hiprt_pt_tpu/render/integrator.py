@@ -517,6 +517,19 @@ def render_sample(
     )
 
     def bounce_body(bounce, carry):
+        # Skip the whole body when no ray is live this iteration: the dense
+        # shading machinery (textures, RIS candidates, principled eval/sample,
+        # stack ops) otherwise runs on all-dead lanes at full cost — measured
+        # ~162 ms per dead iteration at 540p on the stress scene (v5e).
+        # Covers nb_bounces < max_bounces_static, RR extinction, and
+        # converged/masked wavefronts. The skipped branch leaves the RNG
+        # stream untouched (a dead iteration used to advance it).
+        live = jnp.any(carry["active"] & (bounce < settings.nb_bounces))
+        return jax.lax.cond(
+            live, lambda c: _live_bounce_body(bounce, c), lambda c: c, carry
+        )
+
+    def _live_bounce_body(bounce, carry):
         rng_state = carry["rng"]
         active = carry["active"] & (bounce < settings.nb_bounces)
         p, ns, ng, wo = carry["p"], carry["ns"], carry["ng"], carry["wo"]

@@ -3940,11 +3940,10 @@ def traverse_pallas_lane8s(
     return rec
 
 
-def pallas_lane8s_supported(bvh: BVHData, n: int) -> bool:
-    """v10 gate: lane8 tables present, 14-bit packed refs fit, and the
+def lane8s_tables_ok(bvh: BVHData, n: int) -> bool:
+    """v10 structural gate (backend-independent, also used by interpret-mode
+    tests): lane8 tables present, 14-bit packed refs fit, and the
     builder-measured cluster-BVH8 depth bounds a small compressed stack."""
-    if jax.default_backend() != "tpu":
-        return False
     if bvh.nodes_lane8 is None or bvh.lane8_frame is None:
         return False
     if bvh.leaves_lane8 is None:
@@ -3954,3 +3953,8 @@ def pallas_lane8s_supported(bvh: BVHData, n: int) -> bool:
     return (n >= 1 and m_nodes <= L8S_MAX_PACK
             and m_leaves <= L8S_MAX_PACK
             and int(bvh.lane8_depth) <= 16)
+
+
+def pallas_lane8s_supported(bvh: BVHData, n: int) -> bool:
+    """Production routing gate: structural gate + a real TPU backend."""
+    return jax.default_backend() == "tpu" and lane8s_tables_ok(bvh, n)

@@ -214,12 +214,12 @@ def test_lane8s_traversal_matches_xla(cornell_scene):
     import jax.numpy as jnp
     from hiprt_pt_tpu.core.camera import generate_camera_rays
     from hiprt_pt_tpu.ops.pallas_traverse import (
-        pallas_lane8s_supported, traverse_pallas_lane8s)
+        lane8s_tables_ok, traverse_pallas_lane8s)
     from hiprt_pt_tpu.ops.traverse import occluded
 
     scene, camera = cornell_scene
     bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
-    assert pallas_lane8s_supported(bvh, 512)
+    assert lane8s_tables_ok(bvh, 512)
     o, d = generate_camera_rays(camera, 32, 16)  # 512 rays
     rec_r = closest_hit(bvh, o, d, t_min=0.0)
     p_r = np.asarray(rec_r.prim)

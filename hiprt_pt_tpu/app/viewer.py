@@ -131,6 +131,13 @@ class ViewerServer:
         self.port = port
         self.denoise_blend = 0.5
         self.furnace_threshold = 0.02
+        # application-level perf knobs (reference: ApplicationSettings —
+        # auto_sample_per_frame + target_GPU_framerate drive the samples-per-
+        # frame auto-tuner, RenderWindow.cpp:798-805; GPU_stall_percentage
+        # inserts idle time between frames, RenderWindow.cpp:660-671)
+        self.auto_samples_per_frame = False
+        self.target_framerate = 10.0
+        self.stall_percentage = 0.0
         self._stop = threading.Event()
         self._render_thread = None
         self._httpd = None
@@ -155,6 +162,38 @@ class ViewerServer:
             with self._step_lock:
                 if not self._busy.is_set():
                     self.renderer.step(block=True)
+            self._post_frame_tuning()
+
+    def _post_frame_tuning(self):
+        """Auto samples-per-frame + render-stall throttle (reference:
+        RenderWindow.cpp:798-805 and compute_GPU_stall_duration,
+        RenderWindow.cpp:660-671)."""
+        import jax.numpy as jnp
+
+        r = self.renderer
+        frame_hist = r.metrics.values("frame_ms")
+        if not frame_hist:
+            return
+        frame_ms = frame_hist[-1]
+        if self.auto_samples_per_frame:
+            low_res = bool(np.asarray(
+                jax.device_get(r.settings.render_low_resolution)))
+            if low_res:
+                spf = 1  # one sample per frame while interacting
+            else:
+                spf_cur = max(
+                    1, int(jax.device_get(r.settings.samples_per_frame)))
+                samples_per_s = 1000.0 / max(frame_ms / spf_cur, 1e-3)
+                spf = min(
+                    max(1, int(samples_per_s / max(self.target_framerate,
+                                                   1e-3))),
+                    65536,
+                )
+            r.settings = r.settings.replace(samples_per_frame=jnp.int32(spf))
+        if self.stall_percentage > 0.0:
+            p = min(self.stall_percentage, 95.0)
+            stall_s = (frame_ms / 1000.0) * (1.0 / (1.0 - p / 100.0) - 1.0)
+            time.sleep(min(stall_s, 2.0))
 
     def _image_png(self, view: str) -> bytes:
         import imageio.v3 as iio
@@ -225,6 +264,9 @@ class ViewerServer:
             out[k] = val
         out["denoise_blend"] = self.denoise_blend
         out["furnace_threshold"] = self.furnace_threshold
+        out["auto_samples_per_frame"] = self.auto_samples_per_frame
+        out["target_framerate"] = self.target_framerate
+        out["stall_percentage"] = self.stall_percentage
         return json.dumps(out)
 
     def _materials_json(self) -> str:
@@ -314,9 +356,35 @@ class ViewerServer:
             key = q.get("key", [""])[0]
             if self._set_material(idx, key, q.get("value", ["0"])[0]):
                 r.reset()
+        elif cmd == "preset":
+            name = q.get("value", ["none"])[0]
+            if self._apply_performance_preset(name):
+                r.reset()
+            else:
+                return json.dumps({"ok": False, "cmd": cmd,
+                                   "error": f"unknown preset {name!r}"})
+        elif cmd == "benchmark":
+            # reference: "Apply benchmark settings" button
+            # (ImGuiSettingsWindow.cpp:2062-2069)
+            r.settings = r.settings.replace(
+                freeze_random=jnp.bool_(True),
+                enable_adaptive_sampling=jnp.bool_(False),
+                samples_per_frame=jnp.int32(1),
+            )
+            self.auto_samples_per_frame = False
+            r.reset()
         elif cmd == "set":
             key = q.get("key", [""])[0]
             raw = q.get("value", ["0"])[0]
+            if key == "auto_samples_per_frame":
+                self.auto_samples_per_frame = raw.lower() in ("1", "true", "on")
+                return json.dumps({"ok": True, "cmd": cmd})
+            if key == "target_framerate":
+                self.target_framerate = float(raw)
+                return json.dumps({"ok": True, "cmd": cmd})
+            if key == "stall_percentage":
+                self.stall_percentage = float(raw)
+                return json.dumps({"ok": True, "cmd": cmd})
             if key == "denoise_blend":
                 self.denoise_blend = float(raw)
                 return json.dumps({"ok": True, "cmd": cmd})
@@ -340,6 +408,51 @@ class ViewerServer:
                 r.settings = r.settings.replace(**{key: val})
             r.reset()
         return json.dumps({"ok": True, "cmd": cmd})
+
+    # performance presets (reference: ImGuiSettingsWindow::
+    # apply_performance_preset, ImGuiSettingsWindow.cpp:498-580 — each preset
+    # sets resolution scaling, target framerate, bounce count, RIS candidate
+    # counts and the direct-light-sampling strategy macro, then recompiles)
+    _PRESETS = {
+        "fastest": dict(scale=0.5, fps=25.0, bounces=1, bsdf_cand=0,
+                        light_cand=1, strategy="RIS_BSDF_LIGHT"),
+        "fast": dict(scale=0.75, fps=15.0, bounces=2, bsdf_cand=1,
+                     light_cand=4, strategy="RIS_BSDF_LIGHT"),
+        "medium": dict(scale=1.0, fps=5.0, bounces=2, bsdf_cand=1,
+                       light_cand=8, strategy="RIS_BSDF_LIGHT"),
+        "high_quality": dict(scale=1.0, fps=5.0, bounces=4, bsdf_cand=1,
+                             light_cand=8, strategy="RESTIR_DI"),
+    }
+
+    def _apply_performance_preset(self, name: str) -> bool:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from ..core.settings import LightSamplingStrategy
+
+        if name in ("none", ""):
+            return True
+        p = self._PRESETS.get(name)
+        if p is None:
+            return False
+        r = self.renderer
+        self.target_framerate = p["fps"]
+        r.settings = r.settings.replace(
+            nb_bounces=jnp.int32(p["bounces"]),
+            render_low_resolution=jnp.bool_(p["scale"] < 1.0),
+            low_resolution_scale=jnp.float32(p["scale"]),
+            ris=r.settings.ris.replace(
+                number_of_bsdf_candidates=jnp.int32(p["bsdf_cand"]),
+                number_of_light_candidates=jnp.int32(p["light_cand"]),
+            ),
+        )
+        strategy = getattr(LightSamplingStrategy, p["strategy"])
+        if strategy != r.options.direct_light_sampling:
+            with self._step_lock:
+                r.recompile(dataclasses.replace(
+                    r.options, direct_light_sampling=strategy))
+        return True
 
     def _stats(self) -> str:
         r = self.renderer

@@ -255,6 +255,21 @@ class Renderer:
         self.max_sample_count: Optional[int] = None
         self.max_render_time: Optional[float] = None
 
+    def recompile(self, options: RenderOptions):
+        """Swap the tier-3 static options (reference: an ImGui macro edit →
+        GPURenderer::recompile_kernels, GPURenderer.cpp:726-749). Changing a
+        static arg re-specializes the jit on the next step (the persistent
+        XLA cache plays the shader cache's role); like the reference, the
+        render is reset because accumulated samples were produced under the
+        old kernel configuration."""
+        self.options = options
+        self.state = init_render_state(
+            self.width, self.height, self.seed,
+            with_restir=options.direct_light_sampling
+            == LightSamplingStrategy.RESTIR_DI,
+        )
+        self._render_start_time = None
+
     # --- frame loop ---
 
     def step(self, block: bool = False) -> RenderState:

@@ -232,6 +232,62 @@ def test_viewer_server(cornell_scene):
                 f"http://127.0.0.1:18731/{url}", timeout=10
             ).read())
             assert resp.get("ok"), url
+        # application perf knobs (reference: auto_sample_per_frame +
+        # target_GPU_framerate, RenderWindow.cpp:798-805; GPU stall,
+        # RenderWindow.cpp:660-671; benchmark button,
+        # ImGuiSettingsWindow.cpp:2062)
+        for key, val in (("auto_samples_per_frame", "1"),
+                         ("target_framerate", "2.5"),
+                         ("stall_percentage", "10")):
+            urllib.request.urlopen(
+                f"http://127.0.0.1:18731/control?cmd=set&key={key}&value={val}",
+                timeout=10,
+            ).read()
+        s3 = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/settings", timeout=10
+        ).read())
+        assert s3["auto_samples_per_frame"] is True
+        assert s3["target_framerate"] == 2.5
+        assert s3["stall_percentage"] == 10.0
+        # the auto-tuner picks spf = samples_per_s / target_fps from the
+        # last frame time once one frame has been measured
+        if not srv.renderer.metrics.values("frame_ms"):
+            srv.renderer.step(block=True)
+        srv._post_frame_tuning()
+        assert int(jax.device_get(
+            srv.renderer.settings.samples_per_frame)) >= 1
+        resp = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/control?cmd=benchmark", timeout=30
+        ).read())
+        assert resp["ok"]
+        s4 = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/settings", timeout=10
+        ).read())
+        assert s4["freeze_random"] is True
+        assert s4["samples_per_frame"] == 1
+        assert s4["auto_samples_per_frame"] is False
+        # performance presets (reference: apply_performance_preset,
+        # ImGuiSettingsWindow.cpp:498-580); "fast" keeps the current RIS
+        # strategy out of it on this renderer (MIS -> RIS recompile)
+        resp = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/control?cmd=preset&value=fast",
+            timeout=600,
+        ).read())
+        assert resp["ok"]
+        s5 = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/settings", timeout=10
+        ).read())
+        assert s5["nb_bounces"] == 2
+        from hiprt_pt_tpu.core.settings import (
+            LightSamplingStrategy as _LSS,
+        )
+        assert (srv.renderer.options.direct_light_sampling
+                == _LSS.RIS_BSDF_LIGHT)
+        resp = json.loads(urllib.request.urlopen(
+            "http://127.0.0.1:18731/control?cmd=preset&value=bogus",
+            timeout=10,
+        ).read())
+        assert resp["ok"] is False
         # baking window parity (reference: ImGuiBakingWindow): launch a tiny
         # conductor bake, poll to completion
         b = json.loads(urllib.request.urlopen(

@@ -36,7 +36,11 @@ from ..utils.perf import PerformanceMetrics
 from .integrator import camera_rays_pass, render_sample
 
 
-@partial(jax.jit, static_argnames=("options", "width", "height"), donate_argnums=(4,))
+@partial(
+    jax.jit,
+    static_argnames=("options", "width", "height", "n_samples"),
+    donate_argnums=(4,),
+)
 def render_step(
     options: RenderOptions,
     width: int,
@@ -46,14 +50,19 @@ def render_step(
     camera: Camera,
     settings: RenderSettings,
     world: WorldSettings,
+    n_samples: int = 1,
 ) -> RenderState:
-    """Advance the render state by ONE sample.
+    """Advance the render state by ``n_samples`` samples.
 
-    One compiled program per sample keeps the XLA program a single
-    camera-pass + bounce-loop pipeline; the host queues ``samples_per_frame``
-    of these asynchronously per frame, exactly like the reference queues N
-    sample iterations on its stream (GPURenderer.cpp:424-453). Dispatches are
-    async so the device never starves.
+    At ``n_samples=1`` (the default) one compiled program per sample keeps
+    the XLA program a single camera-pass + bounce-loop pipeline; the host
+    queues ``samples_per_frame`` of these asynchronously per frame, exactly
+    like the reference queues N sample iterations on its stream
+    (GPURenderer.cpp:424-453). ``n_samples>1`` wraps the sample body in a
+    ``fori_loop`` so one dispatch carries the whole frame — bit-identical to
+    the sequential chain (the per-sample seed is ``state.sample_count``,
+    which advances inside the loop) while amortizing dispatch and letting
+    XLA overlap inter-sample scheduling.
     """
     scene, bvh = scene_and_bvh
 
@@ -211,7 +220,13 @@ def render_step(
             prev_view_proj=camera.proj @ camera.view,
         )
 
-    return one_sample(jnp.int32(0), state)
+    if n_samples == 1:
+        return one_sample(jnp.int32(0), state)
+    # sample_count advances inside the carried state, so each iteration
+    # seeds exactly like the next call of the sequential host loop would
+    return jax.lax.fori_loop(
+        0, n_samples, lambda i, st: one_sample(jnp.int32(0), st), state
+    )
 
 
 class Renderer:
@@ -251,6 +266,10 @@ class Renderer:
             == LightSamplingStrategy.RESTIR_DI,
         )
         self.metrics = PerformanceMetrics()
+        # fuse a whole samples_per_frame batch into one dispatch (fori_loop
+        # over samples); off by default — per-sample dispatch keeps the
+        # first-frame latency low and matches the reference's stream model
+        self.fuse_frame = False
         self._render_start_time: Optional[float] = None
         self.max_sample_count: Optional[int] = None
         self.max_render_time: Optional[float] = None
@@ -279,18 +298,27 @@ class Renderer:
         if self._render_start_time is None:
             self._render_start_time = time.perf_counter()
         t0 = time.perf_counter()
-        spf = int(jax.device_get(self.settings.samples_per_frame))
-        for _ in range(max(spf, 1)):
+        spf = max(int(jax.device_get(self.settings.samples_per_frame)), 1)
+        if self.fuse_frame and spf > 1:
+            # whole frame in one dispatch (fori_loop over samples) —
+            # bit-identical to the sequential chain below
             self.state = render_step(
-                self.options,
-                self.width,
-                self.height,
-                (self.scene, self.bvh),
-                self.state,
-                self.camera,
-                self.settings,
-                self.world,
+                self.options, self.width, self.height,
+                (self.scene, self.bvh), self.state, self.camera,
+                self.settings, self.world, n_samples=spf,
             )
+        else:
+            for _ in range(spf):
+                self.state = render_step(
+                    self.options,
+                    self.width,
+                    self.height,
+                    (self.scene, self.bvh),
+                    self.state,
+                    self.camera,
+                    self.settings,
+                    self.world,
+                )
         if block:
             jax.block_until_ready(self.state.accum)
             dt = time.perf_counter() - t0

@@ -56,6 +56,19 @@ def test_deterministic(cornell_scene):
     assert np.array_equal(r1.hdr_image(), r2.hdr_image())
 
 
+def test_fused_frame_bit_exact(cornell_scene):
+    """One fused dispatch (render_step n_samples=spf, fori_loop over the
+    sample body) must be bit-identical to the sequential per-sample host
+    loop — the per-sample seed is the carried sample_count either way."""
+    r_seq = _make_renderer(cornell_scene, LightSamplingStrategy.MIS, spp=4)
+    r_fus = _make_renderer(cornell_scene, LightSamplingStrategy.MIS, spp=4)
+    r_fus.fuse_frame = True
+    r_seq.step(block=True)
+    r_fus.step(block=True)
+    assert int(jax.device_get(r_fus.state.sample_count)) == 4
+    assert np.array_equal(r_seq.hdr_image(), r_fus.hdr_image())
+
+
 def test_strategies_agree(cornell_scene, mis_image):
     """Unbiasedness cross-check: NEE-MIS and BSDF-only sampling must converge
     to the same radiance (within MC noise)."""

@@ -100,6 +100,11 @@ _TEXTURE_FIELDS = [
     "specular_transmission_texture_index",
 ]
 
+# above this many materials the one-hot gather's N x M operand outgrows the
+# dynamic-gather cost (gather is ~0.4 ms / 65k indices; the one-hot matmul
+# scales linearly in M)
+_ONEHOT_GATHER_MAX_MATERIALS = 512
+
 _ALL_FIELDS = (
     [name for name, _ in _SCALAR_FIELDS]
     + [name for name, _ in _COLOR_FIELDS]
@@ -239,8 +244,13 @@ class MaterialBank:
         width (measured, see accel/build.py) — so the ~71 material fields are
         packed into ONE (M, 128) row, gathered once, transposed to (128, N)
         and decoded as free sublane slices, instead of 55+ separate gathers.
+        With few materials (every real scene) the row gather itself is lowered
+        as a one-hot MXU matmul, which beats the serial dynamic-gather unit at
+        wavefront index counts; texture indices ride as exact small-int floats
+        (a bitcast would make denormals the MXU flushes).
         """
         mat_ids = jnp.clip(mat_ids, 0, self.num_materials - 1)
+        onehot = self.num_materials <= _ONEHOT_GATHER_MAX_MATERIALS
         cols = []
         for name, _ in _SCALAR_FIELDS:
             cols.append(getattr(self, name))
@@ -249,16 +259,29 @@ class MaterialBank:
             cols.extend([c[:, 0], c[:, 1], c[:, 2]])
         n_float = len(cols)
         for name in _TEXTURE_FIELDS:
+            idx = getattr(self, name)
             cols.append(
-                jax.lax.bitcast_convert_type(
-                    getattr(self, name), jnp.float32
-                )
+                idx.astype(jnp.float32) if onehot
+                else jax.lax.bitcast_convert_type(idx, jnp.float32)
             )
         packed = jnp.stack(cols, axis=1)  # (M, n_fields) — tiny, M materials
         pad = 128 - packed.shape[1]
         if pad > 0:
             packed = jnp.pad(packed, ((0, 0), (0, pad)))
-        rowT = packed[mat_ids].T  # ONE gather, then (128, N)
+        if onehot:
+            # one-hot (N, M) @ (M, 128): exact — each output element has one
+            # nonzero product, and HIGHEST-precision f32 passes on the MXU
+            # reproduce the f32 value through the bf16 hi/lo split
+            oh = (
+                mat_ids[:, None]
+                == jnp.arange(packed.shape[0], dtype=mat_ids.dtype)[None, :]
+            ).astype(jnp.float32)
+            rowT = jax.lax.dot_general(
+                oh, packed, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            ).T
+        else:
+            rowT = packed[mat_ids].T  # ONE gather, then (128, N)
 
         kw = {}
         i = 0
@@ -269,7 +292,10 @@ class MaterialBank:
             kw[name] = jnp.stack([rowT[i], rowT[i + 1], rowT[i + 2]], axis=-1)
             i += 3
         for name in _TEXTURE_FIELDS:
-            kw[name] = jax.lax.bitcast_convert_type(rowT[i], jnp.int32)
+            if onehot:
+                kw[name] = jnp.round(rowT[i]).astype(jnp.int32)
+            else:
+                kw[name] = jax.lax.bitcast_convert_type(rowT[i], jnp.int32)
             i += 1
         return MaterialBank(**kw)
 

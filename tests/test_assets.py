@@ -37,6 +37,43 @@ def test_material_bank_defaults_and_gather():
     assert g.roughness.shape == (3,)
 
 
+def test_material_gather_onehot_exact():
+    """The one-hot-matmul gather path (small banks) must reproduce direct
+    per-field indexing bitwise — including texture indices, which ride as
+    exact small-int floats rather than bitcasts."""
+    import hiprt_pt_tpu.core.material as mat_mod
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(7):
+        rows.append({
+            "roughness": float(rng.uniform(0.01, 1.0)),
+            "base_color": rng.uniform(0, 1, 3).tolist(),
+            "emission": (rng.uniform(0, 40, 3).tolist() if i % 3 == 0
+                         else [0.0, 0.0, 0.0]),
+            "ior": float(rng.uniform(1.0, 2.5)),
+            "base_color_texture_index": int(rng.integers(-1, 1000)),
+            "normal_map_texture_index": int(rng.integers(-1, 1000)),
+        })
+    bank = MaterialBank.from_rows(rows)
+    ids = jnp.asarray(rng.integers(0, 7, 333), jnp.int32)
+    assert bank.num_materials <= mat_mod._ONEHOT_GATHER_MAX_MATERIALS
+    g = bank.at_indices(ids)
+    idn = np.asarray(ids)
+    for name in ("roughness", "ior", "emission_strength"):
+        assert np.array_equal(
+            np.asarray(getattr(g, name)), np.asarray(getattr(bank, name))[idn]
+        ), name
+    for name in ("base_color", "emission"):
+        assert np.array_equal(
+            np.asarray(getattr(g, name)), np.asarray(getattr(bank, name))[idn]
+        ), name
+    for name in ("base_color_texture_index", "normal_map_texture_index"):
+        assert np.array_equal(
+            np.asarray(getattr(g, name)), np.asarray(getattr(bank, name))[idn]
+        ), name
+
+
 def test_cdf_monotone_normalized():
     img = make_test_envmap(32, 64, "sky")
     cdf = compute_cdf(img)

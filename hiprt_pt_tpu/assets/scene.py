@@ -102,6 +102,12 @@ class SceneData:
     emissive_total_area: jax.Array   # scalar f32
     envmap: Optional[EnvmapData] = None
     textures: Optional[TextureAtlas] = None
+    # Woop unit-triangle transforms of the emissive set, laid out for MXU
+    # sweeps: (3, 4, Epad) f32 where [c] @ [q;w] = c-component of
+    # Minv(q - w*v0), M = [e1 e2 e1xe2]. Lets closest_emissive_hit run as
+    # two (N,4)x(4,Epad) matmuls per axis instead of a per-triangle loop.
+    # Zero columns (degenerate/padding) produce d'z = 0 -> miss.
+    emissive_woop: Optional[jax.Array] = None
 
     @property
     def num_triangles(self) -> int:
@@ -257,6 +263,21 @@ def build_scene(
     else:
         em_rows[:, 17] = np.asarray([-1], np.int32).view(np.float32)[0]
 
+    # Woop transforms for the MXU emissive sweep (see SceneData.emissive_woop)
+    e_pad = max(((E + 127) // 128) * 128, 128)
+    em_woop = np.zeros((3, 4, e_pad), np.float32)
+    if num_em > 0:
+        m = np.stack([ee1, ee2, np.cross(ee1, ee2)], axis=-1)  # (E,3,3) cols
+        det3 = np.linalg.det(m)
+        ok = np.abs(det3) > 1e-20
+        m_safe = np.where(ok[:, None, None], m, np.eye(3)[None])
+        minv = np.linalg.inv(m_safe)                 # (E,3,3)
+        minv = np.where(ok[:, None, None], minv, 0.0)
+        b3 = -np.einsum("eij,ej->ei", minv, ev0)     # (E,3)
+        for c in range(3):
+            em_woop[c, 0:3, :E] = minv[:, c, :].T.astype(np.float32)
+            em_woop[c, 3, :E] = b3[:, c].astype(np.float32)
+
     return SceneData(
         vertices=jnp.asarray(vertices),
         triangles=jnp.asarray(triangles),
@@ -277,4 +298,5 @@ def build_scene(
         emissive_total_area=jnp.float32(total_area),
         envmap=envmap,
         textures=textures,
+        emissive_woop=jnp.asarray(em_woop),
     )

@@ -115,6 +115,13 @@ class RenderOptions:
     # target). False = reference behavior: full BSDF eval per candidate
     # (RIS.h:100-139)
     ris_proxy_target: bool = True
+    # draw each RIS light candidate once per 128-lane wavefront tile and
+    # share the triangle across the tile (point-on-triangle stays per-ray;
+    # per-ray marginal density — and the estimator — unchanged). The
+    # reference's light presampling (LightsPresampling.h) taken to its
+    # TPU-optimal extreme: per-tile instead of per-ray row fetches, and
+    # tile-coherent shadow-ray targets. 0 disables.
+    ris_tile_light_candidates: int = 128
     bsdf_override: BSDFOverride = BSDFOverride.NONE
     interior_stack_strategy: InteriorStackStrategy = (
         InteriorStackStrategy.WITH_PRIORITIES

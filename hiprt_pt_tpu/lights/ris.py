@@ -117,9 +117,13 @@ def ris_direct_lighting(
         )
 
     # --- light candidates ---
+    tile = options.ris_tile_light_candidates or None
+
     def light_body(i, carry):
         res, rng_state = carry
-        rng_state, ls = sample_emissive_triangle(scene, p, rng_state)
+        rng_state, ls = sample_emissive_triangle(
+            scene, p, rng_state, tile_size=tile
+        )
         wi = ls["wi"]
         cos_i = jnp.sum(ns * wi, axis=-1)
         f, pdf_b = target_eval(wi)

@@ -205,6 +205,38 @@ def test_ris_proxy_target_agrees_with_exact(cornell_scene):
     assert abs(a - b) / max(a, 1e-6) < 0.10, (a, b)
 
 
+def test_ris_tile_candidates_agree_with_per_ray(cornell_scene):
+    """Tile-coherent light candidates (one alias draw per 128-lane tile,
+    triangle shared, point-on-triangle per ray) must converge to the same
+    radiance as per-ray draws — the per-ray marginal density is unchanged,
+    only intra-tile correlation differs."""
+    scene, camera = cornell_scene
+
+    def render(tile, seed):
+        opts = RenderOptions(
+            direct_light_sampling=LightSamplingStrategy.RIS_BSDF_LIGHT,
+            max_bounces_static=3,
+            bsdf_override=BSDFOverride.LAMBERTIAN,
+            ris_tile_light_candidates=tile,
+        )
+        r = Renderer(scene, camera, RES, RES, options=opts, seed=seed)
+        r.settings = r.settings.replace(
+            nb_bounces=jnp.int32(3), samples_per_frame=jnp.int32(64)
+        )
+        r.world = r.world.replace(
+            ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+        )
+        r.step(block=True)
+        return r.hdr_image()
+
+    img_tile = render(128, seed=21)
+    img_ray = render(0, seed=22)
+    assert np.all(np.isfinite(img_tile))
+    a = img_ray[4:-4, 4:-4].mean()
+    b = img_tile[4:-4, 4:-4].mean()
+    assert abs(a - b) / max(a, 1e-6) < 0.10, (a, b)
+
+
 def test_restir_di_agrees_with_mis(cornell_scene, mis_image):
     """ReSTIR DI (initial + temporal + spatial + final visibility) must match
     MIS NEE radiance on a static camera (reference: ReSTIR DI pipeline)."""

@@ -69,3 +69,37 @@ def test_triangle_sampling_uniform():
     assert np.all(p[:, 0] + p[:, 1] <= 1 + 1e-5)
     # centroid of uniform samples = triangle centroid
     assert np.allclose(p.mean(0)[:2], [1 / 3, 1 / 3], atol=5e-3)
+
+
+def test_closest_emissive_hit_mxu_matches_loop(cornell_scene):
+    """The MXU Woop-transform emissive sweep must agree with the
+    per-triangle Moller-Trumbore loop on hit slots and distances."""
+    import dataclasses
+
+    import jax
+
+    from hiprt_pt_tpu.lights.light_sampling import closest_emissive_hit
+
+    scene, camera = cornell_scene
+    assert scene.emissive_woop is not None
+    g = np.random.default_rng(3)
+    n = 4096
+    lo = np.asarray(scene.vertices).min(0)
+    hi = np.asarray(scene.vertices).max(0)
+    o = jnp.asarray(
+        g.uniform(lo * 0.7, hi * 0.7, (n, 3)).astype(np.float32))
+    d = g.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+
+    t_mxu, slot_mxu = jax.jit(
+        lambda o_, d_: closest_emissive_hit(scene, o_, d_))(o, d)
+    scene_loop = dataclasses.replace(scene, emissive_woop=None)
+    t_loop, slot_loop = jax.jit(
+        lambda o_, d_: closest_emissive_hit(scene_loop, o_, d_))(o, d)
+
+    slot_mxu, slot_loop = np.asarray(slot_mxu), np.asarray(slot_loop)
+    t_mxu, t_loop = np.asarray(t_mxu), np.asarray(t_loop)
+    assert np.mean(slot_mxu == slot_loop) > 0.999
+    both = (slot_mxu == slot_loop) & (slot_mxu >= 0)
+    assert both.any()
+    assert np.allclose(t_mxu[both], t_loop[both], rtol=1e-3, atol=1e-4)

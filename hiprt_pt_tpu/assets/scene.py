@@ -58,6 +58,16 @@ class TextureAtlas:
     # alpha-aware shadow march — fully opaque scenes use plain any-hit
     # shadows (reference: FilterFunction.h only matters with alpha maps)
     has_alpha: bool = struct.field(pytree_node=False, default=True)
+    # static: which texture KINDS any material actually references (set by
+    # build_scene from the bank). Each kind gates 4 bilinear row-gathers per
+    # shading vertex — at a 2M-lane wavefront a dead fetch costs ~25 ms, so
+    # unreferenced kinds are skipped at trace time (reference reads them all:
+    # Material.h:61-79 get_intersection_material).
+    kinds_used: tuple = struct.field(
+        pytree_node=False,
+        default=("base", "mr", "em", "normal", "rough", "metal", "spec",
+                 "coat", "sheen", "trans"),
+    )
 
     @property
     def num_layers(self) -> int:
@@ -262,6 +272,28 @@ def build_scene(
         slot_of_tri[ei] = np.arange(E, dtype=np.int32)
     else:
         em_rows[:, 17] = np.asarray([-1], np.int32).view(np.float32)[0]
+
+    # static texture-kind usage flags (see TextureAtlas.kinds_used)
+    if textures is not None:
+        import dataclasses as _dc
+
+        _kind_fields = {
+            "base": "base_color_texture_index",
+            "mr": "roughness_metallic_texture_index",
+            "em": "emission_texture_index",
+            "normal": "normal_map_texture_index",
+            "rough": "roughness_texture_index",
+            "metal": "metallic_texture_index",
+            "spec": "specular_texture_index",
+            "coat": "coat_texture_index",
+            "sheen": "sheen_texture_index",
+            "trans": "specular_transmission_texture_index",
+        }
+        kinds = tuple(
+            k for k, f in _kind_fields.items()
+            if bool((np.asarray(getattr(materials, f)) >= 0).any())
+        )
+        textures = _dc.replace(textures, kinds_used=kinds)
 
     # Woop transforms for the MXU emissive sweep (see SceneData.emissive_woop)
     e_pad = max(((E + 127) // 128) * 128, 128)

@@ -81,29 +81,76 @@ def apply_textures(
     atlas: TextureAtlas | None, mats: MaterialBank, uv: jax.Array
 ) -> MaterialBank:
     """Modulate gathered material parameters by their textures (reference:
-    Material.h get_intersection_material: base color, roughness/metallic from
-    the GLTF MR texture's G/B channels, emission, alpha from base alpha)."""
+    Material.h:61-79 get_intersection_material — base color + alpha, MR from
+    the GLTF texture's G/B channels or separate roughness/metallic maps,
+    emission, and the scalar property maps: specular/coat/sheen/transmission
+    read as channel R with replace semantics, Material.h:110-111,150-152).
+
+    Each kind is gated STATICALLY by atlas.kinds_used — a fetch is 4 row
+    gathers, ~25 ms per kind at a 2M-lane wavefront, so kinds no material
+    references never enter the program."""
     if atlas is None:
         return mats
-    base = fetch_bilinear(atlas, mats.base_color_texture_index, uv)
-    mr = fetch_bilinear(atlas, mats.roughness_metallic_texture_index, uv)
-    em = fetch_bilinear(atlas, mats.emission_texture_index, uv)
-    has_base = mats.base_color_texture_index >= 0
-    has_mr = mats.roughness_metallic_texture_index >= 0
-    has_em = mats.emission_texture_index >= 0
-    return mats.replace(
-        base_color=jnp.where(
+    kinds = atlas.kinds_used
+    kw = {}
+    if "base" in kinds:
+        base = fetch_bilinear(atlas, mats.base_color_texture_index, uv)
+        has_base = mats.base_color_texture_index >= 0
+        kw["base_color"] = jnp.where(
             has_base[:, None], mats.base_color * base[:, :3], mats.base_color
-        ),
-        alpha_opacity=jnp.where(
+        )
+        kw["alpha_opacity"] = jnp.where(
             has_base, mats.alpha_opacity * base[:, 3], mats.alpha_opacity
-        ),
-        roughness=jnp.where(has_mr, mats.roughness * mr[:, 1], mats.roughness),
-        metallic=jnp.where(has_mr, mats.metallic * mr[:, 2], mats.metallic),
-        emission=jnp.where(
-            has_em[:, None], mats.emission * em[:, :3], mats.emission
-        ),
-    )
+        )
+    roughness = mats.roughness
+    metallic = mats.metallic
+    if "mr" in kinds:
+        mr = fetch_bilinear(atlas, mats.roughness_metallic_texture_index, uv)
+        has_mr = mats.roughness_metallic_texture_index >= 0
+        roughness = jnp.where(has_mr, mats.roughness * mr[:, 1], roughness)
+        metallic = jnp.where(has_mr, mats.metallic * mr[:, 2], metallic)
+    if "rough" in kinds:
+        r1 = fetch_bilinear(atlas, mats.roughness_texture_index, uv)
+        roughness = jnp.where(
+            mats.roughness_texture_index >= 0, r1[:, 0], roughness
+        )
+    if "metal" in kinds:
+        m1 = fetch_bilinear(atlas, mats.metallic_texture_index, uv)
+        metallic = jnp.where(
+            mats.metallic_texture_index >= 0, m1[:, 0], metallic
+        )
+    if "rough" in kinds or "mr" in kinds:
+        kw["roughness"] = roughness
+    if "metal" in kinds or "mr" in kinds:
+        kw["metallic"] = metallic
+    if "em" in kinds:
+        em = fetch_bilinear(atlas, mats.emission_texture_index, uv)
+        kw["emission"] = jnp.where(
+            (mats.emission_texture_index >= 0)[:, None],
+            mats.emission * em[:, :3], mats.emission,
+        )
+    if "spec" in kinds:
+        s1 = fetch_bilinear(atlas, mats.specular_texture_index, uv)
+        kw["specular"] = jnp.where(
+            mats.specular_texture_index >= 0, s1[:, 0], mats.specular
+        )
+    if "coat" in kinds:
+        c1 = fetch_bilinear(atlas, mats.coat_texture_index, uv)
+        kw["coat"] = jnp.where(
+            mats.coat_texture_index >= 0, c1[:, 0], mats.coat
+        )
+    if "sheen" in kinds:
+        sh1 = fetch_bilinear(atlas, mats.sheen_texture_index, uv)
+        kw["sheen"] = jnp.where(
+            mats.sheen_texture_index >= 0, sh1[:, 0], mats.sheen
+        )
+    if "trans" in kinds:
+        t1 = fetch_bilinear(atlas, mats.specular_transmission_texture_index, uv)
+        kw["specular_transmission"] = jnp.where(
+            mats.specular_transmission_texture_index >= 0,
+            t1[:, 0], mats.specular_transmission,
+        )
+    return mats.replace(**kw) if kw else mats
 
 
 def apply_normal_map(
@@ -115,7 +162,7 @@ def apply_normal_map(
 ) -> jax.Array:
     """Perturb the shading normal by the tangent-space normal map (reference:
     Intersect.h:30-62 normal mapping + tangent computation)."""
-    if atlas is None:
+    if atlas is None or "normal" not in atlas.kinds_used:
         return ns
     has = mats.normal_map_texture_index >= 0
     tex = fetch_bilinear(atlas, mats.normal_map_texture_index, uv)

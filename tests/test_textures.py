@@ -181,3 +181,48 @@ def test_max_size_cap_bounds_hbm():
     )
     atlas = build_texture_atlas([img], srgb_indices=set(), layer_size=128)
     assert int(atlas.widths[0]) == 128  # capped by mip-shifting
+
+
+def test_scalar_property_textures_replace():
+    """Separate roughness/metallic/specular/coat/sheen/transmission maps
+    replace the material value with channel R (reference: Material.h
+    get_material_property replace semantics, Material.h:110-111,150-152)."""
+    gray = np.full((8, 8, 4), 64, np.uint8)   # 0.25 linear-ish (linear flag)
+    bright = np.full((8, 8, 4), 192, np.uint8)
+    atlas = build_texture_atlas([gray, bright], srgb_indices=set(),
+                                layer_size=8)
+    bank = MaterialBank.from_rows([{
+        "roughness": 0.9, "metallic": 0.9, "specular": 0.9, "coat": 0.9,
+        "sheen": 0.9, "specular_transmission": 0.9,
+        "roughness_texture_index": 0, "metallic_texture_index": 1,
+        "specular_texture_index": 0, "coat_texture_index": 1,
+        "sheen_texture_index": 0, "specular_transmission_texture_index": 1,
+    }])
+    mats = bank.at_indices(jnp.zeros((3,), jnp.int32))
+    uv = jnp.full((3, 2), 0.5, jnp.float32)
+    out = apply_textures(atlas, mats, uv)
+    lo, hi = 64 / 255.0, 192 / 255.0
+    assert np.allclose(np.asarray(out.roughness), lo, atol=1e-3)
+    assert np.allclose(np.asarray(out.metallic), hi, atol=1e-3)
+    assert np.allclose(np.asarray(out.specular), lo, atol=1e-3)
+    assert np.allclose(np.asarray(out.coat), hi, atol=1e-3)
+    assert np.allclose(np.asarray(out.sheen), lo, atol=1e-3)
+    assert np.allclose(np.asarray(out.specular_transmission), hi, atol=1e-3)
+
+
+def test_kinds_used_static_gating(cornell_scene_unused=None):
+    """build_scene records which texture kinds materials reference; unused
+    kinds are skipped at trace time (no fetch enters the program)."""
+    from hiprt_pt_tpu.assets.scene import build_scene
+
+    atlas = build_texture_atlas([_checker(16)], srgb_indices=set(),
+                                layer_size=16)
+    bank = MaterialBank.from_rows([
+        {"base_color_texture_index": 0},
+        {"roughness_texture_index": 0},
+    ])
+    tri = np.asarray([[0, 1, 2]], np.int32)
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    scene = build_scene(verts, tri, np.zeros((1,), np.int32), bank,
+                        textures=atlas)
+    assert set(scene.textures.kinds_used) == {"base", "rough"}

@@ -81,6 +81,43 @@ def main():
     am, bm = np.asarray(a), np.asarray(b)
     print("agreement:", float(np.mean(am == bm)), flush=True)
 
+    # --- bounce-1 shape: origins scattered by one cosine bounce, targets
+    # still tile-coherent ---
+    from hiprt_pt_tpu.ops.sampling import sample_cosine_hemisphere
+
+    rngs1 = rngs0 + jnp.uint32(7)
+    rngs1, u1 = rng_mod.next_float(rngs1)
+    rngs1, u2 = rng_mod.next_float(rngs1)
+    wb, _pdf = sample_cosine_hemisphere(gb.shading_normal, u1, u2)
+    rec1 = jax.jit(lambda salt: pt.traverse_pallas_lane8s(
+        bvh, offset_ray_origin(gb.position, gb.geometric_normal, wb), wb,
+        jnp.full((n,), 1e-4, jnp.float32) + 0.0 * salt.astype(jnp.float32),
+        jnp.full((n,), jnp.inf, jnp.float32), active, any_hit=False,
+        lanes=512, window=16))(jnp.uint32(0))
+    jax.block_until_ready(rec1.t)
+    hit1 = rec1.prim >= 0
+    p1 = (gb.position + wb
+          * jnp.where(jnp.isfinite(rec1.t), rec1.t, 0.0)[:, None])
+    act1 = active & hit1
+    _, ls1 = jax.jit(lambda rg: sample_emissive_triangle(
+        scene, p1, rg, tile_size=128))(rngs0 + jnp.uint32(13))
+    so1 = offset_ray_origin(p1, gb.geometric_normal, ls1["wi"])
+    wi1, tmax1 = ls1["wi"], ls1["dist"] * (1.0 - 1e-3)
+    jax.block_until_ready(so1)
+
+    lane8s_b1 = jax.jit(lambda salt: pt.traverse_pallas_lane8s(
+        bvh, so1, wi1,
+        jnp.full((n,), 1e-4, jnp.float32) + 0.0 * salt.astype(jnp.float32),
+        tmax1, act1, any_hit=True, lanes=512, window=16).prim >= 0)
+    wide_b1 = jax.jit(lambda salt: pt.traverse_pallas_wide(
+        bvh, so1, wi1,
+        jnp.full((n,), 1e-4, jnp.float32) + 0.0 * salt.astype(jnp.float32),
+        tmax1, act1, any_hit=True).prim >= 0)
+    a1 = timeit("lane8s any-hit (bounce-1 shadow)", lane8s_b1)
+    b1 = timeit("wide packet any-hit (bounce-1 shadow)", wide_b1)
+    print("agreement b1:",
+          float(np.mean(np.asarray(a1) == np.asarray(b1))), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -68,14 +68,21 @@ def ris_direct_lighting(
     rng_state,
     active,
     eta_rel,
+    shadow_coherent: bool = False,
 ):
     """RIS+WRS direct lighting at a batch of vertices.
 
     Returns (rng_state, contribution (N,3), rays_traced scalar).
+
+    shadow_coherent: static hint that this wavefront's shadow rays are
+    screen-tile coherent (camera vertex + tile-shared light candidates) —
+    routes them to the packet traversal kernel.
     """
     from ..render.integrator import _make_tracers
 
-    closest_hit_coherent, occluded_coherent = _make_tracers(options)
+    closest_hit_coherent, occluded_coherent = _make_tracers(
+        options, coherent=shadow_coherent
+    )
     n = p.shape[0]
     M_l = settings.ris.number_of_light_candidates
     M_b = settings.ris.number_of_bsdf_candidates

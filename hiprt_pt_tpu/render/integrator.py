@@ -307,11 +307,19 @@ def _direct_lighting(
     rng_state,
     active,
     eta_rel=None,
+    shadow_coherent: bool = False,
 ):
     """NEE at one path vertex: emissive triangles + envmap, each MIS-weighted
     against the BSDF (reference: Lights.h sample_one_light + Envmap.h
     sample_environment_map). Returns (rng_state, radiance (N,3), shadow-ray
-    count scalar)."""
+    count scalar).
+
+    shadow_coherent: static hint that this vertex's shadow rays are
+    screen-tile coherent (the camera vertex with tile-shared light
+    candidates) — routes them to the packet kernel (measured 189 vs 428 ms
+    at a 2M stress wavefront; at bounce>=1 origins scatter and the packet
+    kernel loses 4.5x, so the hint is only set on the peeled first bounce).
+    """
     n_rays = p.shape[0]
     contrib = jnp.zeros((n_rays, 3), jnp.float32)
     n_shadow = jnp.float32(0.0)
@@ -335,7 +343,7 @@ def _direct_lighting(
             contrib, n_shadow, rng_state = carry
             rng_state, ris_c, ris_rays = ris_direct_lighting(
                 options, scene, bvh, settings, mats, p, ns, ng, wo, rng_state,
-                active, eta_rel,
+                active, eta_rel, shadow_coherent=shadow_coherent,
             )
             ris_c = _clamp_contribution(
                 ris_c, settings.direct_contribution_clamp
@@ -363,14 +371,14 @@ def _direct_lighting(
             if scene.textures is not None and scene.textures.has_alpha:
                 from ..ops.traverse import occluded_alpha
 
-                _cl, _oc = _make_tracers(options)
+                _cl, _oc = _make_tracers(options, coherent=shadow_coherent)
                 rng_state, shadow_blocked = occluded_alpha(
                     bvh, scene, options, settings, so, wi, rng_state,
                     t_max=ls["dist"] * (1.0 - 1e-3), active=cand,
                     closest_fn=_cl, occluded_fn=_oc,
                 )
             else:
-                _, occl = _make_tracers(options)
+                _, occl = _make_tracers(options, coherent=shadow_coherent)
                 shadow_blocked = occl(
                     bvh, so, wi, t_max=ls["dist"] * (1.0 - 1e-3), active=cand
                 )
@@ -516,7 +524,7 @@ def render_sample(
         medium_sigma=jnp.zeros((n_rays, 3), jnp.float32),
     )
 
-    def bounce_body(bounce, carry):
+    def bounce_body(bounce, carry, shadow_coherent=False):
         # Skip the whole body when no ray is live this iteration: the dense
         # shading machinery (textures, RIS candidates, principled eval/sample,
         # stack ops) otherwise runs on all-dead lanes at full cost — measured
@@ -526,10 +534,12 @@ def render_sample(
         # stream untouched (a dead iteration used to advance it).
         live = jnp.any(carry["active"] & (bounce < settings.nb_bounces))
         return jax.lax.cond(
-            live, lambda c: _live_bounce_body(bounce, c), lambda c: c, carry
+            live,
+            lambda c: _live_bounce_body(bounce, c, shadow_coherent),
+            lambda c: c, carry,
         )
 
-    def _live_bounce_body(bounce, carry):
+    def _live_bounce_body(bounce, carry, shadow_coherent=False):
         rng_state = carry["rng"]
         active = carry["active"] & (bounce < settings.nb_bounces)
         p, ns, ng, wo = carry["p"], carry["ns"], carry["ng"], carry["wo"]
@@ -649,6 +659,7 @@ def render_sample(
         rng_state, direct, n_shadow = _direct_lighting(
             options, scene, bvh, world, settings, mats, p, ns, ng, wo,
             rng_state, nee_active, eta_rel,
+            shadow_coherent=shadow_coherent,
         )
         if direct0 is not None:
             direct = jnp.where(bounce == 0, direct0, direct)
@@ -830,9 +841,16 @@ def render_sample(
             ),
         )
 
-    carry = jax.lax.fori_loop(
-        0, options.max_bounces_static, bounce_body, carry
-    )
+    # First bounce peeled with the static coherent-shadow hint: the camera
+    # vertex's winner shadow rays share tile-local origins and tile-shared
+    # light targets, where the packet kernel beats lane8s 189 vs 428 ms at
+    # the 2M stress wavefront (bounce>=1 origins scatter and the packet
+    # union inflates — those stay on lane8s).
+    if options.max_bounces_static > 0:
+        carry = bounce_body(jnp.int32(0), carry, shadow_coherent=True)
+        carry = jax.lax.fori_loop(
+            1, options.max_bounces_static, bounce_body, carry
+        )
 
     radiance = carry["radiance"]
     # NaN / negative sanity scrub (reference: FullPathTracer.h:292-294

@@ -30,6 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from hiprt_pt_tpu.utils.precompile import enable_persistent_cache
+
+    enable_persistent_cache()  # shader-cache analog: reruns skip compiles
+
     from hiprt_pt_tpu.assets.loader import load_scene_file
     from hiprt_pt_tpu.assets.stress import load_stress_scene
     from hiprt_pt_tpu.core.settings import (

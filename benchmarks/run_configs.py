@@ -22,6 +22,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from hiprt_pt_tpu.utils.precompile import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()  # shader-cache analog: reruns skip compiles
+
 CORNELL = "/root/reference/data/GLTFs/cornell_pbr.gltf"
 DISPERSION = "/root/reference/data/GLTFs/multi-dispersion.gltf"
 

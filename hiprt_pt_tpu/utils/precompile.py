@@ -123,3 +123,22 @@ class Precompiler:
 
     def shutdown(self):
         self._pool.shutdown(wait=False, cancel_futures=True)
+
+
+def enable_persistent_cache(cache_dir: str | None = None) -> str:
+    """Point JAX's persistent compilation cache at a repo-local directory
+    (the reference's shader cache, GPUKernelCompiler.cpp:250-308). Safe to
+    call before or after backend init; idempotent."""
+    import os
+
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), ".xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache_dir

@@ -299,6 +299,62 @@ class MaterialBank:
             i += 1
         return MaterialBank(**kw)
 
+    def fields_at(self, mat_ids: jax.Array, names: tuple) -> dict:
+        """Gather only the named fields (scalar/color/texture-index) at
+        mat_ids — a narrow one-hot matmul (or narrow gather for big banks)
+        instead of the full 128-column row fetch. Use at call sites that
+        need 1-4 fields (normal-map index, absorption): the full at_indices
+        costs ~35 ms at a 2M wavefront; a 4-column fetch is several times
+        cheaper. Returns {name: (N,) or (N,3) array}."""
+        mat_ids = jnp.clip(mat_ids, 0, self.num_materials - 1)
+        onehot = self.num_materials <= _ONEHOT_GATHER_MAX_MATERIALS
+        scalar_names = [n for n, _ in _SCALAR_FIELDS]
+        color_names = [n for n, _ in _COLOR_FIELDS]
+        cols = []
+        spans = []  # (name, start, width, kind)
+        for name in names:
+            if name in scalar_names:
+                spans.append((name, len(cols), 1, "s"))
+                cols.append(getattr(self, name))
+            elif name in color_names:
+                spans.append((name, len(cols), 3, "c"))
+                c = getattr(self, name)
+                cols.extend([c[:, 0], c[:, 1], c[:, 2]])
+            elif name in _TEXTURE_FIELDS:
+                spans.append((name, len(cols), 1, "i"))
+                idx = getattr(self, name)
+                cols.append(
+                    idx.astype(jnp.float32) if onehot
+                    else jax.lax.bitcast_convert_type(idx, jnp.float32)
+                )
+            else:
+                raise KeyError(name)
+        packed = jnp.stack(cols, axis=1)  # (M, w)
+        if onehot:
+            oh = (
+                mat_ids[:, None]
+                == jnp.arange(packed.shape[0], dtype=mat_ids.dtype)[None, :]
+            ).astype(jnp.float32)
+            rows = jax.lax.dot_general(
+                oh, packed, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        else:
+            rows = packed[mat_ids]
+        out = {}
+        for name, start, width, kind in spans:
+            if kind == "c":
+                out[name] = rows[:, start:start + 3]
+            elif kind == "i":
+                col = rows[:, start]
+                out[name] = (
+                    jnp.round(col).astype(jnp.int32) if onehot
+                    else jax.lax.bitcast_convert_type(col, jnp.int32)
+                )
+            else:
+                out[name] = rows[:, start]
+        return out
+
     def make_safe(self) -> "MaterialBank":
         """Clamp degenerate parameter values (reference: Material.h:44-60
         make_safe): roughness floor, absorption color floor."""

@@ -155,17 +155,23 @@ def apply_textures(
 
 def apply_normal_map(
     atlas: TextureAtlas | None,
-    mats: MaterialBank,
+    nm_index: jax.Array | MaterialBank,
     uv: jax.Array,
     ns: jax.Array,
     tangent: jax.Array,
 ) -> jax.Array:
     """Perturb the shading normal by the tangent-space normal map (reference:
-    Intersect.h:30-62 normal mapping + tangent computation)."""
+    Intersect.h:30-62 normal mapping + tangent computation).
+
+    nm_index: (N,) normal_map_texture_index per hit — or a gathered
+    MaterialBank (legacy callers); passing just the index lets call sites
+    skip the full 128-column material fetch."""
     if atlas is None or "normal" not in atlas.kinds_used:
         return ns
-    has = mats.normal_map_texture_index >= 0
-    tex = fetch_bilinear(atlas, mats.normal_map_texture_index, uv)
+    if isinstance(nm_index, MaterialBank):
+        nm_index = nm_index.normal_map_texture_index
+    has = nm_index >= 0
+    tex = fetch_bilinear(atlas, nm_index, uv)
     nt = tex[:, :3] * 2.0 - 1.0
     # orthonormalize tangent against the (possibly interpolated) normal
     t = tangent - ns * jnp.sum(tangent * ns, axis=-1, keepdims=True)

@@ -273,8 +273,10 @@ def camera_rays_pass(
         scene, rec.prim, rec.u, rec.v, d
     )
     if scene.textures is not None and scene.textures.has_alpha:
-        nm_mats = scene.materials.at_indices(jnp.maximum(mat_id, 0))
-        ns = apply_normal_map(scene.textures, nm_mats, uv, ns, tangent)
+        nm_idx = scene.materials.fields_at(
+            jnp.maximum(mat_id, 0), ("normal_map_texture_index",)
+        )["normal_map_texture_index"]
+        ns = apply_normal_map(scene.textures, nm_idx, uv, ns, tangent)
     pos = o + d * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
     backface = jnp.sum(ns * d, axis=-1) > 0.0
 
@@ -700,10 +702,13 @@ def render_sample(
             stack_mat, stack_pri, carry["mat_id"], crossed & ~entering
         )
         new_top = nd.top_material(stack_mat, stack_pri)
-        med_mats = scene.materials.at_indices(jnp.clip(new_top, 0, None))
+        med = scene.materials.fields_at(
+            jnp.clip(new_top, 0, None),
+            ("absorption_color", "absorption_at_distance"),
+        )
         sigma_top = -jnp.log(
-            jnp.clip(med_mats.absorption_color, 1.0 / 512.0, 1.0)
-        ) / jnp.maximum(med_mats.absorption_at_distance, 1e-4)[..., None]
+            jnp.clip(med["absorption_color"], 1.0 / 512.0, 1.0)
+        ) / jnp.maximum(med["absorption_at_distance"], 1e-4)[..., None]
         medium_sigma = jnp.where((new_top >= 0)[..., None], sigma_top, 0.0)
 
         # --- russian roulette (reference: RussianRoulette.h — survive
@@ -810,8 +815,10 @@ def render_sample(
             scene, rec.prim, rec.u, rec.v, wi
         )
         if scene.textures is not None and scene.textures.has_alpha:
-            nm_mats2 = scene.materials.at_indices(jnp.maximum(mat_id2, 0))
-            ns2 = apply_normal_map(scene.textures, nm_mats2, uv2, ns2, tan2)
+            nm_idx2 = scene.materials.fields_at(
+                jnp.maximum(mat_id2, 0), ("normal_map_texture_index",)
+            )["normal_map_texture_index"]
+            ns2 = apply_normal_map(scene.textures, nm_idx2, uv2, ns2, tan2)
         p2 = o_next + wi * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
         next_active = valid_sample & hit
         entering2 = jnp.sum(ns2 * wi, axis=-1) < 0.0

@@ -74,6 +74,32 @@ def test_material_gather_onehot_exact():
         ), name
 
 
+def test_material_fields_at_matches_full_gather():
+    """Narrow fields_at must agree with at_indices for every field kind."""
+    rng = np.random.default_rng(9)
+    rows = [{
+        "roughness": float(rng.uniform(0.01, 1.0)),
+        "absorption_color": rng.uniform(0.1, 1.0, 3).tolist(),
+        "absorption_at_distance": float(rng.uniform(0.1, 5.0)),
+        "normal_map_texture_index": int(rng.integers(-1, 40)),
+    } for _ in range(6)]
+    bank = MaterialBank.from_rows(rows)
+    ids = jnp.asarray(rng.integers(0, 6, 123), jnp.int32)
+    full = bank.at_indices(ids)
+    narrow = bank.fields_at(ids, (
+        "roughness", "absorption_color", "absorption_at_distance",
+        "normal_map_texture_index",
+    ))
+    assert np.array_equal(np.asarray(narrow["roughness"]),
+                          np.asarray(full.roughness))
+    assert np.array_equal(np.asarray(narrow["absorption_color"]),
+                          np.asarray(full.absorption_color))
+    assert np.array_equal(np.asarray(narrow["absorption_at_distance"]),
+                          np.asarray(full.absorption_at_distance))
+    assert np.array_equal(np.asarray(narrow["normal_map_texture_index"]),
+                          np.asarray(full.normal_map_texture_index))
+
+
 def test_cdf_monotone_normalized():
     img = make_test_envmap(32, 64, "sky")
     cdf = compute_cdf(img)

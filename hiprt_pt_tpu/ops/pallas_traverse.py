@@ -3466,7 +3466,7 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                    *, any_hit: bool, n_gen: int, m_nodes: int,
                    m_leaves: int, iter_cap: int, frame: tuple,
                    leaf_tris: int, round_every: int, lanes: int,
-                   window: int, s_depth: int):
+                   window: int, s_depth: int, occ_stats: bool = False):
     LN = lanes
     G = 8
     R = G * LN
@@ -3742,6 +3742,17 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         done_s[:] = jnp.where(fin, 1, done_s[:])
         pw_s[:] = jnp.where(fin, 1, pw_s[:])
 
+        # occupancy accounting: node-work / pend-wait / done-idle slots.
+        # Three full-lane vector->scalar reductions per body — probe-only
+        # (occ_stats), never in the production path.
+        if occ_stats:
+            stats_ref[0, 5] = stats_ref[0, 5] + jnp.sum(
+                node_lane.astype(i32))
+            stats_ref[0, 6] = stats_ref[0, 6] + jnp.sum(
+                (pend_s[:] > 0).astype(i32))
+            stats_ref[0, 7] = stats_ref[0, 7] + jnp.sum(
+                (done_s[:] > 0).astype(i32))
+
         # ---- write + advance + load (static-strided window) ----
         @pl.when(leaf_round)
         def _write_load():
@@ -3817,7 +3828,8 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
 
 def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
                  any_hit: bool, interpret: bool, round_every: int = 8,
-                 lanes: int = 512, window: int = 8):
+                 lanes: int = 512, window: int = 8,
+                 occ_stats: bool = False):
     """One pallas_call over <= L8_MAX_RAYS rays; output is ordered by
     construction (lane (g, l) owns ray k*8*lanes + g*lanes + l)."""
     n = o.shape[0]
@@ -3848,7 +3860,7 @@ def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
                 m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
                 frame=bvh.lane8_frame, leaf_tris=bvh.lane8_leaf_tris,
                 round_every=round_every, lanes=LN, window=window,
-                s_depth=S),
+                s_depth=S, occ_stats=occ_stats),
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -3892,7 +3904,8 @@ def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats",
-                                  "round_every", "lanes", "window"))
+                                  "round_every", "lanes", "window",
+                                  "occ_stats"))
 def traverse_pallas_lane8s(
     bvh: BVHData,
     o: jax.Array,
@@ -3906,6 +3919,7 @@ def traverse_pallas_lane8s(
     round_every: int = 8,
     lanes: int = 512,
     window: int = 8,
+    occ_stats: bool = False,
 ) -> HitRecord:
     """Sublane-grouped static-strided per-lane BVH8 traversal (v10)."""
     n = o.shape[0]
@@ -3923,7 +3937,7 @@ def traverse_pallas_lane8s(
         e = min(n, s + L8_MAX_RAYS)
         rec, st = _lane8s_call(
             bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
-            any_hit, interpret, round_every, lanes, window)
+            any_hit, interpret, round_every, lanes, window, occ_stats)
         recs.append(rec)
         stats = st if stats is None else stats + st
     if len(recs) == 1:

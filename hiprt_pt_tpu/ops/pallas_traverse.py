@@ -3972,3 +3972,662 @@ def lane8s_tables_ok(bvh: BVHData, n: int) -> bool:
 def pallas_lane8s_supported(bvh: BVHData, n: int) -> bool:
     """Production routing gate: structural gate + a real TPU backend."""
     return jax.default_backend() == "tpu" and lane8s_tables_ok(bvh, n)
+
+
+# ---------------------------------------------------------------------------
+# v11 "lane8w": whole-wavefront lane-major per-lane BVH8 walks.
+#
+# Why (chain-timed on the v5e, 2026-08-19, 256k incoherent stress rays,
+# methodology: C traversals chained inside one jit, marginal of C=5 vs C=1 —
+# immune to relay dispatch noise):
+#   * lane8s (v10) spends ~91% of its time in leaf rounds: solving
+#     T = a*node_iters + b*leaf_rounds over two cadence configs gives
+#     a = 3.1 us/node-iter and b = 227 us/leaf-round. The leaf round's
+#     one-hot gather streams the ~5 MB int8 leaf table through the MXU
+#     once PER SUBLANE GROUP (8x per round) because v10 keeps state as
+#     (8, LN) sublane-major and each group needs its own (m, LN) dot.
+#   * A jit-chained probe of the node phase alone measured the per-group
+#     node gather at 2.45 us/iter vs 1.52 whole-wavefront — weight
+#     (re)loads, not MACs, dominate one-hot gathers.
+#
+# v11 therefore keeps EVERYTHING lane-major: state arrays are (1, W) with
+# W = 4096 lanes, the ray pool is a 2D (n_gen*8, W) table (component rows,
+# no sublane padding), and both the node and leaf one-hot gathers are ONE
+# dot per round over the full wavefront — the table is streamed once, not
+# 8x. The compressed two-plane stack, static-strided windowed refill, and
+# int8 lattice cluster leaves are unchanged from v10. The leaf gather runs
+# in `leaf_chunks` lane-slices to bound the (21*Tc+10, W) i32 intermediate.
+#
+# Reference parity: src/Device/includes/Intersect.h:129-142 (the HW
+# traversal this replaces) — redesigned for the MXU instead of translated.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_lane8w(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
+                   cur_s, ptr_s, valid_s, pend_s, done_s, pw_s, gen_s,
+                   ray_s, bt_s, bu_s, bv_s, bp_s,
+                   stkA_s, stkB_s, sc_s,
+                   *, any_hit: bool, n_gen: int, m_nodes: int,
+                   m_leaves: int, iter_cap: int, frame: tuple,
+                   leaf_tris: int, round_every: int, width: int,
+                   window: int, s_depth: int, leaf_chunks: int,
+                   occ_stats: bool = False, leaf_half: bool = False,
+                   compact: bool = False):
+    W = width
+    S = s_depth
+    LC = leaf_chunks
+    WC = W // LC
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+
+    # ---- one-time init ----
+    # out rows are 8-strided per generation (rows 0-3 = t/prim/u/v, 4-7
+    # padding) so the dynamic write offset is sublane-aligned for Mosaic.
+    r8 = jax.lax.broadcasted_iota(i32, (n_gen * 8, W), 0) % 8
+    out_ref[:] = jnp.where(
+        r8 == 0, jnp.float32(jnp.inf),
+        jnp.where(r8 == 1, jnp.float32(-1.0), jnp.float32(0.0)))
+    cur_s[:] = jnp.zeros((1, W), i32)
+    ptr_s[:] = jnp.zeros((1, W), i32)
+    valid_s[:] = jnp.zeros((1, W), i32)
+    pend_s[:] = jnp.zeros((1, W), i32)
+    done_s[:] = jnp.ones((1, W), i32)   # waiting to load generation 0
+    pw_s[:] = jnp.zeros((1, W), i32)
+    gen_s[:] = jnp.zeros((1, W), i32)
+    ray_s[:] = jnp.zeros((16, W), f32)
+    bt_s[:] = jnp.zeros((1, W), f32)
+    bu_s[:] = jnp.zeros((1, W), f32)
+    bv_s[:] = jnp.zeros((1, W), f32)
+    bp_s[:] = jnp.full((1, W), -1, i32)
+    stkA_s[:] = jnp.zeros((S, W), i32)
+    stkB_s[:] = jnp.zeros((S, W), i32)
+    for _si in range(8):
+        stats_ref[0, _si] = jnp.int32(0)
+    sc_s[0, 0] = jnp.int32(0)  # lanes past their last generation
+    sc_s[0, 1] = jnp.int32(0)  # window base (min generation)
+
+    slot_iota = jax.lax.broadcasted_iota(i32, (S, W), 0)
+    iota8 = jax.lax.broadcasted_iota(i32, (8, W), 0)
+    pow2_8 = jnp.exp2(iota8.astype(f32)).astype(i32)  # exact for 0..7
+    Tc = leaf_tris
+    iota_t = jax.lax.broadcasted_iota(i32, (Tc, WC), 0)
+    iota_nc = jax.lax.broadcasted_iota(i32, (m_nodes, W), 0)
+    iota_lc = jax.lax.broadcasted_iota(i32, (m_leaves, WC), 0)
+    lane_iota_w = jax.lax.broadcasted_iota(i32, (1, W), 1)
+    iota_wc_w = jax.lax.broadcasted_iota(i32, (WC, W), 0)
+    SLOTM = jnp.int32(max(16, 1 << (Tc - 1).bit_length()) - 1)
+    IMAX = jnp.int32(0x7FFFFFFF)
+
+    def cond(c):
+        it, ndone = c
+        return (it < iter_cap) & (ndone < W)
+
+    def body(c):
+        it, _nd = c
+
+        done = done_s[:]
+        ptr = ptr_s[:]
+        valid = valid_s[:]
+        cur = cur_s[:]
+        pend = pend_s[:]
+
+        # ---- pop (two-plane compressed stack) ----
+        need_pop = (done == 0) & (valid == 0) & (ptr > 0)
+        top = jnp.maximum(ptr - 1, 0)
+        selT = slot_iota == top
+        A = jnp.sum(jnp.where(selT, stkA_s[:], 0), axis=0, keepdims=True)
+        B = jnp.sum(jnp.where(selT, stkB_s[:], 0), axis=0, keepdims=True)
+        lsb = B & (-B)
+        cpop = (jax.lax.bitcast_convert_type(lsb.astype(f32), i32)
+                >> 23) - 127
+        newB = B ^ lsb
+        n_int_p = A & 15
+        base_int_p = (A >> 4) & 0x3FFF
+        base_leaf_p = (A >> 18) & 0x3FFF
+        ref_p = jnp.where(cpop < n_int_p, base_int_p + cpop,
+                          -(base_leaf_p + (cpop - n_int_p)) - 1)
+        keep = need_pop & (newB != 0)
+        stkB_s[:] = jnp.where(selT & keep, newB, stkB_s[:])
+        ptr = jnp.where(need_pop & (newB == 0), top, ptr)
+        cur = jnp.where(need_pop, ref_p, cur)
+        valid = jnp.where(need_pop, 1, valid)
+
+        # ---- promote leaf cur -> pending bank ----
+        promo = (valid > 0) & (cur < 0) & (pend == 0)
+        pend = jnp.where(promo, -cur, pend)
+        valid = jnp.where(promo, 0, valid)
+
+        node_lane = (valid > 0) & (cur >= 0)
+        leaf_round = (it % round_every) == (round_every - 1)
+
+        # ---- node phase (ONE whole-wavefront one-hot MXU gather) ----
+        rd = ray_s[:]
+        btv = bt_s[:]
+        node_idx = jnp.where(node_lane, cur, -1)
+        oh_n = (iota_nc == node_idx).astype(jnp.bfloat16)
+        gg = jax.lax.dot_general(
+            nodes_ref[:], oh_n, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+        ox, oy, oz = rd[0:1], rd[1:2], rd[2:3]
+        ix, iy, iz = rd[9:10], rd[10:11], rd[11:12]
+        tx0 = (gg[0:8] - ox) * ix
+        ty0 = (gg[8:16] - oy) * iy
+        tz0 = (gg[16:24] - oz) * iz
+        tx1 = (gg[24:32] - ox) * ix
+        ty1 = (gg[32:40] - oy) * iy
+        tz1 = (gg[40:48] - oz) * iz
+        te = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
+        )
+        tx = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), btv),
+        )
+        hit8 = (te <= tx) & node_lane
+
+        te_bits = jax.lax.bitcast_convert_type(te, i32)
+        key8 = jnp.where(hit8, (te_bits & jnp.int32(~7)) | iota8, IMAX)
+        kmin = jnp.min(key8, axis=0, keepdims=True)
+        anyf = jnp.max(hit8.astype(i32), axis=0, keepdims=True)
+        c_near = kmin & 7
+
+        base_int = (gg[48:49] + gg[49:50] * 256.0
+                    + gg[50:51] * 65536.0).astype(i32)
+        n_int = gg[51:52].astype(i32)
+        base_leaf = (gg[52:53] + gg[53:54] * 256.0
+                     + gg[54:55] * 65536.0).astype(i32)
+        curn = jnp.where(c_near < n_int, base_int + c_near,
+                         -(base_leaf + (c_near - n_int)) - 1)
+        full_mask = jnp.sum(jnp.where(hit8, pow2_8, 0), axis=0,
+                            keepdims=True)
+        near_pow = jnp.sum(jnp.where(iota8 == c_near, pow2_8, 0),
+                           axis=0, keepdims=True)
+        maskg = full_mask ^ near_pow  # meaningful only when anyf
+        packA = n_int | (base_int << 4) | (base_leaf << 18)
+
+        found = anyf > 0
+        cur = jnp.where(node_lane, jnp.where(found, curn, cur), cur)
+        valid = jnp.where(node_lane, anyf, valid)
+        push = node_lane & found & (maskg != 0)
+        slot = jnp.minimum(ptr, S - 1)
+        selP = (slot_iota == slot) & push
+        stkA_s[:] = jnp.where(selP, packA, stkA_s[:])
+        stkB_s[:] = jnp.where(selP, maskg, stkB_s[:])
+        ptr = ptr + push.astype(i32)
+
+        cur_s[:] = cur
+        ptr_s[:] = jnp.minimum(ptr, S)
+        valid_s[:] = valid
+        pend_s[:] = pend
+
+        # ---- leaf round (lane-chunked whole-wavefront int8 gather) ----
+        @pl.when(leaf_round)
+        def _leaf_round():
+            pendv = pend_s[:]
+            btv2 = bt_s[:]
+            rd2 = ray_s[:]
+            step = jnp.float32(frame[3])
+
+            def mt_at(lidx, pl_c, ox2, oy2, oz2, dx, dy, dz, t_min, bt_c):
+                """Leaf gather + Moller-Trumbore over one WC-wide slice.
+                Returns (win_t, win_p, newhit, win_u, win_v)."""
+                oh_l = (iota_lc == lidx).astype(jnp.int8)
+                gl = jax.lax.dot_general(
+                    leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
+                    preferred_element_type=i32,
+                )
+
+                def kax(base, gl=gl):
+                    return (gl[base:base + 1] + gl[base + 1:base + 2] * 256
+                            + gl[base + 2:base + 3] * 65536
+                            + (128 + 128 * 256 + 128 * 65536))
+
+                kx = kax(21 * Tc + 1)
+                ky = kax(21 * Tc + 4)
+                kz = kax(21 * Tc + 7)
+
+                def qc(j, gl=gl):
+                    return (gl[j * Tc:(j + 1) * Tc] * 256
+                            + gl[9 * Tc + j * Tc:9 * Tc + (j + 1) * Tc]
+                            + (128 * 256 + 128))
+
+                q0x, q0y, q0z = qc(0), qc(1), qc(2)
+                v0x = jnp.float32(frame[0]) + (kx + q0x).astype(f32) * step
+                v0y = jnp.float32(frame[1]) + (ky + q0y).astype(f32) * step
+                v0z = jnp.float32(frame[2]) + (kz + q0z).astype(f32) * step
+                e1x = (qc(3) - q0x).astype(f32) * step
+                e1y = (qc(4) - q0y).astype(f32) * step
+                e1z = (qc(5) - q0z).astype(f32) * step
+                e2x = (qc(6) - q0x).astype(f32) * step
+                e2y = (qc(7) - q0y).astype(f32) * step
+                e2z = (qc(8) - q0z).astype(f32) * step
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+                tvx = ox2 - v0x
+                tvy = oy2 - v0y
+                tvz = oz2 - v0z
+                u = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv_det
+                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+
+                cnt = gl[21 * Tc:21 * Tc + 1] + 128
+                prim12 = (gl[18 * Tc:19 * Tc] + gl[19 * Tc:20 * Tc] * 256
+                          + gl[20 * Tc:21 * Tc] * 65536
+                          + (128 + 128 * 256 + 128 * 65536)) - 1
+                hit12 = (
+                    pl_c
+                    & (iota_t < cnt)
+                    & (jnp.abs(det) > TRI_EPS)
+                    & (u >= 0.0)
+                    & (v >= 0.0)
+                    & (u + v <= 1.0)
+                    & (t > t_min)
+                    & (t < bt_c)
+                )
+                t_bits = jax.lax.bitcast_convert_type(
+                    jnp.where(hit12, t, jnp.float32(jnp.inf)), i32)
+                key12 = jnp.where(hit12, (t_bits & ~SLOTM) | iota_t, IMAX)
+                kmin12 = jnp.min(key12, axis=0, keepdims=True)
+                newhit = jnp.max(hit12.astype(i32), axis=0, keepdims=True)
+                win_t = jax.lax.bitcast_convert_type(kmin12 & ~SLOTM, f32)
+                oh12 = (iota_t == (kmin12 & SLOTM)) & hit12
+                win_p = jnp.sum(jnp.where(oh12, prim12, 0), axis=0,
+                                keepdims=True)
+                if any_hit:
+                    return win_t, win_p, newhit, None, None
+                win_u = jnp.sum(jnp.where(oh12, u, 0.0), axis=0,
+                                keepdims=True)
+                win_v = jnp.sum(jnp.where(oh12, v, 0.0), axis=0,
+                                keepdims=True)
+                return win_t, win_p, newhit, win_u, win_v
+
+            if compact:
+                # -- pend-compaction: pack pending lanes into a WC-wide
+                # slice so the leaf table is streamed over WC lanes, not W.
+                # Moves are exact byte-split int8 one-hot matmuls. A second
+                # slice runs ONLY when pends overflow WC (scalar-gated), so
+                # typical rounds pay half of the uncompacted cost and heavy
+                # rounds pay the same — never extra stall iterations. --
+                pl_all = pendv > 0
+                ev = pl_all.astype(i32)
+                cs = ev
+                k = 1
+                while k < W:
+                    cs = cs + jnp.where(lane_iota_w >= k,
+                                        pltpu.roll(cs, k, 1), 0)
+                    k *= 2
+                rank = cs - ev  # exclusive prefix rank over lanes
+                npend = jnp.sum(ev)
+
+                def split_f32(x):
+                    bits = jax.lax.bitcast_convert_type(x, i32)
+                    return [(((bits >> (8 * j)) & 255) - 128).astype(jnp.int8)
+                            for j in range(4)]
+
+                def compact_slice(base):
+                    take = pl_all & (rank >= base) & (rank < base + WC)
+                    rankc = jnp.where(take, rank - base, -1)
+                    P8 = (iota_wc_w == rankc).astype(jnp.int8)  # (WC, W)
+                    xrows = [take.astype(jnp.int8),
+                             ((pendv & 255) - 128).astype(jnp.int8),
+                             ((pendv >> 8) - 128).astype(jnp.int8)]
+                    for ci in (0, 1, 2, 3, 4, 5, 6):
+                        xrows += split_f32(rd2[ci:ci + 1])
+                    xrows += split_f32(bt_s[:])
+                    X = jnp.concatenate(xrows, axis=0)  # (35, W) int8
+                    Xc = jax.lax.dot_general(
+                        X, P8, (((1,), (1,)), ((), ())),
+                        preferred_element_type=i32)     # (35, WC)
+                    occ = Xc[0:1]
+                    b128 = occ * 128
+
+                    def join_f32(r0):
+                        bits = ((Xc[r0:r0 + 1] + b128)
+                                | ((Xc[r0 + 1:r0 + 2] + b128) << 8)
+                                | ((Xc[r0 + 2:r0 + 3] + b128) << 16)
+                                | ((Xc[r0 + 3:r0 + 4] + b128) << 24))
+                        return jax.lax.bitcast_convert_type(bits, f32)
+
+                    pv_c = (Xc[1:2] + b128) | ((Xc[2:3] + b128) << 8)
+                    mask_c = occ > 0
+                    lidx_c = jnp.where(mask_c, pv_c - 1, -1)
+                    cox, coy, coz = join_f32(3), join_f32(7), join_f32(11)
+                    cdx, cdy, cdz = join_f32(15), join_f32(19), join_f32(23)
+                    ctm, cbt = join_f32(27), join_f32(31)
+                    # inactive slots: keep MT predicates false via bt<=t_min
+                    cbt = jnp.where(mask_c, cbt, 0.0)
+                    win_t, win_p, newhit, win_u, win_v = mt_at(
+                        lidx_c, mask_c, cox, coy, coz, cdx, cdy, cdz,
+                        ctm, cbt)
+
+                    yrows = [newhit.astype(jnp.int8)]
+                    for j in range(4):
+                        yrows.append((((win_p >> (8 * j)) & 255) - 128)
+                                     .astype(jnp.int8))
+                    tb = jax.lax.bitcast_convert_type(win_t, i32)
+                    for j in range(4):
+                        yrows.append((((tb >> (8 * j)) & 255) - 128)
+                                     .astype(jnp.int8))
+                    if not any_hit:
+                        for val in (win_u, win_v):
+                            vb = jax.lax.bitcast_convert_type(val, i32)
+                            for j in range(4):
+                                yrows.append((((vb >> (8 * j)) & 255) - 128)
+                                             .astype(jnp.int8))
+                    Y = jnp.concatenate(yrows, axis=0)
+                    Yw = jax.lax.dot_general(
+                        Y, P8, (((1,), (0,)), ((), ())),
+                        preferred_element_type=i32)     # (r, W)
+                    t128 = take.astype(i32) * 128
+
+                    def wjoin(r0):
+                        return ((Yw[r0:r0 + 1] + t128)
+                                | ((Yw[r0 + 1:r0 + 2] + t128) << 8)
+                                | ((Yw[r0 + 2:r0 + 3] + t128) << 16)
+                                | ((Yw[r0 + 3:r0 + 4] + t128) << 24))
+
+                    nh = take & (Yw[0:1] > 0)  # newhit row unbiased 0/1
+                    nbp = wjoin(1)
+                    nbt = jax.lax.bitcast_convert_type(wjoin(5), f32)
+                    bt_s[:] = jnp.where(nh, nbt, bt_s[:])
+                    bp_s[:] = jnp.where(nh, nbp, bp_s[:])
+                    pend_s[:] = jnp.where(take, 0, pend_s[:])
+                    if any_hit:
+                        done_s[:] = jnp.where(nh, 1, done_s[:])
+                        ptr_s[:] = jnp.where(nh, 0, ptr_s[:])
+                        valid_s[:] = jnp.where(nh, 0, valid_s[:])
+                        pw_s[:] = jnp.where(nh, 1, pw_s[:])
+                    else:
+                        nbu = jax.lax.bitcast_convert_type(wjoin(9), f32)
+                        nbv = jax.lax.bitcast_convert_type(wjoin(13), f32)
+                        bu_s[:] = jnp.where(nh, nbu, bu_s[:])
+                        bv_s[:] = jnp.where(nh, nbv, bv_s[:])
+
+                compact_slice(0)
+
+                @pl.when(npend > WC)
+                def _overflow_slice():
+                    compact_slice(WC)
+            else:
+                nt_l, np_l, nu_l, nv_l, nh_l = [], [], [], [], []
+                # leaf_half: probe-only ablation — intersect only the first
+                # lane-chunk (WRONG results; measures the leaf-dot share)
+                for cix in range(1 if leaf_half else LC):
+                    c0 = cix * WC
+                    pl_c = pendv[:, c0:c0 + WC] > 0
+                    lidx = jnp.where(pl_c, pendv[:, c0:c0 + WC] - 1, -1)
+                    win_t, win_p, newhit, win_u, win_v = mt_at(
+                        lidx, pl_c,
+                        rd2[0:1, c0:c0 + WC], rd2[1:2, c0:c0 + WC],
+                        rd2[2:3, c0:c0 + WC], rd2[3:4, c0:c0 + WC],
+                        rd2[4:5, c0:c0 + WC], rd2[5:6, c0:c0 + WC],
+                        rd2[6:7, c0:c0 + WC], btv2[:, c0:c0 + WC])
+                    nt_l.append(win_t)
+                    np_l.append(win_p)
+                    nh_l.append(newhit)
+                    if not any_hit:
+                        nu_l.append(win_u)
+                        nv_l.append(win_v)
+                if leaf_half:
+                    for _ in range(LC - 1):
+                        nh_l.append(jnp.zeros((1, WC), i32))
+                        nt_l.append(jnp.full((1, WC), jnp.inf, f32))
+                        np_l.append(jnp.full((1, WC), -1, i32))
+                        if not any_hit:
+                            nu_l.append(jnp.zeros((1, WC), f32))
+                            nv_l.append(jnp.zeros((1, WC), f32))
+                nh = jnp.concatenate(nh_l, axis=1) > 0
+                nbt = jnp.concatenate(nt_l, axis=1)
+                nbp = jnp.concatenate(np_l, axis=1)
+                bt_s[:] = jnp.where(nh, nbt, btv2)
+                bp_s[:] = jnp.where(nh, nbp, bp_s[:])
+                pend_s[:] = jnp.where(pendv > 0, 0, pendv)
+                if any_hit:
+                    done_s[:] = jnp.where(nh, 1, done_s[:])
+                    ptr_s[:] = jnp.where(nh, 0, ptr_s[:])
+                    valid_s[:] = jnp.where(nh, 0, valid_s[:])
+                    pw_s[:] = jnp.where(nh, 1, pw_s[:])
+                else:
+                    bu_s[:] = jnp.where(nh, jnp.concatenate(nu_l, axis=1),
+                                        bu_s[:])
+                    bv_s[:] = jnp.where(nh, jnp.concatenate(nv_l, axis=1),
+                                        bv_s[:])
+
+        # ---- finish detection ----
+        fin = ((done_s[:] == 0) & (valid_s[:] == 0) & (ptr_s[:] == 0)
+               & (pend_s[:] == 0))
+        done_s[:] = jnp.where(fin, 1, done_s[:])
+        pw_s[:] = jnp.where(fin, 1, pw_s[:])
+
+        # occupancy accounting — probe-only (occ_stats), never production.
+        if occ_stats:
+            stats_ref[0, 5] = stats_ref[0, 5] + jnp.sum(
+                node_lane.astype(i32))
+            stats_ref[0, 6] = stats_ref[0, 6] + jnp.sum(
+                (pend_s[:] > 0).astype(i32))
+            stats_ref[0, 7] = stats_ref[0, 7] + jnp.sum(
+                (done_s[:] > 0).astype(i32))
+
+        # ---- write + advance + load (static-strided window) ----
+        @pl.when(leaf_round)
+        def _write_load():
+            base = sc_s[0, 1]
+            genv = gen_s[:]
+            pwv = pw_s[:] > 0
+            tvals = jnp.where(bp_s[:] >= 0, bt_s[:], jnp.float32(jnp.inf))
+            pvals = bp_s[:].astype(f32)
+            for w in range(window):
+                krow = jnp.minimum(base + w, n_gen - 1)
+                m = pwv & (genv == base + w)
+                off = pl.multiple_of(krow * 8, 8)
+                rows = out_ref[pl.ds(off, 8)]
+                r0 = jnp.where(m, tvals, rows[0:1])
+                r1 = jnp.where(m, pvals, rows[1:2])
+                r2 = jnp.where(m, bu_s[:], rows[2:3])
+                r3 = jnp.where(m, bv_s[:], rows[3:4])
+                out_ref[pl.ds(off, 8)] = jnp.concatenate(
+                    [r0, r1, r2, r3, rows[4:8]], axis=0)
+            wrote = pwv & (genv >= base) & (genv < base + window)
+            gen2 = genv + wrote.astype(i32)
+            pw2 = jnp.where(wrote, 0, pwv.astype(i32))
+
+            donev = done_s[:]
+            can = ((donev > 0) & (pw2 == 0) & (gen2 < n_gen)
+                   & (gen2 < base + window))
+            rd3 = ray_s[:]
+            comp = [rd3[c:c + 1] for c in range(8)]
+            for w in range(window):
+                kk = jnp.minimum(base + w, n_gen - 1)
+                m = can & (gen2 == base + w)
+                rows8 = rays_ref[pl.ds(pl.multiple_of(kk * 8, 8), 8)]
+                for cc in range(8):
+                    comp[cc] = jnp.where(m, rows8[cc:cc + 1], comp[cc])
+            loaded = can
+            act = comp[7] > 0.0
+
+            def inv3(c_):
+                return jnp.where(jnp.abs(c_) > 1e-12, 1.0 / c_,
+                                 jnp.sign(c_) * 1e12 + 1e12)
+
+            zeros = jnp.zeros((1, W), f32)
+            rows16 = comp + [zeros, inv3(comp[3]), inv3(comp[4]),
+                             inv3(comp[5]), zeros, zeros, zeros, zeros]
+            newray = jnp.concatenate(rows16, axis=0)
+            ray_s[:] = jnp.where(loaded, newray, rd3)
+            bt_s[:] = jnp.where(loaded, comp[7], bt_s[:])
+            bu_s[:] = jnp.where(loaded, 0.0, bu_s[:])
+            bv_s[:] = jnp.where(loaded, 0.0, bv_s[:])
+            bp_s[:] = jnp.where(loaded, -1, bp_s[:])
+            cur_s[:] = jnp.where(loaded, 0, cur_s[:])
+            ptr_s[:] = jnp.where(loaded, 0, ptr_s[:])
+            valid_s[:] = jnp.where(loaded, act.astype(i32), valid_s[:])
+            pend_s[:] = jnp.where(loaded, 0, pend_s[:])
+            done_s[:] = jnp.where(loaded, 1 - act.astype(i32), done_s[:])
+            # inactive rays (padding / masked-off): write a miss next round
+            pw_s[:] = jnp.where(loaded & (~act), 1, pw2)
+            gen_s[:] = gen2
+
+            sc_s[0, 1] = jnp.min(gen2)
+            sc_s[0, 0] = jnp.sum((gen2 >= n_gen).astype(i32))
+            stats_ref[0, 2] = stats_ref[0, 2] + jnp.sum(
+                (done_s[:] == 0).astype(i32))
+            stats_ref[0, 3] = stats_ref[0, 3] + 1
+
+        return it + 1, sc_s[0, 0]
+
+    it, ndone = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0)))
+    stats_ref[0, 0] = it
+    stats_ref[0, 1] = ndone
+    stats_ref[0, 4] = sc_s[0, 1]  # final window base
+
+
+def _lane8w_call(bvh: BVHData, o, d, tmin, tmax, act,
+                 any_hit: bool, interpret: bool, round_every: int = 8,
+                 width: int = 4096, window: int = 8, leaf_chunks: int = 2,
+                 occ_stats: bool = False, leaf_half: bool = False,
+                 compact: bool = False):
+    """One pallas_call over <= L8_MAX_RAYS rays; output is ordered by
+    construction (lane l owns rays k*width + l for generations k)."""
+    n = o.shape[0]
+    W = width
+    if compact and leaf_chunks != 2:
+        raise ValueError("lane8w compact mode requires leaf_chunks=2 "
+                         "(two rank slices must cover the full width)")
+    n_gen = max(1, -(-n // W))
+    npad = n_gen * W
+
+    def padto(x, fill=0.0):
+        return jnp.pad(x, (0, npad - n), constant_values=fill)
+
+    f7 = jnp.where(act > 0, tmax, -1.0)
+    fields = jnp.stack([
+        padto(o[:, 0]), padto(o[:, 1]), padto(o[:, 2]),
+        padto(d[:, 0]), padto(d[:, 1]), padto(d[:, 2], fill=1.0),
+        padto(tmin), padto(f7, fill=-1.0),
+    ], axis=0)
+    rays = fields.reshape(8, n_gen, W).transpose(1, 0, 2).reshape(
+        n_gen * 8, W)
+
+    m_nodes = bvh.nodes_lane8.shape[0]
+    m_leaves = bvh.leaves_lane8.shape[0]
+    S = max(2, int(bvh.lane8_depth))
+    iter_cap = 128 * n_gen + 4096
+
+    out, stats = pl.pallas_call(
+        partial(_kernel_lane8w, any_hit=any_hit, n_gen=n_gen,
+                m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
+                frame=bvh.lane8_frame, leaf_tris=bvh.lane8_leaf_tris,
+                round_every=round_every, width=W, window=window,
+                s_depth=S, leaf_chunks=leaf_chunks, occ_stats=occ_stats,
+                leaf_half=leaf_half, compact=compact),
+        grid=(),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_gen * 8, W), jnp.float32),
+            jax.ShapeDtypeStruct((1, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, W), jnp.int32),      # cur_s
+            pltpu.VMEM((1, W), jnp.int32),      # ptr_s
+            pltpu.VMEM((1, W), jnp.int32),      # valid_s
+            pltpu.VMEM((1, W), jnp.int32),      # pend_s
+            pltpu.VMEM((1, W), jnp.int32),      # done_s
+            pltpu.VMEM((1, W), jnp.int32),      # pw_s
+            pltpu.VMEM((1, W), jnp.int32),      # gen_s
+            pltpu.VMEM((16, W), jnp.float32),   # ray_s
+            pltpu.VMEM((1, W), jnp.float32),    # bt_s
+            pltpu.VMEM((1, W), jnp.float32),    # bu_s
+            pltpu.VMEM((1, W), jnp.float32),    # bv_s
+            pltpu.VMEM((1, W), jnp.int32),      # bp_s
+            pltpu.VMEM((S, W), jnp.int32),      # stkA_s
+            pltpu.VMEM((S, W), jnp.int32),      # stkB_s
+            pltpu.SMEM((1, 4), jnp.int32),      # sc_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(bvh.nodes_lane8, bvh.leaves_lane8, rays)
+
+    blk = out.reshape(n_gen, 8, W)[:, :4].transpose(1, 0, 2).reshape(4, npad)
+    t = blk[0, :n]
+    prim = blk[1, :n].astype(jnp.int32)  # exact for prim < 2^24
+    u = blk[2, :n]
+    v = blk[3, :n]
+    miss = prim < 0
+    return HitRecord(
+        t=jnp.where(miss, jnp.inf, t), prim=prim, u=u, v=v,
+    ), stats
+
+
+@partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats",
+                                  "round_every", "width", "window",
+                                  "leaf_chunks", "occ_stats", "leaf_half",
+                                  "compact"))
+def traverse_pallas_lane8w(
+    bvh: BVHData,
+    o: jax.Array,
+    d: jax.Array,
+    t_min=1e-4,
+    t_max=jnp.inf,
+    active=None,
+    any_hit: bool = False,
+    interpret: bool = False,
+    return_stats: bool = False,
+    round_every: int = 8,
+    width: int = 4096,
+    window: int = 8,
+    leaf_chunks: int = 2,
+    occ_stats: bool = False,
+    leaf_half: bool = False,
+    compact: bool = False,
+) -> HitRecord:
+    """Whole-wavefront lane-major per-lane BVH8 traversal (v11)."""
+    n = o.shape[0]
+    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    tmax_arr = jnp.where(jnp.isfinite(tmax_arr), tmax_arr, jnp.float32(3e38))
+    act = (
+        jnp.ones((n,), jnp.float32)
+        if active is None
+        else jnp.asarray(active).astype(jnp.float32)
+    )
+    recs = []
+    stats = None
+    for s in range(0, n, L8_MAX_RAYS):
+        e = min(n, s + L8_MAX_RAYS)
+        rec, st = _lane8w_call(
+            bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
+            any_hit, interpret, round_every, width, window, leaf_chunks,
+            occ_stats, leaf_half, compact)
+        recs.append(rec)
+        stats = st if stats is None else stats + st
+    if len(recs) == 1:
+        rec = recs[0]
+    else:
+        rec = HitRecord(
+            t=jnp.concatenate([r.t for r in recs]),
+            prim=jnp.concatenate([r.prim for r in recs]),
+            u=jnp.concatenate([r.u for r in recs]),
+            v=jnp.concatenate([r.v for r in recs]),
+        )
+    if return_stats:
+        return rec, stats
+    return rec
+
+
+def pallas_lane8w_supported(bvh: BVHData, n: int) -> bool:
+    """Production routing gate: same structural requirements as lane8s."""
+    return jax.default_backend() == "tpu" and lane8s_tables_ok(bvh, n)

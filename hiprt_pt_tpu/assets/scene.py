@@ -48,7 +48,10 @@ class TextureAtlas:
     minification (fetch takes an optional lod).
     """
 
-    texels: jax.Array        # (TOTAL, 4) u8 — all textures + mip chains
+    texels: jax.Array        # (TOTAL, 16) u8 — 2x2 bilinear-footprint rows
+    #                          [(y,x),(y,x+1),(y+1,x),(y+1,x+1)] per texel,
+    #                          all textures + mip chains (4x storage for 4x
+    #                          fewer gather rows per bilinear fetch)
     offsets: jax.Array       # (L, MAX_MIPS) i32 — start texel per level (-1 pad)
     widths: jax.Array        # (L,) i32 — level-0 width
     heights: jax.Array       # (L,) i32
@@ -68,6 +71,20 @@ class TextureAtlas:
         default=("base", "mr", "em", "normal", "rough", "metal", "spec",
                  "coat", "sheen", "trans"),
     )
+    # static sRGB knowledge per kind (set by build_scene from the layers each
+    # kind actually references): a kind in kinds_srgb_all decodes sRGB
+    # unconditionally, one absent from kinds_srgb_any skips the (pow-heavy)
+    # decode entirely; only mixed kinds pay the per-lane select. Defaults are
+    # conservative (every kind maybe-sRGB -> dynamic select, the old path).
+    kinds_srgb_any: tuple = struct.field(
+        pytree_node=False,
+        default=("base", "mr", "em", "normal", "rough", "metal", "spec",
+                 "coat", "sheen", "trans"),
+    )
+    kinds_srgb_all: tuple = struct.field(pytree_node=False, default=())
+    # static: texels rows are 16-byte 2x2 footprints (True) or plain 4-byte
+    # texels (False — atlases above FOOTPRINT_MAX_TEXELS, 4x storage guard)
+    footprint: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_layers(self) -> int:
@@ -293,7 +310,20 @@ def build_scene(
             k for k, f in _kind_fields.items()
             if bool((np.asarray(getattr(materials, f)) >= 0).any())
         )
-        textures = _dc.replace(textures, kinds_used=kinds)
+        # static per-kind sRGB-ness over the layers each kind references
+        srgb_np = np.asarray(textures.is_srgb)
+        srgb_any, srgb_all = [], []
+        for k in kinds:
+            idx = np.asarray(getattr(materials, _kind_fields[k]))
+            ref = idx[idx >= 0]
+            flags = srgb_np[ref]
+            if bool(flags.any()):
+                srgb_any.append(k)
+            if len(ref) and bool(flags.all()):
+                srgb_all.append(k)
+        textures = _dc.replace(
+            textures, kinds_used=kinds,
+            kinds_srgb_any=tuple(srgb_any), kinds_srgb_all=tuple(srgb_all))
 
     # Woop transforms for the MXU emissive sweep (see SceneData.emissive_woop)
     e_pad = max(((E + 127) // 128) * 128, 128)

@@ -17,6 +17,9 @@ from .scene import TextureAtlas
 
 MAX_MIPS = 12
 DEFAULT_MAX_SIZE = 2048
+# footprint rows cost 4x storage; above this many texels (64M = 1 GB of
+# 16-byte rows) fall back to plain 4-byte texel rows + 4-tap fetches
+FOOTPRINT_MAX_TEXELS = 64 * 1024 * 1024
 
 
 def srgb_to_linear(c: np.ndarray) -> np.ndarray:
@@ -74,7 +77,7 @@ def build_texture_atlas(
         return None
 
     L = len(images)
-    chunks = []
+    levels = []  # per image: list of (H, W, 4) mip arrays
     offsets = np.full((L, MAX_MIPS), -1, np.int64)
     widths = np.zeros((L,), np.int32)
     heights = np.zeros((L,), np.int32)
@@ -97,15 +100,37 @@ def build_texture_atlas(
         heights[i] = arr.shape[0]
         lvl = 0
         cur = arr
+        mips = []
         while lvl < MAX_MIPS:
             offsets[i, lvl] = total
-            chunks.append(cur.reshape(-1, 4))
+            mips.append(cur)
             total += cur.shape[0] * cur.shape[1]
             lvl += 1
             if cur.shape[0] == 1 and cur.shape[1] == 1:
                 break
             cur = _downsample2(cur)
         num_levels[i] = lvl
+        levels.append(mips)
+
+    footprint = total <= FOOTPRINT_MAX_TEXELS
+    chunks = []
+    for mips in levels:
+        for cur in mips:
+            if footprint:
+                # footprint row: texel (y,x) carries its wrap-addressed 2x2
+                # bilinear neighborhood [(y,x),(y,x+1),(y+1,x),(y+1,x+1)] so
+                # a bilinear fetch is ONE 16-byte row gather instead of four
+                # 4-byte gathers (XLA TPU gathers are row-rate-bound — this
+                # quarters the per-kind gather rows at 4x storage)
+                fp = np.concatenate(
+                    [cur,
+                     np.roll(cur, -1, axis=1),
+                     np.roll(cur, -1, axis=0),
+                     np.roll(np.roll(cur, -1, axis=0), -1, axis=1)],
+                    axis=-1)
+                chunks.append(fp.reshape(-1, 16))
+            else:
+                chunks.append(cur.reshape(-1, 4))
 
     texels = np.concatenate(chunks, 0)
     return TextureAtlas(
@@ -116,6 +141,7 @@ def build_texture_atlas(
         num_levels=jnp.asarray(num_levels),
         is_srgb=jnp.asarray(srgb_flags),
         has_alpha=any_alpha,
+        footprint=footprint,
     )
 
 

@@ -456,12 +456,16 @@ def render_sample(
     pixel_active,
     rng_state,
     direct0=None,
+    collect_bounce_stats: bool = False,
 ):
     """Trace one full path per pixel starting from the G-buffer first hit.
 
     Returns (rng_state, radiance (N,3), aov_albedo (N,3), aov_normal (N,3),
     rays_traced scalar — bounce + shadow rays of this sample, excluding the
-    camera pass).
+    camera pass). With collect_bounce_stats=True, appends a
+    (max_bounces_static,) vector of per-bounce alive-lane counts (the
+    reference's still_one_ray_active status counter, per depth —
+    RenderData.h:102-113) for wavefront-occupancy profiling.
     """
     n_rays = gbuffer.position.shape[0]
     if options.white_furnace_mode:
@@ -524,6 +528,9 @@ def render_sample(
         # layered on in models/nested_dielectrics.py)
         entering=~gbuffer.backface,
         medium_sigma=jnp.zeros((n_rays, 3), jnp.float32),
+        alive_hist=jnp.zeros(
+            (max(options.max_bounces_static, 1),), jnp.float32
+        ),
     )
 
     def bounce_body(bounce, carry, shadow_coherent=False):
@@ -846,6 +853,9 @@ def render_sample(
             medium_sigma=jnp.where(
                 next_active[..., None], medium_sigma, carry["medium_sigma"]
             ),
+            alive_hist=carry["alive_hist"].at[bounce].set(
+                jnp.sum(active.astype(jnp.float32))
+            ),
         )
 
     # First bounce peeled with the static coherent-shadow hint: the camera
@@ -865,4 +875,7 @@ def render_sample(
     # accumulation buffer
     bad = jnp.any(~jnp.isfinite(radiance) | (radiance < 0.0), axis=-1)
     radiance = jnp.where(bad[..., None], 0.0, radiance)
+    if collect_bounce_stats:
+        return (carry["rng"], radiance, aov_albedo, aov_normal,
+                carry["rays"], carry["alive_hist"])
     return carry["rng"], radiance, aov_albedo, aov_normal, carry["rays"]

@@ -226,3 +226,48 @@ def test_kinds_used_static_gating(cornell_scene_unused=None):
     scene = build_scene(verts, tri, np.zeros((1,), np.int32), bank,
                         textures=atlas)
     assert set(scene.textures.kinds_used) == {"base", "rough"}
+
+
+def test_kinds_srgb_static_fields():
+    """build_scene records per-kind sRGB-ness over the layers each kind
+    actually references: all-sRGB kinds decode unconditionally, sRGB-free
+    kinds skip the pow-decode statically, mixed kinds keep the per-lane
+    select (fetch_bilinear decode_srgb modes)."""
+    from hiprt_pt_tpu.assets.scene import build_scene
+
+    atlas = build_texture_atlas(
+        [_checker(16), _checker(16), _checker(16)],
+        srgb_indices={0, 1}, layer_size=16)
+    bank = MaterialBank.from_rows([
+        {"base_color_texture_index": 0},      # base refs srgb layer 0
+        {"roughness_texture_index": 2},       # rough refs linear layer 2
+        {"emission_texture_index": 1},        # em refs srgb layer 1
+        {"emission_texture_index": 2},        # ...and linear layer 2: mixed
+    ])
+    tri = np.asarray([[0, 1, 2]] * 4, np.int32)
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    scene = build_scene(verts, tri, np.arange(4, dtype=np.int32), bank,
+                        textures=atlas)
+    t = scene.textures
+    assert set(t.kinds_used) == {"base", "rough", "em"}
+    assert set(t.kinds_srgb_any) == {"base", "em"}
+    assert set(t.kinds_srgb_all) == {"base"}
+
+
+def test_footprint_rows_match_four_taps():
+    """The atlas pre-packs each texel's wrap-addressed 2x2 bilinear
+    neighborhood into one 16-byte row; the packed neighbors must equal the
+    individually addressed texels."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 4)).astype(np.uint8)
+    atlas = build_texture_atlas([img], srgb_indices=set(), layer_size=16)
+    tex = np.asarray(atlas.texels)
+    h, w = 5, 7
+    for y in (0, 2, 4):
+        for x in (0, 3, 6):
+            row = tex[y * w + x]
+            np.testing.assert_array_equal(row[0:4], img[y, x])
+            np.testing.assert_array_equal(row[4:8], img[y, (x + 1) % w])
+            np.testing.assert_array_equal(row[8:12], img[(y + 1) % h, x])
+            np.testing.assert_array_equal(
+                row[12:16], img[(y + 1) % h, (x + 1) % w])

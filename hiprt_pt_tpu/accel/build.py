@@ -93,7 +93,7 @@ class BVHData:
     # rides as bf16-exact byte columns.
     # nodes_lane8 (M8, 64) bf16: [0:48] dilated child boxes (NaN = empty),
     #   [48:51] base_int bytes, [51] n_int, [52:55] base_leaf bytes.
-    # leaves_lane8 (L, W) int8, W = roundup8(21*Tc + 10), Tc =
+    # leaves_lane8 (L, W) int8, W = roundup8(18*Tc + 13), Tc =
     # lane8_leaf_tris: leaf geometry QUANTIZED to one global power-of-2
     # lattice (origin/step in `lane8_frame`) so the gather runs on the
     # int8 MXU path at 2x bf16 throughput and 1/4 the VMEM. Vertex lattice
@@ -104,14 +104,19 @@ class BVHData:
     # component j = vert*3+axis at row j*Tc+kk; every byte value x is
     # stored -128 encoded as int8 x-128): [0:9Tc] q hi byte, [9Tc:18Tc]
     # q lo byte (q = hi*256+lo in [0, 65535] after decode; vertex lattice
-    # coord = k_axis + q), [18Tc:19Tc]/[19Tc:20Tc]/[20Tc:21Tc] (prim+1)
-    # bytes b0/b1/b2, [21Tc] count, [21Tc+1:21Tc+10] leaf origin lattice
-    # coords kx/ky/kz bytes b0/b1/b2 each, rest pad.
+    # coord = k_axis + q), [18Tc] count, [18Tc+1:18Tc+10] leaf origin
+    # lattice coords kx/ky/kz bytes b0/b1/b2 each, [18Tc+10:18Tc+13]
+    # prim-order base bytes b0/b1/b2 (winner prim POSITION = base + slot,
+    # remapped through lane8_order by the host wrapper), rest pad.
     nodes_lane8: jax.Array | None = None   # (M8, 64) bf16
     leaves_lane8: jax.Array | None = None  # (L, W) int8
     # (ox, oy, oz, step) of the global quantization lattice — static python
     # floats baked into the lane8 kernel (step is a power of 2)
     lane8_frame: tuple | None = struct.field(pytree_node=False, default=None)
+    # prim-order remap: lane8 kernels return POSITIONS base+slot into this
+    # concatenated per-leaf prim list (prim ids are not stored in the
+    # leaf table — 14% less table stream per leaf round)
+    lane8_order: jax.Array | None = None   # (total leaf refs,) i32
     # triangle-slot capacity Tc of a lane8 leaf row (12 on the python
     # fallback path; LANE8_LEAF_TRIS cluster leaves on the native path)
     lane8_leaf_tris: int = struct.field(pytree_node=False, default=12)
@@ -333,10 +338,10 @@ def _lane8_cluster_tables(vertices, triangles, leaf_tris: int = LANE8_LEAF_TRIS)
     prims_l[src < 0] = -1
     counts_l = countsc[np.maximum(src, 0)]
     counts_l[src < 0] = 0
-    nl8, ll8, fr8 = _pack_lane8(
+    nl8, ll8, fr8, l8o = _pack_lane8(
         n8lc, None, vertices, triangles,
         prims=prims_l, counts=counts_l, leaf_tris=leaf_tris)
-    return nl8, ll8, fr8, leaf_tris, _depth8_of(n8lc)
+    return nl8, ll8, fr8, l8o, leaf_tris, _depth8_of(n8lc)
 
 
 def _collapse4(n16: np.ndarray):
@@ -506,9 +511,10 @@ def build_bvh(
             r8c, d8 = _rows8c_and_depth(n8l, lr8)
             lc = _lane8_cluster_tables(vertices, triangles)
             if lc is not None:
-                nl8, ll8, fr8, l8t, l8d = lc
+                nl8, ll8, fr8, l8o, l8t, l8d = lc
             else:
-                nl8, ll8, fr8 = _pack_lane8(n8l, lr8, vertices, triangles)
+                nl8, ll8, fr8, l8o = _pack_lane8(n8l, lr8, vertices,
+                                                 triangles)
                 l8t = 12
                 l8d = _depth8_of(n8l)
             return BVHData(
@@ -520,6 +526,7 @@ def build_bvh(
                 rows8c=jnp.asarray(r8c), depth8=d8,
                 nodes_lane8=jnp.asarray(nl8), leaves_lane8=jnp.asarray(ll8),
                 lane8_frame=fr8, lane8_leaf_tris=l8t, lane8_depth=l8d,
+                lane8_order=jnp.asarray(l8o),
             )
 
     v0 = vertices[triangles[:, 0]]
@@ -670,7 +677,7 @@ def build_bvh(
     n8, r8 = _collapse8(n16)
     n8l, lr8 = _collapse8_linear(n16, lrows)
     r8c, d8 = _rows8c_and_depth(n8l, lr8)
-    nl8, ll8, fr8 = _pack_lane8(n8l, lr8, vertices, triangles)
+    nl8, ll8, fr8, l8o = _pack_lane8(n8l, lr8, vertices, triangles)
     return BVHData(
         nodes=jnp.asarray(rows), tri_rows=jnp.asarray(tri_rows),
         nodes16=jnp.asarray(n16), leaf_rows=jnp.asarray(lrows),
@@ -680,6 +687,7 @@ def build_bvh(
         rows8c=jnp.asarray(r8c), depth8=d8,
         nodes_lane8=jnp.asarray(nl8), leaves_lane8=jnp.asarray(ll8),
         lane8_frame=fr8, lane8_depth=_depth8_of(n8l),
+        lane8_order=jnp.asarray(l8o),
     )
 
 
@@ -718,8 +726,8 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
     the int8 MXU path (~2x bf16 throughput, 1/4 the VMEM — measured 36 vs
     71 us/iter at 29.4k x 216 on v5e).
 
-    Returns (nodes (M8, 64) bf16, leaves (L, 264) int8,
-             frame (ox, oy, oz, step)).
+    Returns (nodes (M8, 64) bf16, leaves (L, W) int8,
+             frame (ox, oy, oz, step), prim order (refs,) i32).
     """
     import ml_dtypes
 
@@ -819,25 +827,41 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
     def enc(x):  # -128 encode byte values in [0, 255]
         return (x - 128).astype(np.int8)
 
-    W = -(-(21 * Tc + 10) // 8) * 8
+    # Prim ids are NOT stored per slot (3 bytes/tri, 14% of the old table
+    # stream): each leaf's valid slots 0..cnt-1 map to positions
+    # base_l + slot of a concatenated prim-order array, and the kernels
+    # return POSITIONS that the host wrapper remaps through lane8_order.
+    # This shrinks every leaf-round MXU stream and its i32 materialization
+    # by the same 14%.
+    cnt_arr = np.asarray(counts, np.int64)
+    bases = np.zeros((L,), np.int64)
+    if L > 1:
+        bases[1:] = np.cumsum(cnt_arr[:-1])
+    order = np.where(vmask, prim, 0)[
+        np.arange(Tc)[None, :] < cnt_arr[:, None]
+    ].astype(np.int32)  # (total refs,) row-major = leaf-major, slot order
+    if order.size == 0:
+        order = np.zeros((1,), np.int32)
+    assert bases[-1] + cnt_arr[-1] < (1 << 24)
+
+    W = -(-(18 * Tc + 13) // 8) * 8
     leaves = np.zeros((L, W), np.int8)
     # COMPONENT-MAJOR: row j*Tc + kk (component j = vert*3 + axis of tri
     # slot kk) so the kernel runs Moller-Trumbore on (Tc, L8) blocks
     q_cm = q.transpose(0, 2, 3, 1).reshape(L, 9 * Tc)
     leaves[:, 0:9 * Tc] = enc(q_cm >> 8)
     leaves[:, 9 * Tc:18 * Tc] = enc(q_cm & 255)
-    pv1 = np.where(vmask, prim + 1, 0)  # 0 = invalid slot
-    leaves[:, 18 * Tc:19 * Tc] = enc(pv1 & 255)
-    leaves[:, 19 * Tc:20 * Tc] = enc((pv1 >> 8) & 255)
-    leaves[:, 20 * Tc:21 * Tc] = enc((pv1 >> 16) & 255)
-    leaves[:, 21 * Tc] = enc(np.asarray(counts, np.int64))  # count
+    leaves[:, 18 * Tc] = enc(cnt_arr)  # count
     for a in range(3):
         ka = k[:, a]
-        leaves[:, 21 * Tc + 1 + a * 3] = enc(ka & 255)
-        leaves[:, 21 * Tc + 2 + a * 3] = enc((ka >> 8) & 255)
-        leaves[:, 21 * Tc + 3 + a * 3] = enc((ka >> 16) & 255)
+        leaves[:, 18 * Tc + 1 + a * 3] = enc(ka & 255)
+        leaves[:, 18 * Tc + 2 + a * 3] = enc((ka >> 8) & 255)
+        leaves[:, 18 * Tc + 3 + a * 3] = enc((ka >> 16) & 255)
+    leaves[:, 18 * Tc + 10] = enc(bases & 255)
+    leaves[:, 18 * Tc + 11] = enc((bases >> 8) & 255)
+    leaves[:, 18 * Tc + 12] = enc((bases >> 16) & 255)
     frame = (float(origin[0]), float(origin[1]), float(origin[2]), step)
-    return nodes, leaves, frame
+    return nodes, leaves, frame, order
 
 
 def _collapse8_linear(n16: np.ndarray, leaf_rows: np.ndarray,

@@ -2553,7 +2553,7 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
             gl = jax.lax.dot_general(
                 leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
                 preferred_element_type=i32,
-            )  # (264, L8) i32 of -128-encoded bytes
+            )  # (18*Tc + 13 rounded, L8) i32 of -128-encoded bytes
 
             # lattice reconstruction: vertex = origin + step * (k + q);
             # k + q < 2^24 so the i32 -> f32 cast is exact, and edges are
@@ -2565,7 +2565,7 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                         + gl[base + 2:base + 3] * 65536
                         + (128 + 128 * 256 + 128 * 65536))
 
-            kx, ky, kz = kax(21 * Tc + 1), kax(21 * Tc + 4), kax(21 * Tc + 7)
+            kx, ky, kz = kax(18 * Tc + 1), kax(18 * Tc + 4), kax(18 * Tc + 7)
 
             def qc(j):  # component j lattice offset, (Tc, L8) in [0, 65535]
                 return (gl[j * Tc:(j + 1) * Tc] * 256
@@ -2597,10 +2597,13 @@ def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
             v = (dx * qx + dy * qy + dz * qz) * inv_det
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
 
-            cnt = gl[21 * Tc:21 * Tc + 1] + 128
-            prim12 = (gl[18 * Tc:19 * Tc] + gl[19 * Tc:20 * Tc] * 256
-                      + gl[20 * Tc:21 * Tc] * 65536
-                      + (128 + 128 * 256 + 128 * 65536)) - 1
+            cnt = gl[18 * Tc:18 * Tc + 1] + 128
+            # winner prim POSITION = leaf base + slot (prim ids are
+            # not stored; the wrapper remaps through bvh.lane8_order)
+            prim12 = (gl[18 * Tc + 10:18 * Tc + 11]
+                      + gl[18 * Tc + 11:18 * Tc + 12] * 256
+                      + gl[18 * Tc + 12:18 * Tc + 13] * 65536
+                      + (128 + 128 * 256 + 128 * 65536)) + iota_t
             btv = bt_s[:]
             hit12 = (
                 pend_lane
@@ -2821,6 +2824,10 @@ def _lane8_call(bvh: BVHData, o, d, tmin, tmax, act,
     u = flat[2]
     v = flat[3]
     miss = prim < 0
+    # kernels return prim POSITIONS (leaf base + slot); remap to prim ids
+    prim = jnp.where(
+        miss, -1, bvh.lane8_order[jnp.clip(prim, 0,
+                                           bvh.lane8_order.shape[0] - 1)])
     return HitRecord(
         t=jnp.where(miss, jnp.inf, t), prim=prim, u=u, v=v,
     ), stats
@@ -2918,7 +2925,7 @@ def pallas_lane8_supported(bvh: BVHData, n: int) -> bool:
 # (1, lanes): at 1024 lanes every op runs at 1/8 sublane occupancy and the
 # body is issue/latency-bound (duplicating whole phases measured ~free at
 # the margin), so wider programs amortize per-op overhead nearly linearly
-# until VMEM caps out (leaf gather result is (21*Tc+10, lanes) i32).
+# until VMEM caps out (leaf gather result is (18*Tc+13, lanes) i32).
 # --------------------------------------------------------------------------
 
 
@@ -3086,7 +3093,7 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
             gl = jax.lax.dot_general(
                 leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
                 preferred_element_type=i32,
-            )  # (21*Tc + 10 rounded, LN) i32 of -128-encoded bytes
+            )  # (18*Tc + 13 rounded, LN) i32 of -128-encoded bytes
 
             step = jnp.float32(frame[3])
 
@@ -3095,7 +3102,7 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
                         + gl[base + 2:base + 3] * 65536
                         + (128 + 128 * 256 + 128 * 65536))
 
-            kx, ky, kz = kax(21 * Tc + 1), kax(21 * Tc + 4), kax(21 * Tc + 7)
+            kx, ky, kz = kax(18 * Tc + 1), kax(18 * Tc + 4), kax(18 * Tc + 7)
 
             def qc(j):
                 return (gl[j * Tc:(j + 1) * Tc] * 256
@@ -3127,10 +3134,13 @@ def _kernel_lane8log(nodes_ref, leaves_ref, rays_ref, log_ref, stats_ref,
             v = (dx * qx + dy * qy + dz * qz) * inv_det
             t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
 
-            cnt = gl[21 * Tc:21 * Tc + 1] + 128
-            prim12 = (gl[18 * Tc:19 * Tc] + gl[19 * Tc:20 * Tc] * 256
-                      + gl[20 * Tc:21 * Tc] * 65536
-                      + (128 + 128 * 256 + 128 * 65536)) - 1
+            cnt = gl[18 * Tc:18 * Tc + 1] + 128
+            # winner prim POSITION = leaf base + slot (prim ids are
+            # not stored; the wrapper remaps through bvh.lane8_order)
+            prim12 = (gl[18 * Tc + 10:18 * Tc + 11]
+                      + gl[18 * Tc + 11:18 * Tc + 12] * 256
+                      + gl[18 * Tc + 12:18 * Tc + 13] * 65536
+                      + (128 + 128 * 256 + 128 * 65536)) + iota_t
             btv = bt_s[:]
             hit12 = (
                 pend_lane
@@ -3362,6 +3372,10 @@ def _lane8log_call(bvh: BVHData, o, d, tmin, tmax, act,
     v = jnp.zeros((npad + 1,), jnp.float32).at[idx].set(
         vv, mode="drop")[:npad][:n]
     miss = prim < 0
+    # kernels return prim POSITIONS (leaf base + slot); remap to prim ids
+    prim = jnp.where(
+        miss, -1, bvh.lane8_order[jnp.clip(prim, 0,
+                                           bvh.lane8_order.shape[0] - 1)])
     return HitRecord(
         t=jnp.where(miss, jnp.inf, t), prim=prim, u=u, v=v,
     ), stats
@@ -3649,9 +3663,9 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                             + gl[base + 2:base + 3] * 65536
                             + (128 + 128 * 256 + 128 * 65536))
 
-                kx = kax(21 * Tc + 1)
-                ky = kax(21 * Tc + 4)
-                kz = kax(21 * Tc + 7)
+                kx = kax(18 * Tc + 1)
+                ky = kax(18 * Tc + 4)
+                kz = kax(18 * Tc + 7)
 
                 def qc(j, gl=gl):
                     return (gl[j * Tc:(j + 1) * Tc] * 256
@@ -3687,10 +3701,13 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                 v = (dx * qx + dy * qy + dz * qz) * inv_det
                 t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
 
-                cnt = gl[21 * Tc:21 * Tc + 1] + 128
-                prim12 = (gl[18 * Tc:19 * Tc] + gl[19 * Tc:20 * Tc] * 256
-                          + gl[20 * Tc:21 * Tc] * 65536
-                          + (128 + 128 * 256 + 128 * 65536)) - 1
+                cnt = gl[18 * Tc:18 * Tc + 1] + 128
+                # winner prim POSITION = leaf base + slot (prim ids are
+                # not stored; the wrapper remaps through bvh.lane8_order)
+                prim12 = (gl[18 * Tc + 10:18 * Tc + 11]
+                          + gl[18 * Tc + 11:18 * Tc + 12] * 256
+                          + gl[18 * Tc + 12:18 * Tc + 13] * 65536
+                          + (128 + 128 * 256 + 128 * 65536)) + iota_t
                 bt_g = btv2[g:g + 1]
                 hit12 = (
                     pl_g
@@ -3898,6 +3915,10 @@ def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
     u = blk[2, :n]
     v = blk[3, :n]
     miss = prim < 0
+    # kernels return prim POSITIONS (leaf base + slot); remap to prim ids
+    prim = jnp.where(
+        miss, -1, bvh.lane8_order[jnp.clip(prim, 0,
+                                           bvh.lane8_order.shape[0] - 1)])
     return HitRecord(
         t=jnp.where(miss, jnp.inf, t), prim=prim, u=u, v=v,
     ), stats
@@ -3996,7 +4017,7 @@ def pallas_lane8s_supported(bvh: BVHData, n: int) -> bool:
 # dot per round over the full wavefront — the table is streamed once, not
 # 8x. The compressed two-plane stack, static-strided windowed refill, and
 # int8 lattice cluster leaves are unchanged from v10. The leaf gather runs
-# in `leaf_chunks` lane-slices to bound the (21*Tc+10, W) i32 intermediate.
+# in `leaf_chunks` lane-slices to bound the (18*Tc+13, W) i32 intermediate.
 #
 # Reference parity: src/Device/includes/Intersect.h:129-142 (the HW
 # traversal this replaces) — redesigned for the MXU instead of translated.
@@ -4185,9 +4206,9 @@ def _kernel_lane8w(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                             + gl[base + 2:base + 3] * 65536
                             + (128 + 128 * 256 + 128 * 65536))
 
-                kx = kax(21 * Tc + 1)
-                ky = kax(21 * Tc + 4)
-                kz = kax(21 * Tc + 7)
+                kx = kax(18 * Tc + 1)
+                ky = kax(18 * Tc + 4)
+                kz = kax(18 * Tc + 7)
 
                 def qc(j, gl=gl):
                     return (gl[j * Tc:(j + 1) * Tc] * 256
@@ -4219,10 +4240,13 @@ def _kernel_lane8w(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                 v = (dx * qx + dy * qy + dz * qz) * inv_det
                 t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
 
-                cnt = gl[21 * Tc:21 * Tc + 1] + 128
-                prim12 = (gl[18 * Tc:19 * Tc] + gl[19 * Tc:20 * Tc] * 256
-                          + gl[20 * Tc:21 * Tc] * 65536
-                          + (128 + 128 * 256 + 128 * 65536)) - 1
+                cnt = gl[18 * Tc:18 * Tc + 1] + 128
+                # winner prim POSITION = leaf base + slot (prim ids are
+                # not stored; the wrapper remaps through bvh.lane8_order)
+                prim12 = (gl[18 * Tc + 10:18 * Tc + 11]
+                          + gl[18 * Tc + 11:18 * Tc + 12] * 256
+                          + gl[18 * Tc + 12:18 * Tc + 13] * 65536
+                          + (128 + 128 * 256 + 128 * 65536)) + iota_t
                 hit12 = (
                     pl_c
                     & (iota_t < cnt)
@@ -4567,6 +4591,10 @@ def _lane8w_call(bvh: BVHData, o, d, tmin, tmax, act,
     u = blk[2, :n]
     v = blk[3, :n]
     miss = prim < 0
+    # kernels return prim POSITIONS (leaf base + slot); remap to prim ids
+    prim = jnp.where(
+        miss, -1, bvh.lane8_order[jnp.clip(prim, 0,
+                                           bvh.lane8_order.shape[0] - 1)])
     return HitRecord(
         t=jnp.where(miss, jnp.inf, t), prim=prim, u=u, v=v,
     ), stats

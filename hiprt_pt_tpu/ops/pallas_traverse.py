@@ -3480,7 +3480,8 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                    *, any_hit: bool, n_gen: int, m_nodes: int,
                    m_leaves: int, iter_cap: int, frame: tuple,
                    leaf_tris: int, round_every: int, lanes: int,
-                   window: int, s_depth: int, occ_stats: bool = False):
+                   window: int, s_depth: int, occ_stats: bool = False,
+                   leaf_gate: int = 0):
     LN = lanes
     G = 8
     R = G * LN
@@ -3642,7 +3643,21 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         pend_s[:] = pend
 
         # ---- leaf round (per sublane group, int8 lattice leaves) ----
-        @pl.when(leaf_round)
+        # leaf_gate > 0: skip the (table-stream-dominated) intersect block
+        # when fewer than leaf_gate lanes hold a pending leaf — pends just
+        # resolve a few iterations later (results identical: a later bt
+        # update only admits extra node visits, never changes the winner).
+        # Every 4th cadence point runs unconditionally so waits are bounded
+        # and an all-pending wavefront always progresses. One
+        # vector->scalar crossing per cadence point, not per body.
+        if leaf_gate > 0:
+            run_leaf = leaf_round & (
+                (jnp.sum((pend_s[:] > 0).astype(i32)) >= leaf_gate)
+                | ((it % (round_every * 4)) == (round_every * 4 - 1)))
+        else:
+            run_leaf = leaf_round
+
+        @pl.when(run_leaf)
         def _leaf_round():
             pendv = pend_s[:]
             btv2 = bt_s[:]
@@ -3846,7 +3861,7 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
 def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
                  any_hit: bool, interpret: bool, round_every: int = 8,
                  lanes: int = 512, window: int = 8,
-                 occ_stats: bool = False):
+                 occ_stats: bool = False, leaf_gate: int = 0):
     """One pallas_call over <= L8_MAX_RAYS rays; output is ordered by
     construction (lane (g, l) owns ray k*8*lanes + g*lanes + l)."""
     n = o.shape[0]
@@ -3877,7 +3892,7 @@ def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
                 m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
                 frame=bvh.lane8_frame, leaf_tris=bvh.lane8_leaf_tris,
                 round_every=round_every, lanes=LN, window=window,
-                s_depth=S, occ_stats=occ_stats),
+                s_depth=S, occ_stats=occ_stats, leaf_gate=leaf_gate),
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -3926,7 +3941,7 @@ def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats",
                                   "round_every", "lanes", "window",
-                                  "occ_stats"))
+                                  "occ_stats", "leaf_gate"))
 def traverse_pallas_lane8s(
     bvh: BVHData,
     o: jax.Array,
@@ -3941,6 +3956,7 @@ def traverse_pallas_lane8s(
     lanes: int = 512,
     window: int = 8,
     occ_stats: bool = False,
+    leaf_gate: int = 0,
 ) -> HitRecord:
     """Sublane-grouped static-strided per-lane BVH8 traversal (v10)."""
     n = o.shape[0]
@@ -3958,7 +3974,8 @@ def traverse_pallas_lane8s(
         e = min(n, s + L8_MAX_RAYS)
         rec, st = _lane8s_call(
             bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
-            any_hit, interpret, round_every, lanes, window, occ_stats)
+            any_hit, interpret, round_every, lanes, window, occ_stats,
+            leaf_gate)
         recs.append(rec)
         stats = st if stats is None else stats + st
     if len(recs) == 1:

@@ -101,7 +101,11 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
                 # level) over lane8log: 59 vs 118 ms any-hit, 68 vs 133 ms
                 # closest at 256k incoherent stress rays (v5e). window=16
                 # is on the measured plateau (w8 60/71, w16 58/68,
-                # w64 57/69).
+                # w64 57/69). Cadence re-checked after the prim-base leaf
+                # shrink: synthetic uniform-random rays favored re10 (ah
+                # 23.5 vs 26.9 ms) but the REAL bounce wavefront measured
+                # in situ kept re8 ahead (bench 6.03 vs 5.98 Mrays/s) —
+                # cadence optima don't transfer across ray populations.
                 return traverse_pallas_lane8s(bvh, o, d, t_min, tm,
                                               active, any_hit=any_hit,
                                               lanes=512, window=16)

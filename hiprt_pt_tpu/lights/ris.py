@@ -36,8 +36,9 @@ from ..core import rng as rng_mod
 from ..core.settings import RenderOptions
 from ..models.dispatcher import (
     bsdf_eval,
-    bsdf_proxy_eval,
-    bsdf_proxy_sample,
+    bsdf_proxy_ctx,
+    bsdf_proxy_eval_ctx,
+    bsdf_proxy_sample_ctx,
     bsdf_sample,
 )
 from ..ops.intersect import offset_ray_origin
@@ -88,11 +89,14 @@ def ris_direct_lighting(
     M_b = settings.ris.number_of_bsdf_candidates
     aux = {"eta_rel": eta_rel}
     proxy = options.ris_proxy_target
+    # candidate-invariant proxy state (frame, canonical wo, lobe weights):
+    # computed ONCE here, reused by all M_l + M_b candidate evals/samples
+    pctx = bsdf_proxy_ctx(options, mats, ns, wo) if proxy else None
 
     def target_eval(wi):
         """Candidate-weighting BSDF (proxy or exact). Returns (f, pdf_b)."""
         if proxy:
-            return bsdf_proxy_eval(options, mats, ns, wo, wi, aux)
+            return bsdf_proxy_eval_ctx(options, pctx, mats, ns, wo, wi, aux)
         return bsdf_eval(options, mats, ns, wo, wi, aux)
 
     # reservoir state — stores what final shading needs to re-evaluate the
@@ -161,8 +165,8 @@ def ris_direct_lighting(
     def bsdf_body(i, carry):
         res, rng_state = carry
         if proxy:
-            rng_state, wi, f, pdf_b = bsdf_proxy_sample(
-                options, mats, ns, wo, rng_state, aux
+            rng_state, wi, f, pdf_b = bsdf_proxy_sample_ctx(
+                options, pctx, mats, ns, wo, rng_state, aux
             )
         else:
             rng_state, wi, f, pdf_b, _s_aux = bsdf_sample(

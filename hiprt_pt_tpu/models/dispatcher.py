@@ -52,6 +52,36 @@ def bsdf_proxy_eval(options: RenderOptions, mats, n, wo, wi, aux=None):
     return proxy.eval_pdf(mats, n, wo, wi)
 
 
+def bsdf_proxy_ctx(options: RenderOptions, mats, n, wo):
+    """Hoisted candidate-invariant proxy context (models/proxy.py make_ctx):
+    the local frame + lobe weights RIS/ReSTIR would otherwise recompute per
+    candidate. None for cheap overrides (they route to the real eval)."""
+    ov = options.bsdf_override
+    if ov in (BSDFOverride.LAMBERTIAN, BSDFOverride.OREN_NAYAR):
+        return None
+    from . import proxy
+
+    return proxy.make_ctx(mats, n, wo)
+
+
+def bsdf_proxy_eval_ctx(options, ctx, mats, n, wo, wi, aux=None):
+    """bsdf_proxy_eval through a hoisted context (falls back when None)."""
+    if ctx is None:
+        return bsdf_proxy_eval(options, mats, n, wo, wi, aux)
+    from . import proxy
+
+    return proxy.eval_pdf_ctx(ctx, n, wo, wi)
+
+
+def bsdf_proxy_sample_ctx(options, ctx, mats, n, wo, rng_state, aux=None):
+    """bsdf_proxy_sample through a hoisted context (falls back when None)."""
+    if ctx is None:
+        return bsdf_proxy_sample(options, mats, n, wo, rng_state, aux)
+    from . import proxy
+
+    return proxy.sample_ctx(ctx, n, wo, rng_state)
+
+
 def bsdf_proxy_sample(options: RenderOptions, mats, n, wo, rng_state, aux=None):
     """Cheap candidate-direction sampler paired with bsdf_proxy_eval.
     Returns (rng, wi, f_proxy, pdf) — pdf is the exact mixture pdf of this

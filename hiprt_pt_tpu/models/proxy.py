@@ -70,16 +70,50 @@ def _weights(mats: MaterialBank, cos_o):
     return w_diff, spec_rgb, w_trans, ax, ay
 
 
-def eval_pdf_local(mats: MaterialBank, wo_l, wi_l):
-    """Proxy eval in the local frame. Returns (f (N,3), pdf (N,))."""
-    wo = jnp.where(wo_l[..., 2:3] < 0.0, -wo_l, wo_l)
-    wi = jnp.where(wo_l[..., 2:3] < 0.0, -wi_l, wi_l)
+def _ctx_from_weights(mats: MaterialBank, cos_o):
+    """Candidate-invariant proxy state for a batch of shading vertices.
+
+    RIS/ReSTIR evaluate the proxy once per CANDIDATE (~5x per vertex) but
+    every lobe weight (two Fresnel chains) depends only on (material,
+    cos_o) — hoisting them into this context removes that work from the
+    per-candidate loop, where XLA's while-loop LICM does not reliably lift
+    it. Deliberately SMALL (one (N,3) + five (N,) arrays): the context is
+    threaded through the candidate fori_loop carries, and a fat context
+    (frames, canonicalized vectors) measured as an HBM peak-memory blowup
+    at the 2M stress wavefront. The frame and wo canonicalization are
+    recomputed per candidate — they are cheap dot/select chains."""
+    w_diff, spec_rgb, w_trans, ax, ay = _weights(mats, cos_o)
+    p_s = _lum(spec_rgb)
+    tot = jnp.maximum(w_diff + p_s + w_trans, 1e-8)
+    return dict(
+        w_diff=w_diff,
+        spec_rgb=spec_rgb,
+        w_trans=w_trans,
+        ax=ax,
+        ay=ay,
+        p_s=p_s,
+        tot=tot,
+    )
+
+
+def make_ctx(mats: MaterialBank, n, wo):
+    """World-frame proxy context (lobe weights shared by every candidate
+    eval/sample at these vertices). cos_o = |wo·n| matches the canonical
+    local frame's wo.z after the below-frame flip — no ONB needed here."""
+    cos_o = jnp.maximum(jnp.abs(jnp.sum(wo * n, axis=-1)), 1e-6)
+    ctx = _ctx_from_weights(mats, cos_o)
+    ctx["mats"] = mats
+    return ctx
+
+
+def _eval_core(ctx, wo, wi):
+    """Proxy eval of canonicalized local-frame (wo, wi) against a context."""
     cos_o = jnp.maximum(wo[..., 2], 1e-6)
+    ax, ay = ctx["ax"], ctx["ay"]
+    mats = ctx["mats"]
     cos_i = wi[..., 2]
     upper = cos_i > 1e-6
     lower = cos_i < -1e-6
-
-    w_diff, spec_rgb, w_trans, ax, ay = _weights(mats, cos_o)
 
     # GGX specular (shared-D reflection term, no per-lobe Fresnel chains)
     h = wo + wi
@@ -94,41 +128,61 @@ def eval_pdf_local(mats: MaterialBank, wo_l, wi_l):
     pdf_spec = jnp.where(upper, mf.vndf_pdf(wo, h, ax, ay) / (4.0 * doth), 0.0)
 
     base = jnp.maximum(mats.base_color, 0.05)
-    f_up = (
-        (w_diff * INV_PI + _FLOOR)[..., None] * base
-        + spec[..., None] * spec_rgb
-    )
     transmissive = mats.specular_transmission > 0.0
+    f_up = (
+        (ctx["w_diff"] * INV_PI + _FLOOR)[..., None] * base
+        + spec[..., None] * ctx["spec_rgb"]
+    )
     f_dn = (
-        (w_trans * INV_PI + _FLOOR * transmissive)[..., None] * base
+        (ctx["w_trans"] * INV_PI + _FLOOR * transmissive)[..., None] * base
     )
     f = jnp.where(
         upper[..., None], f_up, jnp.where(lower[..., None], f_dn, 0.0)
     )
 
     # mixture pdf of the proxy sampler (normalized selection weights)
-    p_d = w_diff
-    p_s = _lum(spec_rgb)
-    p_t = w_trans
-    tot = jnp.maximum(p_d + p_s + p_t, 1e-8)
+    tot = ctx["tot"]
     pdf = (
-        p_d / tot * jnp.where(upper, cos_i * INV_PI, 0.0)
-        + p_s / tot * pdf_spec
-        + p_t / tot * jnp.where(lower, -cos_i * INV_PI, 0.0)
+        ctx["w_diff"] / tot * jnp.where(upper, cos_i * INV_PI, 0.0)
+        + ctx["p_s"] / tot * pdf_spec
+        + ctx["w_trans"] / tot * jnp.where(lower, -cos_i * INV_PI, 0.0)
     )
     return f, pdf
 
 
-def sample_local(mats: MaterialBank, wo_l, rng_state):
-    """Sample the proxy mixture. Returns (rng, wi_l (N,3), f (N,3), pdf)."""
-    wo = jnp.where(wo_l[..., 2:3] < 0.0, -wo_l, wo_l)
-    cos_o = jnp.maximum(wo[..., 2], 1e-6)
-    w_diff, spec_rgb, w_trans, ax, ay = _weights(mats, cos_o)
-    p_d = w_diff
-    p_s = _lum(spec_rgb)
-    p_t = w_trans
-    tot = jnp.maximum(p_d + p_s + p_t, 1e-8)
+def eval_pdf_ctx(ctx, n, wo, wi_world):
+    """Per-candidate proxy eval against a hoisted context (frame + flips
+    recomputed here — cheap; the hoisted part is the lobe weights)."""
+    t, b = build_onb(n)
 
+    def to_local(w):
+        return jnp.stack(
+            [jnp.sum(w * t, axis=-1), jnp.sum(w * b, axis=-1),
+             jnp.sum(w * n, axis=-1)],
+            axis=-1,
+        )
+
+    wo_l = to_local(wo)
+    wi_l = to_local(wi_world)
+    flip = wo_l[..., 2:3] < 0.0
+    return _eval_core(
+        ctx, jnp.where(flip, -wo_l, wo_l), jnp.where(flip, -wi_l, wi_l)
+    )
+
+
+def eval_pdf_local(mats: MaterialBank, wo_l, wi_l):
+    """Proxy eval in the local frame. Returns (f (N,3), pdf (N,))."""
+    flip = wo_l[..., 2:3] < 0.0
+    wo = jnp.where(flip, -wo_l, wo_l)
+    ctx = _ctx_from_weights(mats, jnp.maximum(wo[..., 2], 1e-6))
+    ctx["mats"] = mats
+    return _eval_core(ctx, wo, jnp.where(flip, -wi_l, wi_l))
+
+
+def _sample_core(ctx, wo, rng_state):
+    """Sample the proxy mixture in the canonical local frame.
+
+    Returns (rng, wi canonical-local (N,3), f, pdf)."""
     rng_state, u_sel = rng_mod.next_float(rng_state)
     rng_state, u1, u2 = rng_mod.next_float2(rng_state)
 
@@ -140,11 +194,11 @@ def sample_local(mats: MaterialBank, wo_l, rng_state):
          jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))],
         axis=-1,
     )
-    h = mf.sample_vndf(wo, ax, ay, u1, u2)
+    h = mf.sample_vndf(wo, ctx["ax"], ctx["ay"], u1, u2)
     wi_spec = mf.reflect_local(wo, h)
 
-    c_d = p_d / tot
-    c_s = c_d + p_s / tot
+    c_d = ctx["w_diff"] / ctx["tot"]
+    c_s = c_d + ctx["p_s"] / ctx["tot"]
     pick_d = u_sel < c_d
     pick_s = (~pick_d) & (u_sel < c_s)
     wi = jnp.where(
@@ -152,34 +206,47 @@ def sample_local(mats: MaterialBank, wo_l, rng_state):
         wi_cos,
         jnp.where(pick_s[..., None], wi_spec, wi_cos * jnp.asarray([1.0, 1.0, -1.0])),
     )
-    f, pdf = eval_pdf_local(mats, wo, wi)
-    # un-flip if wo_l was below the frame (matches eval's canonicalization)
-    wi = jnp.where(wo_l[..., 2:3] < 0.0, -wi, wi)
+    f, pdf = _eval_core(ctx, wo, wi)
     return rng_state, wi, f, pdf
 
 
-def eval_pdf(mats: MaterialBank, n, wo, wi):
-    """World-frame proxy eval."""
-    t, b = build_onb(n)
-
-    def to_local(w):
-        return jnp.stack(
-            [jnp.sum(w * t, axis=-1), jnp.sum(w * b, axis=-1),
-             jnp.sum(w * n, axis=-1)],
-            axis=-1,
-        )
-
-    return eval_pdf_local(mats, to_local(wo), to_local(wi))
+def sample_local(mats: MaterialBank, wo_l, rng_state):
+    """Sample the proxy mixture. Returns (rng, wi_l (N,3), f (N,3), pdf)."""
+    flip = wo_l[..., 2:3] < 0.0
+    wo = jnp.where(flip, -wo_l, wo_l)
+    ctx = _ctx_from_weights(mats, jnp.maximum(wo[..., 2], 1e-6))
+    ctx["mats"] = mats
+    rng_state, wi, f, pdf = _sample_core(ctx, wo, rng_state)
+    # un-flip if wo_l was below the frame (matches eval's canonicalization)
+    wi = jnp.where(flip, -wi, wi)
+    return rng_state, wi, f, pdf
 
 
-def sample(mats: MaterialBank, n, wo, rng_state):
-    """World-frame proxy sample. Returns (rng, wi_world, f, pdf)."""
+def sample_ctx(ctx, n, wo, rng_state):
+    """Per-candidate proxy sample against a hoisted context.
+    Returns (rng, wi_world (N,3), f (N,3), pdf (N,))."""
     t, b = build_onb(n)
     wo_l = jnp.stack(
         [jnp.sum(wo * t, axis=-1), jnp.sum(wo * b, axis=-1),
          jnp.sum(wo * n, axis=-1)],
         axis=-1,
     )
-    rng_state, wi_l, f, pdf = sample_local(mats, wo_l, rng_state)
-    wi = wi_l[..., 0:1] * t + wi_l[..., 1:2] * b + wi_l[..., 2:3] * n
-    return rng_state, wi, f, pdf
+    flip = wo_l[..., 2:3] < 0.0
+    rng_state, wi, f, pdf = _sample_core(
+        ctx, jnp.where(flip, -wo_l, wo_l), rng_state
+    )
+    wi_l = jnp.where(flip, -wi, wi)
+    wi_world = (
+        wi_l[..., 0:1] * t + wi_l[..., 1:2] * b + wi_l[..., 2:3] * n
+    )
+    return rng_state, wi_world, f, pdf
+
+
+def eval_pdf(mats: MaterialBank, n, wo, wi):
+    """World-frame proxy eval."""
+    return eval_pdf_ctx(make_ctx(mats, n, wo), n, wo, wi)
+
+
+def sample(mats: MaterialBank, n, wo, rng_state):
+    """World-frame proxy sample. Returns (rng, wi_world, f, pdf)."""
+    return sample_ctx(make_ctx(mats, n, wo), n, wo, rng_state)

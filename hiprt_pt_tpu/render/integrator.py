@@ -276,7 +276,7 @@ def camera_rays_pass(
     ns, ng, uv, mat_id, tangent = _interpolate_hit(
         scene, rec.prim, rec.u, rec.v, d
     )
-    if scene.textures is not None and scene.textures.has_alpha:
+    if scene.textures is not None:
         nm_idx = scene.materials.fields_at(
             jnp.maximum(mat_id, 0), ("normal_map_texture_index",)
         )["normal_map_texture_index"]
@@ -559,7 +559,12 @@ def render_sample(
         throughput = carry["throughput"]
         radiance = carry["radiance"]
         mats = scene.materials.at_indices(carry["mat_id"]).make_safe()
-        if scene.textures is not None and scene.textures.has_alpha:
+        # texturing is NOT gated on has_alpha (that flag only gates the
+        # alpha-aware shadow march): a fully-opaque textured scene still
+        # needs its base/rough/metal/normal maps applied at every vertex —
+        # an earlier has_alpha gate here silently rendered opaque textured
+        # scenes (e.g. the stress interior) with untextured materials
+        if scene.textures is not None:
             mats = apply_textures(scene.textures, mats, carry["uv"])
 
         # --- chromatic dispersion: hero wavelength sampled on first contact
@@ -825,7 +830,7 @@ def render_sample(
         ns2, ng2, uv2, mat_id2, tan2 = _interpolate_hit(
             scene, rec.prim, rec.u, rec.v, wi
         )
-        if scene.textures is not None and scene.textures.has_alpha:
+        if scene.textures is not None:
             nm_idx2 = scene.materials.fields_at(
                 jnp.maximum(mat_id2, 0), ("normal_map_texture_index",)
             )["normal_map_texture_index"]

@@ -103,6 +103,13 @@ def render_step(
             mats0 = scene.materials.at_indices(
                 jnp.maximum(gbuf.material_id, 0)
             ).make_safe()
+            if scene.textures is not None:
+                from ..ops.texture import apply_textures
+
+                # candidate targets AND the exact winner re-eval in
+                # final_shading see the textured surface (not gated on
+                # has_alpha — that flag only gates alpha shadow marching)
+                mats0 = apply_textures(scene.textures, mats0, gbuf.uv)
             eta0 = jnp.where(
                 ~gbuf.backface,
                 jnp.maximum(mats0.ior, 1.0 + 1e-3),

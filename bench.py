@@ -4,23 +4,72 @@ Headline (BASELINE.md): Mrays/s/chip at 1080p on a Bistro-class workload
 with the FULL principled BSDF — here the procedural stress interior
 (hiprt_pt_tpu/assets/stress.py: 259k tris, 120 area emitters, 18 textures,
 all BSDF lobes; the reference's Bistro-class assets are not importable —
-white-room .bin missing upstream). Cornell numbers ride along in "extra".
-Target: >= 150 Mrays/s/chip (BASELINE.json, v5p; this host is v5e).
+white-room .bin missing upstream). Target: >= 150 Mrays/s/chip
+(BASELINE.json, v5p; this host is v5e — see BASELINE.md for the modeled
+v5e->v5p scaling row).
+
+Robustness contract with the driver (the round-2 record was rc=124 with no
+output at all):
+- The headline JSON line is printed, flushed, the MOMENT the stress scene
+  is measured. Extras (cornell MIS, ReSTIR DI, 1.5M-tri scale) each re-print
+  the full line with the extras dict grown — whichever line is last when the
+  driver's timeout lands carries the headline plus every extra measured so
+  far. A timeout can only lose extras, never the headline.
+- An internal wall-clock budget (BENCH_BUDGET_S, default 400 s) skips
+  remaining extras so a normal run exits 0 well inside the driver's window.
+- The persistent XLA cache (.xla_cache) plays the reference's shader-cache
+  role (GPUKernelCompiler.cpp:250-308): the first run at a given code state
+  pays relay-side compiles (~4 min per 1080p program on the axon relay);
+  warm reruns skip them.
+- Frame timing uses one fused n_samples=FRAMES dispatch (lax.fori_loop over
+  samples, bit-exact vs the sequential chain — tests/test_integrator.py) so
+  the measurement carries ONE relay dispatch+readback noise (30-400 ms
+  observed) over the whole batch instead of one per frame.
 """
 
 import json
+import os
+import sys
 import time
+
+_T0 = time.perf_counter()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "400"))
+
+
+def _elapsed():
+    return time.perf_counter() - _T0
+
+
+def _emit(headline_mrays, extra):
+    baseline_target = 150.0  # Mrays/s/chip (BASELINE.json)
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "Mrays/s/chip (stress interior 259k tris/120 lights, "
+                    "1080p, full principled BSDF, RIS, 4 bounces)"
+                ),
+                "value": round(headline_mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(headline_mrays / baseline_target, 4),
+                "extra": extra,
+            }
+        ),
+        flush=True,
+    )
 
 
 def _bench_renderer(r, n_frames=4):
+    """Mrays/s and spp/s over one fused n_frames-sample dispatch."""
     import jax
+    import jax.numpy as jnp
 
-    r.step(block=True)  # compile + warm-up
+    r.fuse_frame = True
+    r.settings = r.settings.replace(samples_per_frame=jnp.int32(n_frames))
+    r.step(block=True)  # compile + warm-up (the fused program)
     rays0 = float(jax.device_get(r.state.rays_traced))
     t0 = time.perf_counter()
-    for _ in range(n_frames):
-        r.step()
-    jax.block_until_ready(r.state.accum)
+    r.step(block=True)
     dt = time.perf_counter() - t0
     rays1 = float(jax.device_get(r.state.rays_traced))
     return (rays1 - rays0) / dt / 1e6, n_frames / dt
@@ -44,60 +93,63 @@ def main():
     from hiprt_pt_tpu.render.renderer import Renderer
 
     width, height = 1920, 1080
+    extra = {"device": None}
+
+    def make_renderer(scene, cam, strategy, **opt_kw):
+        opts = RenderOptions(
+            direct_light_sampling=strategy, max_bounces_static=4, **opt_kw
+        )
+        r = Renderer(scene, cam, width, height, options=opts)
+        r.settings = r.settings.replace(
+            nb_bounces=jnp.int32(4), samples_per_frame=jnp.int32(1)
+        )
+        r.world = r.world.replace(
+            ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+        )
+        return r
 
     # --- headline: stress interior, full principled BSDF, RIS many-light ---
     scene_s, cam_s = load_stress_scene(aspect=width / height)
-    opts_s = RenderOptions(
-        direct_light_sampling=LightSamplingStrategy.RIS_BSDF_LIGHT,
-        max_bounces_static=4,
-    )
-    rs = Renderer(scene_s, cam_s, width, height, options=opts_s)
-    rs.settings = rs.settings.replace(
-        nb_bounces=jnp.int32(4), samples_per_frame=jnp.int32(1)
-    )
-    rs.world = rs.world.replace(
-        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
-    )
+    rs = make_renderer(scene_s, cam_s, LightSamplingStrategy.RIS_BSDF_LIGHT)
+    extra["device"] = str(jax.devices()[0])
     stress_mrays, stress_spp = _bench_renderer(rs)
+    extra["stress_spp_per_s_1080p"] = round(stress_spp, 3)
+    _emit(stress_mrays, extra)  # headline lands NOW, extras grow below
     del rs
 
-    # --- cornell, full principled BSDF, MIS NEE (config-1 shape @1080p) ---
-    scene_c, cam_c = load_scene_file(
-        "/root/reference/data/GLTFs/cornell_pbr.gltf", aspect=width / height
-    )
-    opts_c = RenderOptions(
-        direct_light_sampling=LightSamplingStrategy.MIS,
-        max_bounces_static=4,
-    )
-    rc = Renderer(scene_c, cam_c, width, height, options=opts_c)
-    rc.settings = rc.settings.replace(
-        nb_bounces=jnp.int32(4), samples_per_frame=jnp.int32(1)
-    )
-    rc.world = rc.world.replace(
-        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
-    )
-    cornell_mrays, cornell_spp = _bench_renderer(rc)
+    # --- extra: ReSTIR DI fused spatiotemporal on the stress scene (the
+    # reference's flagship interactive mode, ReSTIRDIRenderPass.cpp:475-506)
+    if _elapsed() < _BUDGET_S:
+        try:
+            rr = make_renderer(scene_s, cam_s, LightSamplingStrategy.RESTIR_DI)
+            restir_mrays, restir_spp = _bench_renderer(rr)
+            extra["restir_mrays_per_s"] = round(restir_mrays, 2)
+            extra["restir_spp_per_s_1080p"] = round(restir_spp, 3)
+            del rr
+            _emit(stress_mrays, extra)
+        except Exception as e:  # an extra must never kill the headline
+            extra["restir_error"] = repr(e)[:200]
+            _emit(stress_mrays, extra)
 
-    baseline_target = 150.0  # Mrays/s/chip (BASELINE.json)
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "Mrays/s/chip (stress interior 259k tris/120 lights, "
-                    "1080p, full principled BSDF, RIS, 4 bounces)"
-                ),
-                "value": round(stress_mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(stress_mrays / baseline_target, 4),
-                "extra": {
-                    "stress_spp_per_s_1080p": round(stress_spp, 3),
-                    "cornell_full_bsdf_mrays_per_s": round(cornell_mrays, 2),
-                    "cornell_spp_per_s_1080p": round(cornell_spp, 3),
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
-    )
+    # --- extra: cornell, full principled BSDF, MIS NEE (config-1 @1080p) ---
+    if _elapsed() < _BUDGET_S:
+        try:
+            scene_c, cam_c = load_scene_file(
+                "/root/reference/data/GLTFs/cornell_pbr.gltf",
+                aspect=width / height,
+            )
+            rc = make_renderer(scene_c, cam_c, LightSamplingStrategy.MIS)
+            cornell_mrays, cornell_spp = _bench_renderer(rc)
+            extra["cornell_full_bsdf_mrays_per_s"] = round(cornell_mrays, 2)
+            extra["cornell_spp_per_s_1080p"] = round(cornell_spp, 3)
+            del rc
+            _emit(stress_mrays, extra)
+        except Exception as e:
+            extra["cornell_error"] = repr(e)[:200]
+            _emit(stress_mrays, extra)
+
+    extra["bench_wall_s"] = round(_elapsed(), 1)
+    _emit(stress_mrays, extra)
 
 
 if __name__ == "__main__":

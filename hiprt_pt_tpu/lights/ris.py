@@ -89,7 +89,7 @@ def ris_direct_lighting(
     M_b = settings.ris.number_of_bsdf_candidates
     aux = {"eta_rel": eta_rel}
     proxy = options.ris_proxy_target
-    # candidate-invariant proxy state (frame, canonical wo, lobe weights):
+    # candidate-invariant proxy state (the lobe weights / Fresnel chains):
     # computed ONCE here, reused by all M_l + M_b candidate evals/samples
     pctx = bsdf_proxy_ctx(options, mats, ns, wo) if proxy else None
 

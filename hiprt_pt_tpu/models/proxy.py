@@ -77,11 +77,14 @@ def _ctx_from_weights(mats: MaterialBank, cos_o):
     every lobe weight (two Fresnel chains) depends only on (material,
     cos_o) — hoisting them into this context removes that work from the
     per-candidate loop, where XLA's while-loop LICM does not reliably lift
-    it. Deliberately SMALL (one (N,3) + five (N,) arrays): the context is
-    threaded through the candidate fori_loop carries, and a fat context
-    (frames, canonicalized vectors) measured as an HBM peak-memory blowup
-    at the 2M stress wavefront. The frame and wo canonicalization are
-    recomputed per candidate — they are cheap dot/select chains."""
+    it. Deliberately SMALL (one (N,3) + five (N,) arrays): the ctx is
+    captured by the candidate-loop body closures (a loop-invariant constant
+    of the compiled while-loop, NOT part of its carry), so keeping it small
+    bounds the buffer set that stays live across the whole candidate loop —
+    a fat context (frames, canonicalized vectors) measured as an HBM
+    peak-memory blowup at the 2M stress wavefront. The frame and wo
+    canonicalization are recomputed per candidate — cheap dot/select
+    chains."""
     w_diff, spec_rgb, w_trans, ax, ay = _weights(mats, cos_o)
     p_s = _lum(spec_rgb)
     tot = jnp.maximum(w_diff + p_s + w_trans, 1e-8)

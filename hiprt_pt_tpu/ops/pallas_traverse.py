@@ -644,7 +644,7 @@ def traverse_pallas_compact(
                             memory_space=pltpu.VMEM)
     node_spec = pl.BlockSpec(bvh.nodes16.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
-    leaf_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+    leaf_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
     out_shape = [
         jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
         jax.ShapeDtypeStruct((rows, PACKET), jnp.int32),
@@ -973,7 +973,7 @@ def traverse_pallas_wide(
                             memory_space=pltpu.VMEM)
     node_spec = pl.BlockSpec(bvh.nodes4.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
-    leaf_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    leaf_spec = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = [
         jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
         jax.ShapeDtypeStruct((rows, PACKET), jnp.int32),
@@ -1370,7 +1370,7 @@ def traverse_pallas_stream(
     ]
     node_spec = pl.BlockSpec(bvh.nodes4.shape, lambda: (0, 0),
                              memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     t, prim, u, v, _cnt = pl.pallas_call(
         partial(_kernel_stream, any_hit=any_hit, n_packets=p),
         grid=(),
@@ -1775,7 +1775,7 @@ def traverse_pallas_stream8(
     refs_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     node_spec = pl.BlockSpec(bvh.nodes8.shape, lambda: (0, 0),
                              memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     t, prim, u, v, _cnt = pl.pallas_call(
         partial(_kernel_stream8, any_hit=any_hit, n_packets=p),
         grid=(),
@@ -2270,7 +2270,7 @@ def traverse_pallas_stream8l(
     ]
     node_spec = pl.BlockSpec(bvh.nodes8l.shape, lambda: (0, 0),
                              memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     t, prim, u, v, _cnt = pl.pallas_call(
         partial(_kernel_stream8l, any_hit=any_hit, n_packets=p),
         grid=(),
@@ -3319,7 +3319,7 @@ def _lane8log_call(bvh: BVHData, o, d, tmin, tmax, act,
                 lanes=LN),
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((log_cap * 8, LN), jnp.float32),

@@ -603,7 +603,8 @@ def render_sample(
         # --- stochastic alpha testing: pass through the surface with
         # probability (1 - alpha) (reference: FilterFunction.h:19-49 — done in
         # the shading loop here instead of the traversal filter; shadow rays
-        # currently treat alpha surfaces as opaque) ---
+        # get the same semantics via the occluded_alpha march, routed
+        # through NEE/RIS/ReSTIR whenever the scene carries alpha) ---
         rng_state, u_alpha = rng_mod.next_float(rng_state)
         alpha_skip = (
             active

@@ -44,8 +44,11 @@ from ..lights.light_sampling import (
 )
 from ..models.dispatcher import (
     bsdf_eval,
+    bsdf_proxy_ctx,
     bsdf_proxy_eval,
+    bsdf_proxy_eval_ctx,
     bsdf_proxy_sample,
+    bsdf_proxy_sample_ctx,
     bsdf_sample,
 )
 from ..ops.intersect import offset_ray_origin
@@ -63,9 +66,16 @@ from .reservoir import Reservoir
 # ----------------------------------------------------------------- target fn
 
 
-def eval_target_full(options, mats, p, ns, wo, eta_rel, res_or_sample):
+def eval_target_full(options, mats, p, ns, wo, eta_rel, res_or_sample,
+                     pctx=None):
     """p_hat of a (light_point, light_normal, radiance, is_envmap) sample at
     surface (p, ns, wo), plus the geometry/pdf terms MIS needs.
+
+    pctx: optional hoisted proxy context (models/dispatcher.bsdf_proxy_ctx)
+    for THIS (mats, ns, wo) surface batch — callers that evaluate many
+    candidates/neighbor m-terms at one surface build it once so the
+    Fresnel-chain lobe weights drop out of the per-candidate loop (the same
+    hoist ris.py applies).
 
     Returns dict(ph, wi, dist, bsdf_pdf [solid angle], cos_l, d2)."""
     lp = res_or_sample["light_point"]
@@ -86,9 +96,14 @@ def eval_target_full(options, mats, p, ns, wo, eta_rel, res_or_sample):
     # uses this SAME target function, and final_shading evaluates the winner
     # with the exact BSDF — unbiased for any positive target
     if options.ris_proxy_target:
-        f, bsdf_pdf = bsdf_proxy_eval(
-            options, mats, ns, wo, wi, {"eta_rel": eta_rel}
-        )
+        if pctx is not None:
+            f, bsdf_pdf = bsdf_proxy_eval_ctx(
+                options, pctx, mats, ns, wo, wi, {"eta_rel": eta_rel}
+            )
+        else:
+            f, bsdf_pdf = bsdf_proxy_eval(
+                options, mats, ns, wo, wi, {"eta_rel": eta_rel}
+            )
     else:
         f, bsdf_pdf = bsdf_eval(options, mats, ns, wo, wi, {"eta_rel": eta_rel})
     base = luminance(f * rad) * cos_i
@@ -105,10 +120,12 @@ def eval_target_full(options, mats, p, ns, wo, eta_rel, res_or_sample):
 
 
 def eval_target(options, mats, p, ns, wo, eta_rel, res_or_sample, scene=None,
-                world=None):
+                world=None, pctx=None):
     """p_hat of a sample at surface (p, ns, wo).
     Returns (p_hat (N,), wi (N,3), dist (N,))."""
-    tf = eval_target_full(options, mats, p, ns, wo, eta_rel, res_or_sample)
+    tf = eval_target_full(
+        options, mats, p, ns, wo, eta_rel, res_or_sample, pctx=pctx
+    )
     return tf["ph"], tf["wi"], tf["dist"]
 
 
@@ -210,6 +227,10 @@ def initial_candidates(
     (reference: InitialCandidates.h:449, tile-coherent presampled subsets)."""
     n = p.shape[0]
     res = Reservoir.empty(n)
+    # hoisted proxy lobe weights for THIS surface batch: shared by every
+    # light/BSDF candidate eval and the visibility-reuse re-eval below
+    pctx = bsdf_proxy_ctx(options, mats, ns, wo) \
+        if options.ris_proxy_target else None
     M_l = settings.restir_di.num_light_candidates
     M_b = settings.restir_di.num_bsdf_candidates
     p_env = settings.restir_di.envmap_candidate_probability
@@ -268,7 +289,9 @@ def initial_candidates(
             "radiance": rad,
             "is_envmap": is_env,
         }
-        tf = eval_target_full(options, mats, p, ns, wo, eta_rel, sample)
+        tf = eval_target_full(
+            options, mats, p, ns, wo, eta_rel, sample, pctx=pctx
+        )
         ph = tf["ph"]
         valid = active & lvalid & (pdf_area > 0.0)
         # MIS against the BSDF candidate stream, in the candidate's own
@@ -298,8 +321,8 @@ def initial_candidates(
             # candidates drawn from the proxy sampler so pdf_b is the true
             # density of the draw AND matches eval_target_full's bsdf_pdf in
             # the cross-stream MIS weights
-            rng_state, wi, f, pdf_b = bsdf_proxy_sample(
-                options, mats, ns, wo, rng_state, {"eta_rel": eta_rel}
+            rng_state, wi, f, pdf_b = bsdf_proxy_sample_ctx(
+                options, pctx, mats, ns, wo, rng_state, {"eta_rel": eta_rel}
             )
         else:
             rng_state, wi, f, pdf_b, _aux = bsdf_sample(
@@ -358,7 +381,9 @@ def initial_candidates(
             "radiance": rad,
             "is_envmap": jnp.zeros((n,), jnp.bool_),
         }
-        ph, _, _ = eval_target(options, mats, p, ns, wo, eta_rel, sample)
+        ph, _, _ = eval_target(
+            options, mats, p, ns, wo, eta_rel, sample, pctx=pctx
+        )
         valid = cand & is_em & (pdf_area > 0.0)
         if has_env:
             pdf_l_area = pdf_l_area * (1.0 - p_env)
@@ -383,7 +408,7 @@ def initial_candidates(
                 "is_envmap": jnp.ones((n,), jnp.bool_),
             }
             ph_e, _, _ = eval_target(
-                options, mats, p, ns, wo, eta_rel, env_sample
+                options, mats, p, ns, wo, eta_rel, env_sample, pctx=pctx
             )
             pdf_e_l = envmap_pdf_of_direction(
                 options, world, scene.envmap, wi
@@ -411,7 +436,7 @@ def initial_candidates(
     # (reference: ReSTIR_DI_DoVisibilityReuse)
     if options.restir_di_initial_visibility:
         ph, wi, dist = eval_target(
-            options, mats, p, ns, wo, eta_rel, _sample_of(res)
+            options, mats, p, ns, wo, eta_rel, _sample_of(res), pctx=pctx
         )
         so = offset_ray_origin(p, ng, wi)
         blocked = _tracers(options)[1](
@@ -474,6 +499,10 @@ def temporal_reuse(
     wo = gbuf.view_direction
     n = p.shape[0]
     rough_here = mats.roughness
+    # hoisted proxy lobe weights for the center surface (shared by every
+    # m-term evaluated AT this surface; neighbor-surface evals stay inline)
+    pctx = bsdf_proxy_ctx(options, mats, ns, wo) \
+        if options.ris_proxy_target else None
 
     # back-project current hit into the previous frame's screen
     ph4 = jnp.concatenate([p, jnp.ones((n, 1), jnp.float32)], axis=-1)
@@ -546,7 +575,7 @@ def temporal_reuse(
     prev_r = prev_res.gather(prev_idx).m_capped(settings.restir_di.m_cap)
 
     ph_here, _, _ = eval_target(
-        options, mats, p, ns, wo, eta_rel, _sample_of(prev_r)
+        options, mats, p, ns, wo, eta_rel, _sample_of(prev_r), pctx=pctx
     )
 
     scheme = options.restir_di_bias_correction
@@ -667,6 +696,10 @@ def spatial_reuse_pass(
     ns = gbuf.shading_normal
     wo = gbuf.view_direction
     n = p.shape[0]
+    # hoisted proxy lobe weights for the center surface (shared by every
+    # per-neighbor m-term evaluated AT this surface)
+    pctx = bsdf_proxy_ctx(options, mats, ns, wo) \
+        if options.ris_proxy_target else None
     px, py = pixel_coords(width, height)
     lin2canon = jnp.argsort(linear_index(width, height))
     rough_here = mats.roughness
@@ -774,7 +807,8 @@ def spatial_reuse_pass(
             nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
             nb_r = res.gather(nb_idx)
             ph_here, _, _ = eval_target(
-                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
+                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r),
+                pctx=pctx,
             )
             conf_i = nb_r.M if use_conf else jnp.ones((n,), jnp.float32)
             t_nb = nb_r.target  # neighbor sample at its own surface
@@ -863,7 +897,9 @@ def spatial_reuse_pass(
         def denom_for(sample):
             """Σ_k t_k(x)·c_k over all participants (canonical + neighbors),
             where t_k = target of `sample` at participant k's surface."""
-            ph_c, _, _ = eval_target(options, mats, p, ns, wo, eta_rel, sample)
+            ph_c, _, _ = eval_target(
+                options, mats, p, ns, wo, eta_rel, sample, pctx=pctx
+            )
             conf_c = M_c if use_conf else jnp.where(M_c > 0, 1.0, 0.0)
             dn = ph_c * conf_c
 
@@ -888,7 +924,8 @@ def spatial_reuse_pass(
             nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
             nb_r = res.gather(nb_idx)
             ph_here, _, _ = eval_target(
-                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
+                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r),
+                pctx=pctx,
             )
             conf_j = nb_r.M if use_conf else jnp.ones((n,), jnp.float32)
             dn = denom_for(_sample_of(nb_r))
@@ -943,7 +980,8 @@ def spatial_reuse_pass(
             nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
             nb_r = res.gather(nb_idx)
             ph_here, _, _ = eval_target(
-                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
+                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r),
+                pctx=pctx,
             )
             m_w = nb_r.M if use_conf else jnp.ones((n,), jnp.float32)
             new_out, rng_state, take = out.combine_tracked(
@@ -999,7 +1037,8 @@ def spatial_reuse_pass(
             nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
             nb_r = res.gather(nb_idx)
             ph_here, _, _ = eval_target(
-                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r)
+                options, mats, p, ns, wo, eta_rel, _sample_of(nb_r),
+                pctx=pctx,
             )
             new_out, rng_state = out.combine(
                 rng_state, nb_r, ph_here, nb_r.M, valid
@@ -1038,7 +1077,8 @@ def spatial_reuse_pass(
     # final spatial pass) ----
     if options.restir_di_spatial_visibility_last_pass and bvh is not None:
         ph, wi, dist = eval_target(
-            options, mats, p, ns, wo, eta_rel, _sample_of(out)
+            options, mats, p, ns, wo, eta_rel, _sample_of(out),
+            pctx=pctx,
         )
         do_vis = active & (out.W > 0.0) & jnp.asarray(is_last_pass)
         so = offset_ray_origin(p, gbuf.geometric_normal, wi)
@@ -1078,6 +1118,10 @@ def fused_spatiotemporal_reuse(
     ns = gbuf.shading_normal
     wo = gbuf.view_direction
     n = p.shape[0]
+    # hoisted proxy lobe weights for the center surface (shared by every
+    # tap's m-term evaluated AT this surface)
+    pctx = bsdf_proxy_ctx(options, mats, ns, wo) \
+        if options.ris_proxy_target else None
     lin2canon = jnp.argsort(linear_index(width, height))
 
     # back-project the current hit into the previous frame
@@ -1123,7 +1167,8 @@ def fused_spatiotemporal_reuse(
         )
         # pairwise MIS: the tap's own-domain target is stored in r_n.target
         ph_here, _, _ = eval_target(
-            options, mats, p, ns, wo, eta_rel, _sample_of(r_n)
+            options, mats, p, ns, wo, eta_rel, _sample_of(r_n),
+            pctx=pctx,
         )
         m_i = r_n.target / jnp.maximum(ph_here + Kf * r_n.target, 1e-12)
         m_i = m_i * (Kf / (Kf + 1.0))  # defensive

@@ -363,349 +363,19 @@ def pallas_supported(bvh: BVHData, n: int) -> bool:
 
 
 # --------------------------------------------------------------------------
-# Compact-split kernel: big scenes (nodes16 in VMEM, leaf rows DMA'd from
-# HBM per visit).
-#
-# The embedded-leaf kernel above needs the full (M,128) meganode table in
-# VMEM (~8 MB cap → ~65k tris). The compact layout keeps only the 16-float
-# node rows resident (64 B/row → ~600k tris in ~12 MB) and fetches 512-byte
-# leaf rows from HBM with per-packet async DMA when a leaf child is visited:
-# a leaf reference (ref < 0) is pushed/assigned like a node cursor, and a
-# leaf visit becomes its own iteration whose vector phase runs the triangle
-# tests from the DMA'd row.
-#
-# The vector phase needs no scalar crossing to know leaf-ness: the DMA'd row
-# itself carries a flag (col 120) and the triangle count (col 121), and
-# non-leaf packets DMA the reserved all-zero row 0, whose flag gates the
-# tests off.
+# "wide" kernel: lockstep packet traversal over 4-wide nodes
+# (accel/build._collapse4) kept VMEM-resident, fat leaf rows DMA'd from HBM
+# per visit. Each node visit tests 4 child boxes, halving the iteration
+# count on deep trees vs a BVH2 walk at unchanged per-iteration scalar
+# crossings. Descent is unordered (fixed child order); near-first ordering
+# with 4 children would cost a scalar sorting network per packet per
+# iteration. Production default for COHERENT wavefronts on big scenes
+# (integrator._make_tracers); the retired BVH2/streaming variants it
+# outgrew are preserved in ROUND2.md's measurement history.
 # --------------------------------------------------------------------------
 
-LEAF_TRIS = 12  # capacity of a compact leaf row (12*9 + 12 ids + flags <=128)
 MAX_COMPACT_NODES = 180224  # 16-float rows -> ~11.5 MB VMEM
-
-
-def _kernel_compact(nodes16_ref, leaves_hbm,
-                    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-                    tmin_ref, tmax_ref, act_ref,
-                    t_out, prim_out, u_out, v_out,
-                    rows_s, leaf_s, cur_s, ptr_s, valid_s, isleaf_s, stack_s,
-                    bt_s, bp_s, bu_s, bv_s, se_s, dma_sems,
-                    *, any_hit: bool, ordered: bool):
-    ox = ox_ref[:]
-    oy = oy_ref[:]
-    oz = oz_ref[:]
-    dx = dx_ref[:]
-    dy = dy_ref[:]
-    dz = dz_ref[:]
-    t_min = tmin_ref[:]
-
-    def inv(c):
-        return jnp.where(jnp.abs(c) > 1e-12, 1.0 / c, jnp.sign(c) * 1e12 + 1e12)
-
-    ix, iy, iz = inv(dx), inv(dy), inv(dz)
-    active0 = act_ref[:] > 0
-
-    bt_s[:] = tmax_ref[:]
-    bp_s[:] = jnp.full((K, PACKET), -1, jnp.int32)
-    bu_s[:] = jnp.zeros((K, PACKET), jnp.float32)
-    bv_s[:] = jnp.zeros((K, PACKET), jnp.float32)
-    se_s[:] = active0.astype(jnp.float32)
-
-    n_alive = jnp.int32(0)
-    for k in range(K):
-        row_active = jnp.any(active0[k])
-        cur_s[k] = 0
-        ptr_s[k] = 0
-        valid_s[k] = row_active.astype(jnp.int32)
-        isleaf_s[k] = 0
-        n_alive = n_alive + valid_s[k]
-
-    def cond(c):
-        it, alive = c
-        return (it < MAX_ITERS) & (alive > 0)
-
-    def body(c):
-        it, _ = c
-
-        # ---- scalar phase 1: pop + fetch node row + issue leaf DMA ----
-        for k in range(K):
-            need_pop = (valid_s[k] == 0) & (ptr_s[k] > 0)
-            top = jnp.maximum(ptr_s[k] - 1, 0)
-            popped = stack_s[k, top]
-            cur_s[k] = jnp.where(need_pop, popped, cur_s[k])
-            ptr_s[k] = jnp.where(need_pop, top, ptr_s[k])
-            valid_s[k] = jnp.where(need_pop, 1, valid_s[k])
-            is_leaf = (valid_s[k] > 0) & (cur_s[k] < 0)
-            isleaf_s[k] = is_leaf.astype(jnp.int32)
-            node_idx = jnp.where(
-                (valid_s[k] > 0) & ~is_leaf, cur_s[k], 0
-            )
-            rows_s[pl.ds(k, 1), :] = nodes16_ref[pl.ds(node_idx, 1), :]
-            leaf_idx = jnp.where(is_leaf, -cur_s[k] - 1, 0)
-            pltpu.make_async_copy(
-                leaves_hbm.at[pl.ds(leaf_idx, 1), :],
-                leaf_s.at[pl.ds(k, 1), :],
-                dma_sems.at[k],
-            ).start()
-
-        for k in range(K):
-            pltpu.make_async_copy(
-                leaves_hbm.at[pl.ds(0, 1), :],
-                leaf_s.at[pl.ds(k, 1), :],
-                dma_sems.at[k],
-            ).wait()
-
-        rows = rows_s[:]      # (K, 16) node data
-        lrows = leaf_s[:]     # (K, 128) leaf data (zero row for non-leaf)
-
-        def ncol(j):
-            return rows[:, j:j + 1]
-
-        def lcol(j):
-            return lrows[:, j:j + 1]
-
-        meta_vec = jax.lax.bitcast_convert_type(rows[:, 12:16], jnp.int32)
-        leaf_gate = lcol(120) > 0.0        # (K,1)
-        leaf_cnt = lcol(121)               # (K,1) float count
-
-        if any_hit:
-            searching = se_s[:] > 0.0
-        else:
-            searching = active0
-        best_t = bt_s[:]
-
-        def slab(b):
-            tx0 = (ncol(b + 0) - ox) * ix
-            tx1 = (ncol(b + 3) - ox) * ix
-            ty0 = (ncol(b + 1) - oy) * iy
-            ty1 = (ncol(b + 4) - oy) * iy
-            tz0 = (ncol(b + 2) - oz) * iz
-            tz1 = (ncol(b + 5) - oz) * iz
-            t_entry = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
-            )
-            t_exit = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
-            )
-            return (t_entry <= t_exit) & searching, t_entry
-
-        h0_ray, te0 = slab(0)
-        h1_ray, te1 = slab(6)
-
-        # ---- leaf triangle tests from the DMA'd row ----
-        best_prim = bp_s[:]
-        best_u = bu_s[:]
-        best_v = bv_s[:]
-        for kk in range(LEAF_TRIS):
-            off = 9 * kk
-            v0x, v0y, v0z = lcol(off), lcol(off + 1), lcol(off + 2)
-            e1x, e1y, e1z = lcol(off + 3), lcol(off + 4), lcol(off + 5)
-            e2x, e2y, e2z = lcol(off + 6), lcol(off + 7), lcol(off + 8)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            hit = (
-                searching
-                & leaf_gate
-                & (kk < leaf_cnt)
-                & (jnp.abs(det) > TRI_EPS)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > t_min)
-                & (t < best_t)
-            )
-            prim_k = jax.lax.bitcast_convert_type(
-                lrows[:, 108 + kk:109 + kk], jnp.int32
-            )
-            best_t = jnp.where(hit, t, best_t)
-            best_prim = jnp.where(hit, prim_k, best_prim)
-            if any_hit:
-                searching = searching & ~hit
-            else:
-                best_u = jnp.where(hit, u, best_u)
-                best_v = jnp.where(hit, v, best_v)
-
-        bt_s[:] = best_t
-        bp_s[:] = best_prim
-        if any_hit:
-            se_s[:] = searching.astype(jnp.float32)
-        else:
-            bu_s[:] = best_u
-            bv_s[:] = best_v
-
-        # ---- scalar phase 2 ----
-        alive = jnp.int32(0)
-        for k in range(K):
-            c0r = jnp.sum(meta_vec[k, 0:1])
-            c0c = jnp.sum(meta_vec[k, 1:2])
-            c1r = jnp.sum(meta_vec[k, 2:3])
-            c1c = jnp.sum(meta_vec[k, 3:4])
-
-            if any_hit:
-                row_dead = ~jnp.any(searching[k])
-                ptr_s[k] = jnp.where(row_dead, 0, ptr_s[k])
-            else:
-                row_dead = jnp.bool_(False)
-
-            was_leaf = isleaf_s[k] > 0
-            h0k = jnp.any(h0_ray[k]) & (valid_s[k] > 0) & ~was_leaf
-            h1k = jnp.any(h1_ray[k]) & (valid_s[k] > 0) & ~was_leaf
-
-            # a child with count>0 is a leaf REFERENCE (ref<0) — it is pushed
-            # like a node and handled on its own iteration
-            int0 = h0k & ~row_dead
-            int1 = h1k & ~row_dead
-            both = int0 & int1
-            if ordered:
-                te0k = jnp.min(jnp.where(h0_ray[k], te0[k], jnp.inf))
-                te1k = jnp.min(jnp.where(h1_ray[k], te1[k], jnp.inf))
-                near_is_0 = te0k <= te1k
-                near_ref = jnp.where(near_is_0, c0r, c1r)
-                far_ref = jnp.where(near_is_0, c1r, c0r)
-            else:
-                near_ref, far_ref = c0r, c1r
-            push_slot = jnp.minimum(ptr_s[k], STACK - 1)
-            stack_s[k, push_slot] = jnp.where(
-                both, far_ref, stack_s[k, push_slot]
-            )
-            ptr_s[k] = jnp.minimum(ptr_s[k] + both.astype(jnp.int32), STACK)
-            next_cur = jnp.where(both, near_ref, jnp.where(int0, c0r, c1r))
-            cur_s[k] = jnp.where(
-                (valid_s[k] > 0) & ~was_leaf, next_cur, cur_s[k]
-            )
-            valid_s[k] = jnp.where(
-                (valid_s[k] > 0) & (int0 | int1) & ~was_leaf, 1, 0
-            )
-            alive = alive + jnp.where(
-                (valid_s[k] > 0) | (ptr_s[k] > 0), 1, 0
-            )
-
-        return it + 1, alive
-
-    jax.lax.while_loop(cond, body, (jnp.int32(0), n_alive))
-
-    t_out[:] = bt_s[:]
-    prim_out[:] = bp_s[:]
-    if any_hit:
-        u_out[:] = jnp.zeros((K, PACKET), jnp.float32)
-        v_out[:] = jnp.zeros((K, PACKET), jnp.float32)
-    else:
-        u_out[:] = bu_s[:]
-        v_out[:] = bv_s[:]
-
-
-@partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def traverse_pallas_compact(
-    bvh: BVHData,
-    o: jax.Array,
-    d: jax.Array,
-    t_min=1e-4,
-    t_max=jnp.inf,
-    active=None,
-    any_hit: bool = False,
-    interpret: bool = False,
-) -> HitRecord:
-    """Compact-split Pallas traversal for big scenes. N % 1024 == 0."""
-    n = o.shape[0]
-    assert n % BLOCK == 0, f"pallas traversal needs N % {BLOCK} == 0"
-    assert bvh.nodes16 is not None and bvh.leaf_rows is not None
-    rows = n // PACKET
-    grid = rows // K
-    ordered = not any_hit
-
-    def comp(x):
-        return x.reshape(rows, PACKET)
-
-    ox, oy, oz = comp(o[:, 0]), comp(o[:, 1]), comp(o[:, 2])
-    dx, dy, dz = comp(d[:, 0]), comp(d[:, 1]), comp(d[:, 2])
-    tmin = comp(jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,)))
-    tmax = comp(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,)))
-    act = comp(
-        jnp.ones((n,), jnp.int32)
-        if active is None
-        else jnp.asarray(active).astype(jnp.int32)
-    )
-
-    ray_spec = pl.BlockSpec((K, PACKET), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    node_spec = pl.BlockSpec(bvh.nodes16.shape, lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-    leaf_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
-    out_shape = [
-        jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
-        jax.ShapeDtypeStruct((rows, PACKET), jnp.int32),
-        jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
-        jax.ShapeDtypeStruct((rows, PACKET), jnp.float32),
-    ]
-    t, prim, u, v = pl.pallas_call(
-        partial(_kernel_compact, any_hit=any_hit, ordered=ordered),
-        grid=(grid,),
-        in_specs=[node_spec, leaf_spec] + [ray_spec] * 9,
-        out_specs=[ray_spec] * 4,
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((K, 16), jnp.float32),      # rows_s (node data)
-            pltpu.VMEM((K, 128), jnp.float32),     # leaf_s (DMA dst)
-            pltpu.SMEM((K,), jnp.int32),           # cur_s
-            pltpu.SMEM((K,), jnp.int32),           # ptr_s
-            pltpu.SMEM((K,), jnp.int32),           # valid_s
-            pltpu.SMEM((K,), jnp.int32),           # isleaf_s
-            pltpu.SMEM((K, STACK), jnp.int32),     # stack_s
-            pltpu.VMEM((K, PACKET), jnp.float32),  # bt_s
-            pltpu.VMEM((K, PACKET), jnp.int32),    # bp_s
-            pltpu.VMEM((K, PACKET), jnp.float32),  # bu_s
-            pltpu.VMEM((K, PACKET), jnp.float32),  # bv_s
-            pltpu.VMEM((K, PACKET), jnp.float32),  # se_s
-            pltpu.SemaphoreType.DMA((K,)),         # dma_sems
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(bvh.nodes16, bvh.leaf_rows, ox, oy, oz, dx, dy, dz, tmin, tmax, act)
-
-    miss = prim < 0
-    return HitRecord(
-        t=jnp.where(miss, jnp.inf, t).reshape(n),
-        prim=prim.reshape(n),
-        u=u.reshape(n),
-        v=v.reshape(n),
-    )
-
-
-def pallas_compact_supported(bvh: BVHData, n: int) -> bool:
-    return (
-        jax.default_backend() == "tpu"
-        and bvh.nodes16 is not None
-        and bvh.leaf_rows is not None
-        and bvh.nodes16.shape[0] <= MAX_COMPACT_NODES
-        and n % BLOCK == 0
-    )
-
-
-# --------------------------------------------------------------------------
-# BVH4 compact kernel: 4-wide nodes (accel/build._collapse4) + HBM leaf DMA.
-# Same control scheme as the BVH2 compact kernel, but each node visit tests
-# 4 child boxes, halving the iteration count on deep trees — the per-packet
-# scalar crossing count per iteration is unchanged (4 refs + 4 hit flags vs
-# 4 meta + 2 hit + 2 order), so big scenes see ~2x.
-# Descent is unordered (fixed child order); near-first ordering with 4
-# children would cost a scalar sorting network per packet per iteration.
-# --------------------------------------------------------------------------
+LEAF_TRIS = 12  # capacity of a compact leaf row (12*9 + 12 ids + flags <=128)
 
 
 def _kernel_compact4(nodes4_ref, leaves_hbm,
@@ -1023,817 +693,6 @@ def pallas_wide_supported(bvh: BVHData, n: int) -> bool:
         and bvh.leaf_rows is not None
         and bvh.nodes4.shape[0] <= MAX_COMPACT_NODES // 2
         and n % BLOCK == 0
-    )
-
-
-# --------------------------------------------------------------------------
-# Streaming-refill kernel (persistent-program traversal).
-#
-# The grid kernels above run 8 packets in lockstep per program and exit when
-# ALL eight finish, so every program pays the MAX of its packets' union walks
-# (E[max8] ≈ mean + 1.4 sigma). This variant runs ONE persistent program:
-# ray data stays in HBM; each of the 8 packet rows independently DMAs its
-# NEXT 128-ray packet in when its walk finishes and DMAs its results out —
-# total iterations approach the per-packet mean. The queue counter lives in
-# SMEM; all refill DMAs overlap the other rows' compute.
-# --------------------------------------------------------------------------
-
-
-def _kernel_stream(nodes_ref, leaves_hbm,
-                   rays_hbm,               # (P, 10, 128) o,d,tmin,tmax,act... see pack
-                   t_hbm, prim_hbm, u_hbm, v_hbm,   # (P, 128) outputs (aliased inputs)
-                   done_out,                # (1, 1) SMEM — packets completed
-                   rows_s, leaf_s, ray_s,
-                   cur_s, ptr_s, valid_s, isleaf_s, pkt_s, live_s, qhead_s,
-                   stack_s,
-                   bt_s, bp_s, bu_s, bv_s, se_s,
-                   dma_sems, ray_sems, out_sems,
-                   *, any_hit: bool, n_packets: int):
-    # ray_s: (K, 10, 128) VMEM — per-row packet ray data
-    #   [0:3] o, [3:6] d, [6] tmin, [7] tmax, [8] active
-    def load_components(k):
-        pass  # components are sliced on use
-
-    # --- init: row k starts on packet k ---
-    for k in range(K):
-        pkt_s[k] = k
-        live_s[k] = jnp.int32(1 if k < n_packets else 0)
-        cur_s[k] = 0
-        ptr_s[k] = 0
-        valid_s[k] = 0  # forces "fresh start" path below
-        isleaf_s[k] = 0
-        pltpu.make_async_copy(
-            rays_hbm.at[pl.ds(min(k, n_packets - 1), 1)],
-            ray_s.at[pl.ds(k, 1)],
-            ray_sems.at[k],
-        ).start()
-    qhead_s[0] = jnp.int32(min(K, n_packets))
-    for k in range(K):
-        pltpu.make_async_copy(
-            rays_hbm.at[pl.ds(0, 1)],
-            ray_s.at[pl.ds(k, 1)],
-            ray_sems.at[k],
-        ).wait()
-        # fresh-start init of row state
-        bt_s[pl.ds(k, 1), :] = ray_s[k, 7:8, :]
-        bp_s[pl.ds(k, 1), :] = jnp.full((1, PACKET), -1, jnp.int32)
-        bu_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
-        bv_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
-        se_s[pl.ds(k, 1), :] = ray_s[k, 8:9, :]
-        valid_s[k] = jnp.where(live_s[k] > 0, 1, 0)
-        cur_s[k] = 0
-
-    # Safety backstop ONLY — must never truncate real work. Per program
-    # row there are ceil(n_packets / K) sequential packets, each of whose
-    # union walk is bounded by the node+leaf count; MAX_ITERS dominates any
-    # real per-packet walk. (A fixed MAX_ITERS * K cap truncated big-scene
-    # bounce wavefronts: 8192 packets x ~500-iteration walks >> 131072.)
-    iter_cap = (n_packets // K + 2) * MAX_ITERS
-
-    def cond(c):
-        it, ndone = c
-        return (it < iter_cap) & (ndone < n_packets)
-
-    def body(c):
-        it, ndone = c
-
-        # ---- scalar phase 1: pop + fetch + leaf DMA ----
-        for k in range(K):
-            need_pop = (valid_s[k] == 0) & (ptr_s[k] > 0) & (live_s[k] > 0)
-            top = jnp.maximum(ptr_s[k] - 1, 0)
-            popped = stack_s[k, top]
-            cur_s[k] = jnp.where(need_pop, popped, cur_s[k])
-            ptr_s[k] = jnp.where(need_pop, top, ptr_s[k])
-            valid_s[k] = jnp.where(need_pop, 1, valid_s[k])
-            is_leaf = (valid_s[k] > 0) & (cur_s[k] < 0)
-            isleaf_s[k] = is_leaf.astype(jnp.int32)
-            node_idx = jnp.where((valid_s[k] > 0) & ~is_leaf, cur_s[k], 0)
-            rows_s[pl.ds(k, 1), :] = nodes_ref[pl.ds(node_idx, 1), :]
-            leaf_idx = jnp.where(is_leaf, -cur_s[k] - 1, 0)
-            pltpu.make_async_copy(
-                leaves_hbm.at[pl.ds(leaf_idx, 1), :],
-                leaf_s.at[pl.ds(k, 1), :],
-                dma_sems.at[k],
-            ).start()
-        for k in range(K):
-            pltpu.make_async_copy(
-                leaves_hbm.at[pl.ds(0, 1), :],
-                leaf_s.at[pl.ds(k, 1), :],
-                dma_sems.at[k],
-            ).wait()
-
-        rows = rows_s[:]
-        lrows = leaf_s[:]
-        rd = ray_s[:]  # (K, 10, 128)
-        ox, oy, oz = rd[:, 0, :], rd[:, 1, :], rd[:, 2, :]
-        dx, dy, dz = rd[:, 3, :], rd[:, 4, :], rd[:, 5, :]
-        t_min = rd[:, 6, :]
-
-        def inv(c_):
-            return jnp.where(
-                jnp.abs(c_) > 1e-12, 1.0 / c_, jnp.sign(c_) * 1e12 + 1e12
-            )
-
-        ix, iy, iz = inv(dx), inv(dy), inv(dz)
-        active0 = rd[:, 8, :] > 0
-
-        def ncol(j):
-            return rows[:, j:j + 1]
-
-        def lcol(j):
-            return lrows[:, j:j + 1]
-
-        refs_vec = jax.lax.bitcast_convert_type(rows[:, 24:28], jnp.int32)
-        leaf_gate = lcol(120) > 0.0
-        leaf_cnt = lcol(121)
-
-        if any_hit:
-            searching = (se_s[:] > 0.0) & active0
-        else:
-            searching = active0
-        best_t = bt_s[:]
-
-        def slab(b):
-            tx0 = (ncol(b + 0) - ox) * ix
-            tx1 = (ncol(b + 3) - ox) * ix
-            ty0 = (ncol(b + 1) - oy) * iy
-            ty1 = (ncol(b + 4) - oy) * iy
-            tz0 = (ncol(b + 2) - oz) * iz
-            tz1 = (ncol(b + 5) - oz) * iz
-            t_entry = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
-            )
-            t_exit = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
-            )
-            return (t_entry <= t_exit) & searching
-
-        h_ray = [slab(c * 6) for c in range(4)]
-
-        best_prim = bp_s[:]
-        best_u = bu_s[:]
-        best_v = bv_s[:]
-        for kk in range(LEAF_TRIS):
-            off = 9 * kk
-            v0x, v0y, v0z = lcol(off), lcol(off + 1), lcol(off + 2)
-            e1x, e1y, e1z = lcol(off + 3), lcol(off + 4), lcol(off + 5)
-            e2x, e2y, e2z = lcol(off + 6), lcol(off + 7), lcol(off + 8)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            hit = (
-                searching
-                & leaf_gate
-                & (kk < leaf_cnt)
-                & (jnp.abs(det) > TRI_EPS)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > t_min)
-                & (t < best_t)
-            )
-            prim_k = jax.lax.bitcast_convert_type(
-                lrows[:, 108 + kk:109 + kk], jnp.int32
-            )
-            best_t = jnp.where(hit, t, best_t)
-            best_prim = jnp.where(hit, prim_k, best_prim)
-            if any_hit:
-                searching = searching & ~hit
-            else:
-                best_u = jnp.where(hit, u, best_u)
-                best_v = jnp.where(hit, v, best_v)
-
-        bt_s[:] = best_t
-        bp_s[:] = best_prim
-        if any_hit:
-            se_s[:] = searching.astype(jnp.float32)
-        else:
-            bu_s[:] = best_u
-            bv_s[:] = best_v
-
-        hword = (
-            jnp.max(h_ray[0].astype(jnp.int32), axis=1, keepdims=True)
-            + 2 * jnp.max(h_ray[1].astype(jnp.int32), axis=1, keepdims=True)
-            + 4 * jnp.max(h_ray[2].astype(jnp.int32), axis=1, keepdims=True)
-            + 8 * jnp.max(h_ray[3].astype(jnp.int32), axis=1, keepdims=True)
-        )
-        if any_hit:
-            hword = hword + 16 * (
-                1 - jnp.max(searching.astype(jnp.int32), axis=1, keepdims=True)
-            )
-
-        # ---- scalar phase 2: descend / finish / refill ----
-        ndone_new = ndone
-        for k in range(K):
-            hw = jnp.sum(hword[k])
-            if any_hit:
-                row_dead = (hw >= 16) & (live_s[k] > 0)
-                ptr_s[k] = jnp.where(row_dead, 0, ptr_s[k])
-            else:
-                row_dead = jnp.bool_(False)
-            was_leaf = isleaf_s[k] > 0
-            gate = (valid_s[k] > 0) & ~was_leaf & ~row_dead & (live_s[k] > 0)
-
-            cur_new = cur_s[k]
-            found = jnp.int32(0)
-            ptr_k = ptr_s[k]
-            for c in range(4):
-                rc = jnp.sum(refs_vec[k, c:c + 1])
-                hc = (((hw >> c) & 1) > 0) & gate
-                take = hc & (found == 0)
-                push = hc & (found > 0)
-                cur_new = jnp.where(take, rc, cur_new)
-                slot = jnp.minimum(ptr_k, STACK - 1)
-                stack_s[k, slot] = jnp.where(push, rc, stack_s[k, slot])
-                ptr_k = jnp.minimum(ptr_k + push.astype(jnp.int32), STACK)
-                found = found + hc.astype(jnp.int32)
-            ptr_s[k] = ptr_k
-            cur_s[k] = jnp.where(gate, cur_new, cur_s[k])
-            valid_s[k] = jnp.where(
-                (live_s[k] > 0) & gate & (found > 0), 1, 0
-            )
-
-            # packet finished?
-            fin = (live_s[k] > 0) & (valid_s[k] == 0) & (ptr_s[k] == 0)
-
-            @pl.when(fin)
-            def _finish():
-                pkt = pkt_s[k]
-                # write results out (async; sem waited before reuse)
-                pltpu.make_async_copy(
-                    bt_s.at[pl.ds(k, 1), :], t_hbm.at[pl.ds(pkt, 1), :],
-                    out_sems.at[k],
-                ).start()
-                pltpu.make_async_copy(
-                    bp_s.at[pl.ds(k, 1), :], prim_hbm.at[pl.ds(pkt, 1), :],
-                    out_sems.at[k],
-                ).start()
-                pltpu.make_async_copy(
-                    bu_s.at[pl.ds(k, 1), :], u_hbm.at[pl.ds(pkt, 1), :],
-                    out_sems.at[k],
-                ).start()
-                pltpu.make_async_copy(
-                    bv_s.at[pl.ds(k, 1), :], v_hbm.at[pl.ds(pkt, 1), :],
-                    out_sems.at[k],
-                ).start()
-                for _ in range(4):
-                    pltpu.make_async_copy(
-                        bt_s.at[pl.ds(k, 1), :], t_hbm.at[pl.ds(pkt, 1), :],
-                        out_sems.at[k],
-                    ).wait()
-                pkt_next = qhead_s[0]
-                has_next = pkt_next < n_packets
-                qhead_s[0] = qhead_s[0] + has_next.astype(jnp.int32)
-                live_s[k] = jnp.where(has_next, 1, 0)
-                pkt_s[k] = jnp.where(has_next, pkt_next, pkt_s[k])
-
-                @pl.when(has_next)
-                def _refill():
-                    pltpu.make_async_copy(
-                        rays_hbm.at[pl.ds(pkt_next, 1)],
-                        ray_s.at[pl.ds(k, 1)],
-                        ray_sems.at[k],
-                    ).start()
-                    pltpu.make_async_copy(
-                        rays_hbm.at[pl.ds(0, 1)],
-                        ray_s.at[pl.ds(k, 1)],
-                        ray_sems.at[k],
-                    ).wait()
-                    bt_s[pl.ds(k, 1), :] = ray_s[k, 7:8, :]
-                    bp_s[pl.ds(k, 1), :] = jnp.full((1, PACKET), -1, jnp.int32)
-                    bu_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
-                    bv_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
-                    se_s[pl.ds(k, 1), :] = ray_s[k, 8:9, :]
-                    cur_s[k] = 0
-                    ptr_s[k] = 0
-                    valid_s[k] = 1
-                    isleaf_s[k] = 0
-
-            ndone_new = ndone_new + fin.astype(jnp.int32)
-
-        return it + 1, ndone_new
-
-    _it, ndone = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
-    done_out[0, 0] = ndone
-
-
-@partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def traverse_pallas_stream(
-    bvh: BVHData,
-    o: jax.Array,
-    d: jax.Array,
-    t_min=1e-4,
-    t_max=jnp.inf,
-    active=None,
-    any_hit: bool = False,
-    interpret: bool = False,
-) -> HitRecord:
-    """Streaming-refill BVH4 traversal (see _kernel_stream). N % 128 == 0."""
-    n = o.shape[0]
-    assert n % PACKET == 0
-    assert bvh.nodes4 is not None and bvh.leaf_rows is not None
-    p = n // PACKET
-
-    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    act = (
-        jnp.ones((n,), jnp.float32)
-        if active is None
-        else jnp.asarray(active).astype(jnp.float32)
-    )
-    zero = jnp.zeros((n,), jnp.float32)
-    rays = jnp.stack(
-        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         tmin, tmax, act, zero],
-        axis=1,
-    ).reshape(p, PACKET, 10).transpose(0, 2, 1)  # (P, 10, 128)
-
-    out_shape = [
-        jax.ShapeDtypeStruct((p, PACKET), jnp.float32),
-        jax.ShapeDtypeStruct((p, PACKET), jnp.int32),
-        jax.ShapeDtypeStruct((p, PACKET), jnp.float32),
-        jax.ShapeDtypeStruct((p, PACKET), jnp.float32),
-        jax.ShapeDtypeStruct((1, 1), jnp.int32),
-    ]
-    node_spec = pl.BlockSpec(bvh.nodes4.shape, lambda: (0, 0),
-                             memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pl.ANY)
-    t, prim, u, v, _cnt = pl.pallas_call(
-        partial(_kernel_stream, any_hit=any_hit, n_packets=p),
-        grid=(),
-        in_specs=[node_spec, hbm, hbm],
-        out_specs=[hbm, hbm, hbm, hbm,
-                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((K, 32), jnp.float32),       # rows_s
-            pltpu.VMEM((K, 128), jnp.float32),      # leaf_s
-            pltpu.VMEM((K, 10, PACKET), jnp.float32),  # ray_s
-            pltpu.SMEM((K,), jnp.int32),            # cur_s
-            pltpu.SMEM((K,), jnp.int32),            # ptr_s
-            pltpu.SMEM((K,), jnp.int32),            # valid_s
-            pltpu.SMEM((K,), jnp.int32),            # isleaf_s
-            pltpu.SMEM((K,), jnp.int32),            # pkt_s
-            pltpu.SMEM((K,), jnp.int32),            # live_s
-            pltpu.SMEM((1,), jnp.int32),            # qhead_s
-            pltpu.SMEM((K, STACK), jnp.int32),      # stack_s
-            pltpu.VMEM((K, PACKET), jnp.float32),   # bt_s
-            pltpu.VMEM((K, PACKET), jnp.int32),     # bp_s
-            pltpu.VMEM((K, PACKET), jnp.float32),   # bu_s
-            pltpu.VMEM((K, PACKET), jnp.float32),   # bv_s
-            pltpu.VMEM((K, PACKET), jnp.float32),   # se_s
-            pltpu.SemaphoreType.DMA((K,)),          # dma_sems (leaves)
-            pltpu.SemaphoreType.DMA((K,)),          # ray_sems
-            pltpu.SemaphoreType.DMA((K,)),          # out_sems
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            has_side_effects=True,
-        ),
-        interpret=interpret,
-    )(bvh.nodes4, bvh.leaf_rows, rays)
-
-    miss = prim < 0
-    return HitRecord(
-        t=jnp.where(miss, jnp.inf, t).reshape(n),
-        prim=prim.reshape(n),
-        u=u.reshape(n),
-        v=v.reshape(n),
-    )
-
-
-# --------------------------------------------------------------------------
-# v5: BVH8 streaming-refill kernel with an SMEM refs table.
-#
-# The BVH4 kernels' iteration cost is dominated by vector->scalar crossings
-# (~60 ns each): 1 hit-word read + 4 child-ref extractions per packet per
-# iteration = 40 crossings ~ 2.5 us at K=8. This kernel removes the ref
-# extractions entirely — child refs live in an SMEM-resident (M8, 8) i32
-# table read with scalar loads — and widens the node to 8 children, so one
-# iteration descends ~1.7x more tree. Per packet per iteration exactly ONE
-# crossing remains (the packed 8-bit hit word, +1 bit for any-hit death).
-#
-# Leaf rows are unchanged (fat 12-triangle HBM rows, DMA'd per visit), but
-# the DMA start/wait pair is gated per-row on leaf-ness instead of firing
-# for all 8 rows every iteration.
-# --------------------------------------------------------------------------
-
-
-def _kernel_stream8(refs_smem, nodes_ref, leaves_hbm,
-                    rays_hbm,
-                    t_hbm, prim_hbm, u_hbm, v_hbm,
-                    done_out,
-                    rows_s, leaf_s, ray_s,
-                    cur_s, ptr_s, valid_s, isleaf_s, pkt_s, live_s, qhead_s,
-                    stack_s,
-                    bt_s, bp_s, bu_s, bv_s, se_s,
-                    dma_sems, ray_sems, out_sems,
-                    *, any_hit: bool, n_packets: int):
-    # --- init: row k starts on packet k ---
-    for k in range(K):
-        pkt_s[k] = k
-        live_s[k] = jnp.int32(1 if k < n_packets else 0)
-        cur_s[k] = 0
-        ptr_s[k] = 0
-        valid_s[k] = 0
-        isleaf_s[k] = 0
-        pltpu.make_async_copy(
-            rays_hbm.at[pl.ds(min(k, n_packets - 1), 1)],
-            ray_s.at[pl.ds(k, 1)],
-            ray_sems.at[k],
-        ).start()
-    qhead_s[0] = jnp.int32(min(K, n_packets))
-    for k in range(K):
-        pltpu.make_async_copy(
-            rays_hbm.at[pl.ds(0, 1)],
-            ray_s.at[pl.ds(k, 1)],
-            ray_sems.at[k],
-        ).wait()
-        bt_s[pl.ds(k, 1), :] = ray_s[k, 7:8, :]
-        bp_s[pl.ds(k, 1), :] = jnp.full((1, PACKET), -1, jnp.int32)
-        bu_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
-        bv_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
-        se_s[pl.ds(k, 1), :] = ray_s[k, 8:9, :]
-        valid_s[k] = jnp.where(live_s[k] > 0, 1, 0)
-        cur_s[k] = 0
-
-    iter_cap = (n_packets // K + 2) * MAX_ITERS  # safety backstop only
-
-    def cond(c):
-        it, ndone, _nl, _nv = c
-        return (it < iter_cap) & (ndone < n_packets)
-
-    def body(c):
-        it, ndone, nleaf, nvisit = c
-
-        # ---- scalar phase 1: pop + node fetch + gated leaf DMA ----
-        # stale leaf flags must never re-fire: zero them before any DMA
-        leaf_s[:, 120:122] = jnp.zeros((K, 2), jnp.float32)
-        for k in range(K):
-            need_pop = (valid_s[k] == 0) & (ptr_s[k] > 0) & (live_s[k] > 0)
-            top = jnp.maximum(ptr_s[k] - 1, 0)
-            popped = stack_s[k, top]
-            cur_s[k] = jnp.where(need_pop, popped, cur_s[k])
-            ptr_s[k] = jnp.where(need_pop, top, ptr_s[k])
-            valid_s[k] = jnp.where(need_pop, 1, valid_s[k])
-            is_leaf = (valid_s[k] > 0) & (cur_s[k] < 0)
-            isleaf_s[k] = is_leaf.astype(jnp.int32)
-            node_idx = jnp.where((valid_s[k] > 0) & ~is_leaf, cur_s[k], 0)
-            rows_s[pl.ds(k, 1), :] = nodes_ref[pl.ds(node_idx, 1), :]
-
-            @pl.when(is_leaf)
-            def _start_leaf_dma():
-                pltpu.make_async_copy(
-                    leaves_hbm.at[pl.ds(-cur_s[k] - 1, 1), :],
-                    leaf_s.at[pl.ds(k, 1), :],
-                    dma_sems.at[k],
-                ).start()
-        for k in range(K):
-            # iteration-mix stats (scalar adds, ~free; read back by the
-            # profiling harness through the stats output row)
-            nleaf = nleaf + isleaf_s[k]
-            nvisit = nvisit + valid_s[k]
-
-            @pl.when(isleaf_s[k] > 0)
-            def _wait_leaf_dma():
-                pltpu.make_async_copy(
-                    leaves_hbm.at[pl.ds(0, 1), :],
-                    leaf_s.at[pl.ds(k, 1), :],
-                    dma_sems.at[k],
-                ).wait()
-
-        rows = rows_s[:]      # (K, 64) boxes
-        lrows = leaf_s[:]     # (K, 128)
-        rd = ray_s[:]         # (K, 10, 128)
-        ox, oy, oz = rd[:, 0, :], rd[:, 1, :], rd[:, 2, :]
-        dx, dy, dz = rd[:, 3, :], rd[:, 4, :], rd[:, 5, :]
-        t_min = rd[:, 6, :]
-
-        def inv(c_):
-            return jnp.where(
-                jnp.abs(c_) > 1e-12, 1.0 / c_, jnp.sign(c_) * 1e12 + 1e12
-            )
-
-        ix, iy, iz = inv(dx), inv(dy), inv(dz)
-        active0 = rd[:, 8, :] > 0
-
-        def ncol(j):
-            return rows[:, j:j + 1]
-
-        def lcol(j):
-            return lrows[:, j:j + 1]
-
-        leaf_gate = lcol(120) > 0.0
-        leaf_cnt = lcol(121)
-
-        if any_hit:
-            searching = (se_s[:] > 0.0) & active0
-        else:
-            searching = active0
-        best_t = bt_s[:]
-
-        def slab(b):
-            tx0 = (ncol(b + 0) - ox) * ix
-            tx1 = (ncol(b + 3) - ox) * ix
-            ty0 = (ncol(b + 1) - oy) * iy
-            ty1 = (ncol(b + 4) - oy) * iy
-            tz0 = (ncol(b + 2) - oz) * iz
-            tz1 = (ncol(b + 5) - oz) * iz
-            t_entry = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
-            )
-            t_exit = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
-            )
-            return (t_entry <= t_exit) & searching
-
-        h_ray = [slab(c * 6) for c in range(8)]
-
-        best_prim = bp_s[:]
-        best_u = bu_s[:]
-        best_v = bv_s[:]
-        for kk in range(LEAF_TRIS):
-            off = 9 * kk
-            v0x, v0y, v0z = lcol(off), lcol(off + 1), lcol(off + 2)
-            e1x, e1y, e1z = lcol(off + 3), lcol(off + 4), lcol(off + 5)
-            e2x, e2y, e2z = lcol(off + 6), lcol(off + 7), lcol(off + 8)
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
-            tx = ox - v0x
-            ty = oy - v0y
-            tz = oz - v0z
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1z - tz * e1y
-            qy = tz * e1x - tx * e1z
-            qz = tx * e1y - ty * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            hit = (
-                searching
-                & leaf_gate
-                & (kk < leaf_cnt)
-                & (jnp.abs(det) > TRI_EPS)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > t_min)
-                & (t < best_t)
-            )
-            prim_k = jax.lax.bitcast_convert_type(
-                lrows[:, 108 + kk:109 + kk], jnp.int32
-            )
-            best_t = jnp.where(hit, t, best_t)
-            best_prim = jnp.where(hit, prim_k, best_prim)
-            if any_hit:
-                searching = searching & ~hit
-            else:
-                best_u = jnp.where(hit, u, best_u)
-                best_v = jnp.where(hit, v, best_v)
-
-        bt_s[:] = best_t
-        bp_s[:] = best_prim
-        if any_hit:
-            se_s[:] = searching.astype(jnp.float32)
-        else:
-            bu_s[:] = best_u
-            bv_s[:] = best_v
-
-        # one packed per-packet hit word: 8 child bits (+ death bit 8);
-        # per-child lane reduction BEFORE packing (max of packed sums is
-        # not the union of the bitmasks)
-        hword = jnp.max(h_ray[0].astype(jnp.int32), axis=1, keepdims=True)
-        for c in range(1, 8):
-            hword = hword + (
-                jnp.max(h_ray[c].astype(jnp.int32), axis=1, keepdims=True) << c
-            )
-        if any_hit:
-            hword = hword + 256 * (
-                1 - jnp.max(searching.astype(jnp.int32), axis=1, keepdims=True)
-            )
-
-        # ---- scalar phase 2: descend / finish / refill ----
-        ndone_new = ndone
-        for k in range(K):
-            hw = jnp.sum(hword[k])
-            if any_hit:
-                row_dead = (hw >= 256) & (live_s[k] > 0)
-                ptr_s[k] = jnp.where(row_dead, 0, ptr_s[k])
-            else:
-                row_dead = jnp.bool_(False)
-            was_leaf = isleaf_s[k] > 0
-            gate = (valid_s[k] > 0) & ~was_leaf & ~row_dead & (live_s[k] > 0)
-            nd = jnp.maximum(cur_s[k], 0)
-
-            valid_s[k] = 0
-
-            @pl.when(gate)
-            def _descend():
-                cur_new = cur_s[k]
-                found = jnp.int32(0)
-                ptr_k = ptr_s[k]
-                for c in range(8):
-                    rc = refs_smem[nd, c]
-                    hc = (((hw >> c) & 1) > 0)
-                    take = hc & (found == 0)
-                    push = hc & (found > 0)
-                    cur_new = jnp.where(take, rc, cur_new)
-                    slot = jnp.minimum(ptr_k, STACK - 1)
-                    stack_s[k, slot] = jnp.where(push, rc, stack_s[k, slot])
-                    ptr_k = jnp.minimum(ptr_k + push.astype(jnp.int32), STACK)
-                    found = found + hc.astype(jnp.int32)
-                ptr_s[k] = ptr_k
-                cur_s[k] = cur_new
-                valid_s[k] = jnp.where(found > 0, 1, 0)
-
-            # packet finished?
-            fin = (live_s[k] > 0) & (valid_s[k] == 0) & (ptr_s[k] == 0)
-
-            @pl.when(fin)
-            def _finish():
-                pkt = pkt_s[k]
-                pltpu.make_async_copy(
-                    bt_s.at[pl.ds(k, 1), :], t_hbm.at[pl.ds(pkt, 1), :],
-                    out_sems.at[k],
-                ).start()
-                pltpu.make_async_copy(
-                    bp_s.at[pl.ds(k, 1), :], prim_hbm.at[pl.ds(pkt, 1), :],
-                    out_sems.at[k],
-                ).start()
-                pltpu.make_async_copy(
-                    bu_s.at[pl.ds(k, 1), :], u_hbm.at[pl.ds(pkt, 1), :],
-                    out_sems.at[k],
-                ).start()
-                pltpu.make_async_copy(
-                    bv_s.at[pl.ds(k, 1), :], v_hbm.at[pl.ds(pkt, 1), :],
-                    out_sems.at[k],
-                ).start()
-                for _ in range(4):
-                    pltpu.make_async_copy(
-                        bt_s.at[pl.ds(k, 1), :], t_hbm.at[pl.ds(pkt, 1), :],
-                        out_sems.at[k],
-                    ).wait()
-                pkt_next = qhead_s[0]
-                has_next = pkt_next < n_packets
-                qhead_s[0] = qhead_s[0] + has_next.astype(jnp.int32)
-                live_s[k] = jnp.where(has_next, 1, 0)
-                pkt_s[k] = jnp.where(has_next, pkt_next, pkt_s[k])
-
-                @pl.when(has_next)
-                def _refill():
-                    pltpu.make_async_copy(
-                        rays_hbm.at[pl.ds(pkt_next, 1)],
-                        ray_s.at[pl.ds(k, 1)],
-                        ray_sems.at[k],
-                    ).start()
-                    pltpu.make_async_copy(
-                        rays_hbm.at[pl.ds(0, 1)],
-                        ray_s.at[pl.ds(k, 1)],
-                        ray_sems.at[k],
-                    ).wait()
-                    bt_s[pl.ds(k, 1), :] = ray_s[k, 7:8, :]
-                    bp_s[pl.ds(k, 1), :] = jnp.full((1, PACKET), -1, jnp.int32)
-                    bu_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
-                    bv_s[pl.ds(k, 1), :] = jnp.zeros((1, PACKET), jnp.float32)
-                    se_s[pl.ds(k, 1), :] = ray_s[k, 8:9, :]
-                    cur_s[k] = 0
-                    ptr_s[k] = 0
-                    valid_s[k] = 1
-                    isleaf_s[k] = 0
-
-            ndone_new = ndone_new + fin.astype(jnp.int32)
-
-        return it + 1, ndone_new, nleaf, nvisit
-
-    _it, ndone, _nl, _nv = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)),
-    )
-    done_out[0, 0] = ndone
-    done_out[0, 1] = _it
-    done_out[0, 2] = _nl
-    done_out[0, 3] = _nv
-
-
-@partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats"))
-def traverse_pallas_stream8(
-    bvh: BVHData,
-    o: jax.Array,
-    d: jax.Array,
-    t_min=1e-4,
-    t_max=jnp.inf,
-    active=None,
-    any_hit: bool = False,
-    interpret: bool = False,
-    return_stats: bool = False,
-) -> HitRecord:
-    """BVH8 + SMEM-refs streaming-refill traversal. N % 128 == 0."""
-    n = o.shape[0]
-    assert n % PACKET == 0
-    assert bvh.nodes8 is not None and bvh.refs8 is not None
-    assert bvh.leaf_rows is not None
-    p = n // PACKET
-
-    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    act = (
-        jnp.ones((n,), jnp.float32)
-        if active is None
-        else jnp.asarray(active).astype(jnp.float32)
-    )
-    zero = jnp.zeros((n,), jnp.float32)
-    rays = jnp.stack(
-        [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         tmin, tmax, act, zero],
-        axis=1,
-    ).reshape(p, PACKET, 10).transpose(0, 2, 1)  # (P, 10, 128)
-
-    out_shape = [
-        jax.ShapeDtypeStruct((p, PACKET), jnp.float32),
-        jax.ShapeDtypeStruct((p, PACKET), jnp.int32),
-        jax.ShapeDtypeStruct((p, PACKET), jnp.float32),
-        jax.ShapeDtypeStruct((p, PACKET), jnp.float32),
-        jax.ShapeDtypeStruct((1, 4), jnp.int32),
-    ]
-    refs_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-    node_spec = pl.BlockSpec(bvh.nodes8.shape, lambda: (0, 0),
-                             memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pl.ANY)
-    t, prim, u, v, _cnt = pl.pallas_call(
-        partial(_kernel_stream8, any_hit=any_hit, n_packets=p),
-        grid=(),
-        in_specs=[refs_spec, node_spec, hbm, hbm],
-        out_specs=[hbm, hbm, hbm, hbm,
-                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((K, 64), jnp.float32),       # rows_s
-            pltpu.VMEM((K, 128), jnp.float32),      # leaf_s
-            pltpu.VMEM((K, 10, PACKET), jnp.float32),  # ray_s
-            pltpu.SMEM((K,), jnp.int32),            # cur_s
-            pltpu.SMEM((K,), jnp.int32),            # ptr_s
-            pltpu.SMEM((K,), jnp.int32),            # valid_s
-            pltpu.SMEM((K,), jnp.int32),            # isleaf_s
-            pltpu.SMEM((K,), jnp.int32),            # pkt_s
-            pltpu.SMEM((K,), jnp.int32),            # live_s
-            pltpu.SMEM((1,), jnp.int32),            # qhead_s
-            pltpu.SMEM((K, STACK), jnp.int32),      # stack_s
-            pltpu.VMEM((K, PACKET), jnp.float32),   # bt_s
-            pltpu.VMEM((K, PACKET), jnp.int32),     # bp_s
-            pltpu.VMEM((K, PACKET), jnp.float32),   # bu_s
-            pltpu.VMEM((K, PACKET), jnp.float32),   # bv_s
-            pltpu.VMEM((K, PACKET), jnp.float32),   # se_s
-            pltpu.SemaphoreType.DMA((K,)),          # dma_sems
-            pltpu.SemaphoreType.DMA((K,)),          # ray_sems
-            pltpu.SemaphoreType.DMA((K,)),          # out_sems
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-            has_side_effects=True,
-        ),
-        interpret=interpret,
-    )(bvh.refs8, bvh.nodes8, bvh.leaf_rows, rays)
-
-    miss = prim < 0
-    rec = HitRecord(
-        t=jnp.where(miss, jnp.inf, t).reshape(n),
-        prim=prim.reshape(n),
-        u=u.reshape(n),
-        v=v.reshape(n),
-    )
-    if return_stats:
-        return rec, _cnt  # row: [done, iters, leaf_row_iters, node_row_iters]
-    return rec
-
-
-MAX_SMEM_REF_ROWS = 8192  # (M8, 8) i32 refs table must fit SMEM (256 KB)
-
-
-def pallas_stream8_supported(bvh: BVHData, n: int) -> bool:
-    return (
-        jax.default_backend() == "tpu"
-        and bvh.nodes8 is not None
-        and bvh.refs8 is not None
-        and bvh.leaf_rows is not None
-        and bvh.nodes8.shape[0] <= MAX_SMEM_REF_ROWS
-        and n % PACKET == 0
     )
 
 
@@ -2334,9 +1193,12 @@ def pallas_stream8l_supported(bvh: BVHData, n: int) -> bool:
 
 
 # --------------------------------------------------------------------------
-# v7: PER-LANE BVH8 traversal ("lane8") — one-hot MXU gather, no packet union.
+# PER-LANE BVH8 traversal (the "lane8" family: lane8log below, lane8s after
+# it) — one-hot MXU gather, no packet union. The family's original v7
+# kernel was retired once lane8log/lane8s outperformed it (measurement
+# history: ROUND2.md); this banner documents the shared design.
 #
-# Measurement that motivates this kernel (round 2): a lone incoherent ray
+# Measurement that motivates the family: a lone incoherent ray
 # needs ~13 node visits on the 29k-node stress BVH8, but a 128-ray packet's
 # UNION is ~1190 visits — the lockstep packet kernels serialize ~90x more
 # row-visits than per-ray work requires (lane utilization ~1%). Here every
@@ -2368,518 +1230,10 @@ def pallas_stream8l_supported(bvh: BVHData, n: int) -> bool:
 # traversal this replaces) — redesigned for the MXU instead of translated.
 # --------------------------------------------------------------------------
 
-L8 = 1024            # resident lanes (rays in flight)
 L8_STACK = 64        # per-lane stack depth (>= depth8 * 7)
-L8_NODE_CHUNK = 4096  # node-table rows per one-hot matmul chunk
-L8_LEAF_CHUNK = 2048  # leaf-table rows per one-hot matmul chunk
-L8_SCATW = 8          # scatter window (chunks of 1024 rays)
 L8_MAX_RAYS = 1 << 18  # per-call ray cap (VMEM out buffer)
 MAX_LANE8_NODES = 65536
 MAX_LANE8_LEAF_BYTES = 48 * 1024 * 1024  # int8 leaf table VMEM budget
-
-
-def _kernel_lane8(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
-                  cur_s, ptr_s, valid_s, pend_s, done_s, scat_s, rayid_s,
-                  ray_s, bt_s, bu_s, bv_s, bp_s,
-                  stack_s, lt_s, sc_s,
-                  *, any_hit: bool, n_chunks: int, m_nodes: int,
-                  m_leaves: int, iter_cap: int, frame: tuple,
-                  leaf_tris: int):
-    NC = n_chunks
-    n_total = NC * L8
-
-    f32 = jnp.float32
-    i32 = jnp.int32
-
-    # ---- one-time init ----
-    out_ref[:] = jnp.zeros((NC * 8, L8), f32)
-    cur_s[:] = jnp.zeros((1, L8), i32)
-    ptr_s[:] = jnp.zeros((1, L8), i32)
-    valid_s[:] = jnp.zeros((1, L8), i32)
-    pend_s[:] = jnp.zeros((1, L8), i32)
-    done_s[:] = jnp.ones((1, L8), i32)
-    scat_s[:] = jnp.ones((1, L8), i32)
-    rayid_s[:] = jnp.full((1, L8), -1, i32)
-    ray_s[:] = jnp.zeros((16, L8), f32)
-    bt_s[:] = jnp.zeros((1, L8), f32)
-    bu_s[:] = jnp.zeros((1, L8), f32)
-    bv_s[:] = jnp.zeros((1, L8), f32)
-    bp_s[:] = jnp.full((1, L8), -1, i32)
-    stack_s[:] = jnp.zeros((L8_STACK, L8), i32)
-    for _si in range(8):
-        stats_ref[0, _si] = jnp.int32(0)
-    sc_s[0, 0] = jnp.int32(0)  # rays fully scattered (ndone)
-    sc_s[0, 1] = jnp.int32(0)  # pool head (next ray to issue)
-    # lower-triangular (strict) matrix for matmul prefix-rank
-    lt_s[:] = (
-        jax.lax.broadcasted_iota(i32, (L8, L8), 0)
-        < jax.lax.broadcasted_iota(i32, (L8, L8), 1)
-    ).astype(f32)
-
-    slot_iota = jax.lax.broadcasted_iota(i32, (L8_STACK, L8), 0)
-    iota8 = jax.lax.broadcasted_iota(i32, (8, L8), 0)
-    Tc = leaf_tris
-    iota_t = jax.lax.broadcasted_iota(i32, (Tc, L8), 0)
-    # slot id rides the low bits of the winner key: power-of-2 block >= Tc
-    SLOTM = jnp.int32(max(16, 1 << (Tc - 1).bit_length()) - 1)
-    eye8 = (jax.lax.broadcasted_iota(i32, (8, 8), 0)
-            == jax.lax.broadcasted_iota(i32, (8, 8), 1)).astype(f32)
-    pad7 = jnp.zeros((7, L8), f32)
-    IMAX = jnp.int32(0x7FFFFFFF)
-
-    def _t8(row):
-        """(1, L8) f32 -> (L8, 8) f32 whose column 0 is the row (MXU
-        transpose; operands padded to 8 sublanes — Mosaic rejects 1)."""
-        return jax.lax.dot_general(
-            jnp.concatenate([row, pad7], axis=0), eye8,
-            (((0,), (0,)), ((), ())), preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST)
-
-    def cond(c):
-        it, ndone = c
-        return (it < iter_cap) & (ndone < n_total)
-
-    def body(c):
-        it, _nd = c
-
-        done = done_s[:]
-        ptr = ptr_s[:]
-        valid = valid_s[:]
-        cur = cur_s[:]
-        pend = pend_s[:]
-
-        # ---- pop ----
-        need_pop = (done == 0) & (valid == 0) & (ptr > 0)
-        top = jnp.maximum(ptr - 1, 0)
-        popped = jnp.sum(
-            jnp.where(slot_iota == top, stack_s[:], 0), axis=0, keepdims=True
-        )
-        cur = jnp.where(need_pop, popped, cur)
-        ptr = jnp.where(need_pop, top, ptr)
-        valid = jnp.where(need_pop, 1, valid)
-
-        # ---- promote leaf cur -> pending bank (one slot per lane) ----
-        promo = (valid > 0) & (cur < 0) & (pend == 0)
-        pend = jnp.where(promo, -cur, pend)
-        valid = jnp.where(promo, 0, valid)
-
-        node_lane = (valid > 0) & (cur >= 0)
-
-        # ---- round decision (scalars) ----
-        n_pend = jnp.sum((pend > 0).astype(i32))
-        n_nodework = jnp.sum(node_lane.astype(i32))
-        leaf_round = (n_pend >= L8 // 2) | (n_nodework == 0)
-
-        # ---- node phase: strength-reduced one-hot gather + block slab ----
-        rd = ray_s[:]
-        ox, oy, oz = rd[0:1], rd[1:2], rd[2:3]
-        dx, dy, dz = rd[3:4], rd[4:5], rd[5:6]
-        ix, iy, iz = rd[9:10], rd[10:11], rd[11:12]
-        t_min = rd[6:7]
-        best_t = bt_s[:]
-
-        node_idx = jnp.where(node_lane, cur, -1)
-        # Mosaic strength-reduces (iota == idx) one-hot matmuls into real
-        # VMEM gathers — the (M, L8) one-hot is never materialized
-        iota_nc = jax.lax.broadcasted_iota(i32, (m_nodes, L8), 0)
-        oh_n = (iota_nc == node_idx).astype(jnp.bfloat16)
-        g = jax.lax.dot_general(
-            nodes_ref[:], oh_n, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-
-        # component-major boxes: rows k*8+c — all 8 children as (8, L8) ops
-        tx0 = (g[0:8] - ox) * ix
-        ty0 = (g[8:16] - oy) * iy
-        tz0 = (g[16:24] - oz) * iz
-        tx1 = (g[24:32] - ox) * ix
-        ty1 = (g[32:40] - oy) * iy
-        tz1 = (g[40:48] - oz) * iz
-        te = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
-        )
-        tx = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.minimum(jnp.maximum(tz0, tz1), best_t),
-        )
-        hit8 = (te <= tx) & node_lane  # (8, L8)
-
-        # nearest child via order-preserving bit-packed key (te >= 0):
-        # low 3 bits carry the child index, t perturbed by <= 7 ulps
-        te_bits = jax.lax.bitcast_convert_type(te, i32)
-        key8 = jnp.where(hit8, (te_bits & jnp.int32(~7)) | iota8, IMAX)
-        kmin = jnp.min(key8, axis=0, keepdims=True)
-        anyfound = jnp.max(hit8.astype(i32), axis=0, keepdims=True) > 0
-        c_near = kmin & 7
-
-        base_int = (g[48:49] + g[49:50] * 256.0 + g[50:51] * 65536.0
-                    ).astype(i32)
-        n_int = g[51:52].astype(i32)
-        base_leaf = (g[52:53] + g[53:54] * 256.0 + g[54:55] * 65536.0
-                     ).astype(i32)
-
-        def ref_of(cc):
-            return jnp.where(cc < n_int, base_int + cc,
-                             -(base_leaf + (cc - n_int)) - 1)
-
-        cur = jnp.where(node_lane,
-                        jnp.where(anyfound, ref_of(c_near), cur), cur)
-        new_stack = stack_s[:]
-        for cc in range(8):
-            push = hit8[cc:cc + 1] & (c_near != cc)
-            slot = jnp.minimum(ptr, L8_STACK - 1)
-            cval = ref_of(jnp.full((1, L8), cc, i32))
-            new_stack = jnp.where((slot_iota == slot) & push, cval, new_stack)
-            ptr = ptr + push.astype(i32)
-        stack_s[:] = new_stack
-        valid = jnp.where(node_lane, anyfound.astype(i32), valid)
-
-        cur_s[:] = cur
-        ptr_s[:] = jnp.minimum(ptr, L8_STACK)
-        valid_s[:] = valid
-        pend_s[:] = pend
-
-        # ---- leaf round: gather pending leaf rows + block MT tests ----
-        @pl.when(leaf_round)
-        def _leaf_round():
-            pendv = pend_s[:]
-            pend_lane = pendv > 0
-            lidx = jnp.where(pend_lane, pendv - 1, -1)
-            iota_lc = jax.lax.broadcasted_iota(i32, (m_leaves, L8), 0)
-            # int8 x int8 one-hot on the MXU: 2x bf16 throughput, exact
-            # i32 accumulation (build._pack_lane8 layout)
-            oh_l = (iota_lc == lidx).astype(jnp.int8)
-            gl = jax.lax.dot_general(
-                leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
-                preferred_element_type=i32,
-            )  # (18*Tc + 13 rounded, L8) i32 of -128-encoded bytes
-
-            # lattice reconstruction: vertex = origin + step * (k + q);
-            # k + q < 2^24 so the i32 -> f32 cast is exact, and edges are
-            # exact integer differences scaled by the power-of-2 step
-            step = jnp.float32(frame[3])
-
-            def kax(base):
-                return (gl[base:base + 1] + gl[base + 1:base + 2] * 256
-                        + gl[base + 2:base + 3] * 65536
-                        + (128 + 128 * 256 + 128 * 65536))
-
-            kx, ky, kz = kax(18 * Tc + 1), kax(18 * Tc + 4), kax(18 * Tc + 7)
-
-            def qc(j):  # component j lattice offset, (Tc, L8) in [0, 65535]
-                return (gl[j * Tc:(j + 1) * Tc] * 256
-                        + gl[9 * Tc + j * Tc:9 * Tc + (j + 1) * Tc]
-                        + (128 * 256 + 128))
-
-            q0x, q0y, q0z = qc(0), qc(1), qc(2)
-            v0x = jnp.float32(frame[0]) + (kx + q0x).astype(f32) * step
-            v0y = jnp.float32(frame[1]) + (ky + q0y).astype(f32) * step
-            v0z = jnp.float32(frame[2]) + (kz + q0z).astype(f32) * step
-            e1x = (qc(3) - q0x).astype(f32) * step
-            e1y = (qc(4) - q0y).astype(f32) * step
-            e1z = (qc(5) - q0z).astype(f32) * step
-            e2x = (qc(6) - q0x).astype(f32) * step
-            e2y = (qc(7) - q0y).astype(f32) * step
-            e2z = (qc(8) - q0z).astype(f32) * step
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            u = (tvx * px + tvy * py + tvz * pz) * inv_det
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-
-            cnt = gl[18 * Tc:18 * Tc + 1] + 128
-            # winner prim POSITION = leaf base + slot (prim ids are
-            # not stored; the wrapper remaps through bvh.lane8_order)
-            prim12 = (gl[18 * Tc + 10:18 * Tc + 11]
-                      + gl[18 * Tc + 11:18 * Tc + 12] * 256
-                      + gl[18 * Tc + 12:18 * Tc + 13] * 65536
-                      + (128 + 128 * 256 + 128 * 65536)) + iota_t
-            btv = bt_s[:]
-            hit12 = (
-                pend_lane
-                & (iota_t < cnt)
-                & (jnp.abs(det) > TRI_EPS)
-                & (u >= 0.0)
-                & (v >= 0.0)
-                & (u + v <= 1.0)
-                & (t > t_min)
-                & (t < btv)
-            )
-            # winner via bit-packed key (t > t_min >= 0 so bits are
-            # ordered; low bits carry the slot, t perturbed <= SLOTM ulps)
-            t_bits = jax.lax.bitcast_convert_type(
-                jnp.where(hit12, t, jnp.float32(jnp.inf)), i32)
-            key12 = jnp.where(hit12, (t_bits & ~SLOTM) | iota_t, IMAX)
-            kmin12 = jnp.min(key12, axis=0, keepdims=True)
-            newhit = jnp.max(hit12.astype(i32), axis=0, keepdims=True) > 0
-            win_t = jax.lax.bitcast_convert_type(
-                kmin12 & ~SLOTM, f32)
-            oh12 = (iota_t == (kmin12 & SLOTM)) & hit12
-            win_p = jnp.sum(jnp.where(oh12, prim12, 0), axis=0, keepdims=True)
-            bt_s[:] = jnp.where(newhit, win_t, btv)
-            bp_s[:] = jnp.where(newhit, win_p, bp_s[:])
-            pend_s[:] = jnp.where(pend_lane, 0, pendv)
-            if any_hit:
-                done_s[:] = jnp.where(newhit, 1, done_s[:])
-                ptr_s[:] = jnp.where(newhit, 0, ptr_s[:])
-                valid_s[:] = jnp.where(newhit, 0, valid_s[:])
-            else:
-                win_u = jnp.sum(jnp.where(oh12, u, 0.0), axis=0,
-                                keepdims=True)
-                win_v = jnp.sum(jnp.where(oh12, v, 0.0), axis=0,
-                                keepdims=True)
-                bu_s[:] = jnp.where(newhit, win_u, bu_s[:])
-                bv_s[:] = jnp.where(newhit, win_v, bv_s[:])
-
-        # ---- finish detection (any round) ----
-        fin = ((done_s[:] == 0) & (rayid_s[:] >= 0) & (valid_s[:] == 0)
-               & (ptr_s[:] == 0) & (pend_s[:] == 0))
-        done_s[:] = jnp.where(fin, 1, done_s[:])
-
-        # ---- scatter + refill (leaf rounds only; scalars live in SMEM so
-        # the whole machinery stays behind the pl.when) ----
-        @pl.when(leaf_round)
-        def _scatter_refill():
-            pool_head = sc_s[0, 1]
-            donev = done_s[:]
-            scatv = scat_s[:]
-            ridv = rayid_s[:]
-            unflushed = scatv == 0
-            oldest = jnp.min(jnp.where(unflushed, ridv, jnp.int32(1 << 30)))
-            oldest = jnp.minimum(oldest, pool_head)
-            oldest_chunk = oldest >> 10
-
-            vals = jnp.concatenate(
-                [bt_s[:], bp_s[:].astype(f32), bu_s[:], bv_s[:],
-                 jnp.zeros((4, L8), f32)], axis=0)  # (8, L8)
-            vals_t = jax.lax.dot_general(
-                vals, eye8, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST)  # (L8, 8)
-            ones_row8 = jnp.concatenate(
-                [jnp.ones((1, L8), f32), pad7], axis=0)  # (8, L8)
-
-            lane_iota_s = jax.lax.broadcasted_iota(i32, (L8, L8), 1)
-            for w in range(L8_SCATW):
-                ck = oldest_chunk + w
-                n_in_ck = jnp.sum(
-                    ((donev > 0) & (scat_s[:] == 0)
-                     & ((ridv >> 10) == ck)).astype(i32))
-
-                @pl.when((ck < NC) & (n_in_ck > 0))
-                def _scat_chunk():
-                    mask = ((donev > 0) & (scat_s[:] == 0)
-                            & ((ridv >> 10) == ck))
-                    local = jnp.where(mask, ridv - (ck << 10), -1)
-                    bcast = jax.lax.dot_general(
-                        jnp.concatenate([local.astype(f32), pad7], axis=0),
-                        ones_row8, (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)  # (L8, L8)
-                    oh_ls = (bcast == lane_iota_s.astype(f32)).astype(f32)
-                    contrib = jax.lax.dot_general(
-                        vals_t, oh_ls, (((0,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                        precision=jax.lax.Precision.HIGHEST)  # (8, L8)
-                    out_ref[pl.ds(ck * 8, 8), :] = (
-                        out_ref[pl.ds(ck * 8, 8), :] + contrib)
-                    scat_s[:] = jnp.where(mask, 1, scat_s[:])
-
-            scat_after = scat_s[:]
-            newly = jnp.sum(((scat_after > 0) & (scatv == 0)).astype(i32))
-            sc_s[0, 0] = sc_s[0, 0] + newly
-
-            # ---- refill ----
-            elig = (done_s[:] > 0) & (scat_after > 0)
-            n_avail = n_total - pool_head
-            window_cap = ((oldest_chunk + L8_SCATW) << 10) - pool_head
-            can_n = jnp.maximum(0, jnp.minimum(n_avail, window_cap))
-            elig_t = _t8(elig.astype(f32))  # (L8, 8), col 0 = mask
-            rank = jax.lax.dot_general(
-                elig_t, lt_s[:], (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST)[0:1].astype(i32)
-            take = elig & (rank < can_n)
-            slot = jnp.where(take, pool_head + rank, -1)
-            c0 = pool_head >> 10
-            gsum = jnp.zeros((16, L8), f32)
-            iota_p = jax.lax.broadcasted_iota(i32, (L8, L8), 0)
-            for h in range(2):
-                ch_ok = (c0 + h) < NC  # clamped duplicate would double-add
-                ch = jnp.minimum(c0 + h, NC - 1)
-                loc = slot - (ch << 10)
-                sel = take & (loc >= 0) & (loc < L8) & ch_ok
-                ohp = ((iota_p == loc) & sel).astype(f32)
-                rows = rays_ref[pl.ds(ch * 16, 16), :]
-                gsum = gsum + jax.lax.dot_general(
-                    rows, ohp, (((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                    precision=jax.lax.Precision.HIGHEST)
-
-            def inv3(c_):
-                return jnp.where(jnp.abs(c_) > 1e-12, 1.0 / c_,
-                                 jnp.sign(c_) * 1e12 + 1e12)
-
-            act = gsum[8:9] > 0.0
-            newray = jnp.concatenate(
-                [gsum[0:9],
-                 inv3(gsum[3:4]), inv3(gsum[4:5]), inv3(gsum[5:6]),
-                 jnp.zeros((4, L8), f32)], axis=0)
-            ray_s[:] = jnp.where(take.astype(f32) > 0, newray, ray_s[:])
-            bt_s[:] = jnp.where(take, gsum[7:8], bt_s[:])
-            bu_s[:] = jnp.where(take, 0.0, bu_s[:])
-            bv_s[:] = jnp.where(take, 0.0, bv_s[:])
-            bp_s[:] = jnp.where(take, -1, bp_s[:])
-            cur_s[:] = jnp.where(take, 0, cur_s[:])
-            ptr_s[:] = jnp.where(take, 0, ptr_s[:])
-            valid_s[:] = jnp.where(take, act.astype(i32), valid_s[:])
-            pend_s[:] = jnp.where(take, 0, pend_s[:])
-            done_s[:] = jnp.where(take, 1 - act.astype(i32), done_s[:])
-            scat_s[:] = jnp.where(take, 0, scat_s[:])
-            rayid_s[:] = jnp.where(take, slot, rayid_s[:])
-            sc_s[0, 1] = pool_head + jnp.sum(take.astype(i32))
-
-        stats_ref[0, 2] = stats_ref[0, 2] + n_nodework
-        stats_ref[0, 3] = stats_ref[0, 3] + jnp.where(leaf_round, 1, 0)
-        return it + 1, sc_s[0, 0]
-
-    it, ndone = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0)))
-    stats_ref[0, 0] = it
-    stats_ref[0, 1] = ndone
-
-
-def _lane8_call(bvh: BVHData, o, d, tmin, tmax, act,
-                any_hit: bool, interpret: bool):
-    """One pallas_call over <= L8_MAX_RAYS rays (padded to 1024-chunks)."""
-    n = o.shape[0]
-    nc = max(1, -(-n // L8))
-    npad = nc * L8
-
-    def padto(x, fill=0.0):
-        return jnp.pad(x, (0, npad - n), constant_values=fill)
-
-    fields = jnp.stack([
-        padto(o[:, 0]), padto(o[:, 1]), padto(o[:, 2]),
-        padto(d[:, 0]), padto(d[:, 1]), padto(d[:, 2], fill=1.0),
-        padto(tmin), padto(tmax), padto(act),
-    ] + [jnp.zeros((npad,), jnp.float32)] * 7, axis=0)  # (16, npad)
-    # chunk-strided 2D layout: rows [c*16:(c+1)*16] = chunk c's 16 fields
-    rays = fields.reshape(16, nc, L8).transpose(1, 0, 2).reshape(nc * 16, L8)
-
-    m_nodes = bvh.nodes_lane8.shape[0]
-    m_leaves = bvh.leaves_lane8.shape[0]
-    # ~14 visits/ray typical; every visit costs at most one iteration of
-    # some lane, so nc*1024*64/1024 iterations is a ~4x-margin backstop
-    iter_cap = 64 * nc + 4096
-
-    out, stats = pl.pallas_call(
-        partial(_kernel_lane8, any_hit=any_hit, n_chunks=nc,
-                m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
-                frame=bvh.lane8_frame, leaf_tris=bvh.lane8_leaf_tris),
-        grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_shape=[
-            jax.ShapeDtypeStruct((nc * 8, L8), jnp.float32),
-            jax.ShapeDtypeStruct((1, 8), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, L8), jnp.int32),    # cur_s
-            pltpu.VMEM((1, L8), jnp.int32),    # ptr_s
-            pltpu.VMEM((1, L8), jnp.int32),    # valid_s
-            pltpu.VMEM((1, L8), jnp.int32),    # pend_s
-            pltpu.VMEM((1, L8), jnp.int32),    # done_s
-            pltpu.VMEM((1, L8), jnp.int32),    # scat_s
-            pltpu.VMEM((1, L8), jnp.int32),    # rayid_s
-            pltpu.VMEM((16, L8), jnp.float32),  # ray_s
-            pltpu.VMEM((1, L8), jnp.float32),  # bt_s
-            pltpu.VMEM((1, L8), jnp.float32),  # bu_s
-            pltpu.VMEM((1, L8), jnp.float32),  # bv_s
-            pltpu.VMEM((1, L8), jnp.int32),    # bp_s
-            pltpu.VMEM((L8_STACK, L8), jnp.int32),  # stack_s
-            pltpu.VMEM((L8, L8), jnp.float32),  # lt_s
-            pltpu.SMEM((1, 4), jnp.int32),      # sc_s (ndone, pool_head)
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(bvh.nodes_lane8, bvh.leaves_lane8, rays)
-
-    flat = out.reshape(nc, 8, L8).transpose(1, 0, 2).reshape(8, npad)[:, :n]
-    t = flat[0]
-    prim = flat[1].astype(jnp.int32)
-    u = flat[2]
-    v = flat[3]
-    miss = prim < 0
-    # kernels return prim POSITIONS (leaf base + slot); remap to prim ids
-    prim = jnp.where(
-        miss, -1, bvh.lane8_order[jnp.clip(prim, 0,
-                                           bvh.lane8_order.shape[0] - 1)])
-    return HitRecord(
-        t=jnp.where(miss, jnp.inf, t), prim=prim, u=u, v=v,
-    ), stats
-
-
-@partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats"))
-def traverse_pallas_lane8(
-    bvh: BVHData,
-    o: jax.Array,
-    d: jax.Array,
-    t_min=1e-4,
-    t_max=jnp.inf,
-    active=None,
-    any_hit: bool = False,
-    interpret: bool = False,
-    return_stats: bool = False,
-) -> HitRecord:
-    """Per-lane BVH8 traversal (v7) — see _kernel_lane8.
-
-    Any N (padded internally); calls are sliced at L8_MAX_RAYS rays to
-    bound the VMEM-resident ray/output tables.
-    """
-    n = o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    tmax_arr = jnp.where(jnp.isfinite(tmax_arr), tmax_arr, jnp.float32(3e38))
-    act = (
-        jnp.ones((n,), jnp.float32)
-        if active is None
-        else jnp.asarray(active).astype(jnp.float32)
-    )
-    recs = []
-    stats = None
-    for s in range(0, n, L8_MAX_RAYS):
-        e = min(n, s + L8_MAX_RAYS)
-        rec, st = _lane8_call(
-            bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
-            any_hit, interpret)
-        recs.append(rec)
-        stats = st if stats is None else stats + st
-    if len(recs) == 1:
-        rec = recs[0]
-    else:
-        rec = HitRecord(
-            t=jnp.concatenate([r.t for r in recs]),
-            prim=jnp.concatenate([r.prim for r in recs]),
-            u=jnp.concatenate([r.u for r in recs]),
-            v=jnp.concatenate([r.v for r in recs]),
-        )
-    if return_stats:
-        return rec, stats
-    return rec
 
 
 def pallas_lane8_supported(bvh: BVHData, n: int) -> bool:
@@ -3480,8 +1834,7 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                    *, any_hit: bool, n_gen: int, m_nodes: int,
                    m_leaves: int, iter_cap: int, frame: tuple,
                    leaf_tris: int, round_every: int, lanes: int,
-                   window: int, s_depth: int, occ_stats: bool = False,
-                   leaf_gate: int = 0):
+                   window: int, s_depth: int):
     LN = lanes
     G = 8
     R = G * LN
@@ -3643,21 +1996,7 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         pend_s[:] = pend
 
         # ---- leaf round (per sublane group, int8 lattice leaves) ----
-        # leaf_gate > 0: skip the (table-stream-dominated) intersect block
-        # when fewer than leaf_gate lanes hold a pending leaf — pends just
-        # resolve a few iterations later (results identical: a later bt
-        # update only admits extra node visits, never changes the winner).
-        # Every 4th cadence point runs unconditionally so waits are bounded
-        # and an all-pending wavefront always progresses. One
-        # vector->scalar crossing per cadence point, not per body.
-        if leaf_gate > 0:
-            run_leaf = leaf_round & (
-                (jnp.sum((pend_s[:] > 0).astype(i32)) >= leaf_gate)
-                | ((it % (round_every * 4)) == (round_every * 4 - 1)))
-        else:
-            run_leaf = leaf_round
-
-        @pl.when(run_leaf)
+        @pl.when(leaf_round)
         def _leaf_round():
             pendv = pend_s[:]
             btv2 = bt_s[:]
@@ -3774,17 +2113,6 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         done_s[:] = jnp.where(fin, 1, done_s[:])
         pw_s[:] = jnp.where(fin, 1, pw_s[:])
 
-        # occupancy accounting: node-work / pend-wait / done-idle slots.
-        # Three full-lane vector->scalar reductions per body — probe-only
-        # (occ_stats), never in the production path.
-        if occ_stats:
-            stats_ref[0, 5] = stats_ref[0, 5] + jnp.sum(
-                node_lane.astype(i32))
-            stats_ref[0, 6] = stats_ref[0, 6] + jnp.sum(
-                (pend_s[:] > 0).astype(i32))
-            stats_ref[0, 7] = stats_ref[0, 7] + jnp.sum(
-                (done_s[:] > 0).astype(i32))
-
         # ---- write + advance + load (static-strided window) ----
         @pl.when(leaf_round)
         def _write_load():
@@ -3860,8 +2188,7 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
 
 def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
                  any_hit: bool, interpret: bool, round_every: int = 8,
-                 lanes: int = 512, window: int = 8,
-                 occ_stats: bool = False, leaf_gate: int = 0):
+                 lanes: int = 512, window: int = 8):
     """One pallas_call over <= L8_MAX_RAYS rays; output is ordered by
     construction (lane (g, l) owns ray k*8*lanes + g*lanes + l)."""
     n = o.shape[0]
@@ -3892,7 +2219,7 @@ def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
                 m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
                 frame=bvh.lane8_frame, leaf_tris=bvh.lane8_leaf_tris,
                 round_every=round_every, lanes=LN, window=window,
-                s_depth=S, occ_stats=occ_stats, leaf_gate=leaf_gate),
+                s_depth=S),
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -3940,8 +2267,7 @@ def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats",
-                                  "round_every", "lanes", "window",
-                                  "occ_stats", "leaf_gate"))
+                                  "round_every", "lanes", "window"))
 def traverse_pallas_lane8s(
     bvh: BVHData,
     o: jax.Array,
@@ -3955,8 +2281,6 @@ def traverse_pallas_lane8s(
     round_every: int = 8,
     lanes: int = 512,
     window: int = 8,
-    occ_stats: bool = False,
-    leaf_gate: int = 0,
 ) -> HitRecord:
     """Sublane-grouped static-strided per-lane BVH8 traversal (v10)."""
     n = o.shape[0]
@@ -3974,8 +2298,7 @@ def traverse_pallas_lane8s(
         e = min(n, s + L8_MAX_RAYS)
         rec, st = _lane8s_call(
             bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
-            any_hit, interpret, round_every, lanes, window, occ_stats,
-            leaf_gate)
+            any_hit, interpret, round_every, lanes, window)
         recs.append(rec)
         stats = st if stats is None else stats + st
     if len(recs) == 1:
@@ -4012,667 +2335,3 @@ def pallas_lane8s_supported(bvh: BVHData, n: int) -> bool:
     return jax.default_backend() == "tpu" and lane8s_tables_ok(bvh, n)
 
 
-# ---------------------------------------------------------------------------
-# v11 "lane8w": whole-wavefront lane-major per-lane BVH8 walks.
-#
-# Why (chain-timed on the v5e, 2026-08-19, 256k incoherent stress rays,
-# methodology: C traversals chained inside one jit, marginal of C=5 vs C=1 —
-# immune to relay dispatch noise):
-#   * lane8s (v10) spends ~91% of its time in leaf rounds: solving
-#     T = a*node_iters + b*leaf_rounds over two cadence configs gives
-#     a = 3.1 us/node-iter and b = 227 us/leaf-round. The leaf round's
-#     one-hot gather streams the ~5 MB int8 leaf table through the MXU
-#     once PER SUBLANE GROUP (8x per round) because v10 keeps state as
-#     (8, LN) sublane-major and each group needs its own (m, LN) dot.
-#   * A jit-chained probe of the node phase alone measured the per-group
-#     node gather at 2.45 us/iter vs 1.52 whole-wavefront — weight
-#     (re)loads, not MACs, dominate one-hot gathers.
-#
-# v11 therefore keeps EVERYTHING lane-major: state arrays are (1, W) with
-# W = 4096 lanes, the ray pool is a 2D (n_gen*8, W) table (component rows,
-# no sublane padding), and both the node and leaf one-hot gathers are ONE
-# dot per round over the full wavefront — the table is streamed once, not
-# 8x. The compressed two-plane stack, static-strided windowed refill, and
-# int8 lattice cluster leaves are unchanged from v10. The leaf gather runs
-# in `leaf_chunks` lane-slices to bound the (18*Tc+13, W) i32 intermediate.
-#
-# Reference parity: src/Device/includes/Intersect.h:129-142 (the HW
-# traversal this replaces) — redesigned for the MXU instead of translated.
-# ---------------------------------------------------------------------------
-
-
-def _kernel_lane8w(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
-                   cur_s, ptr_s, valid_s, pend_s, done_s, pw_s, gen_s,
-                   ray_s, bt_s, bu_s, bv_s, bp_s,
-                   stkA_s, stkB_s, sc_s,
-                   *, any_hit: bool, n_gen: int, m_nodes: int,
-                   m_leaves: int, iter_cap: int, frame: tuple,
-                   leaf_tris: int, round_every: int, width: int,
-                   window: int, s_depth: int, leaf_chunks: int,
-                   occ_stats: bool = False, leaf_half: bool = False,
-                   compact: bool = False):
-    W = width
-    S = s_depth
-    LC = leaf_chunks
-    WC = W // LC
-
-    f32 = jnp.float32
-    i32 = jnp.int32
-
-    # ---- one-time init ----
-    # out rows are 8-strided per generation (rows 0-3 = t/prim/u/v, 4-7
-    # padding) so the dynamic write offset is sublane-aligned for Mosaic.
-    r8 = jax.lax.broadcasted_iota(i32, (n_gen * 8, W), 0) % 8
-    out_ref[:] = jnp.where(
-        r8 == 0, jnp.float32(jnp.inf),
-        jnp.where(r8 == 1, jnp.float32(-1.0), jnp.float32(0.0)))
-    cur_s[:] = jnp.zeros((1, W), i32)
-    ptr_s[:] = jnp.zeros((1, W), i32)
-    valid_s[:] = jnp.zeros((1, W), i32)
-    pend_s[:] = jnp.zeros((1, W), i32)
-    done_s[:] = jnp.ones((1, W), i32)   # waiting to load generation 0
-    pw_s[:] = jnp.zeros((1, W), i32)
-    gen_s[:] = jnp.zeros((1, W), i32)
-    ray_s[:] = jnp.zeros((16, W), f32)
-    bt_s[:] = jnp.zeros((1, W), f32)
-    bu_s[:] = jnp.zeros((1, W), f32)
-    bv_s[:] = jnp.zeros((1, W), f32)
-    bp_s[:] = jnp.full((1, W), -1, i32)
-    stkA_s[:] = jnp.zeros((S, W), i32)
-    stkB_s[:] = jnp.zeros((S, W), i32)
-    for _si in range(8):
-        stats_ref[0, _si] = jnp.int32(0)
-    sc_s[0, 0] = jnp.int32(0)  # lanes past their last generation
-    sc_s[0, 1] = jnp.int32(0)  # window base (min generation)
-
-    slot_iota = jax.lax.broadcasted_iota(i32, (S, W), 0)
-    iota8 = jax.lax.broadcasted_iota(i32, (8, W), 0)
-    pow2_8 = jnp.exp2(iota8.astype(f32)).astype(i32)  # exact for 0..7
-    Tc = leaf_tris
-    iota_t = jax.lax.broadcasted_iota(i32, (Tc, WC), 0)
-    iota_nc = jax.lax.broadcasted_iota(i32, (m_nodes, W), 0)
-    iota_lc = jax.lax.broadcasted_iota(i32, (m_leaves, WC), 0)
-    lane_iota_w = jax.lax.broadcasted_iota(i32, (1, W), 1)
-    iota_wc_w = jax.lax.broadcasted_iota(i32, (WC, W), 0)
-    SLOTM = jnp.int32(max(16, 1 << (Tc - 1).bit_length()) - 1)
-    IMAX = jnp.int32(0x7FFFFFFF)
-
-    def cond(c):
-        it, ndone = c
-        return (it < iter_cap) & (ndone < W)
-
-    def body(c):
-        it, _nd = c
-
-        done = done_s[:]
-        ptr = ptr_s[:]
-        valid = valid_s[:]
-        cur = cur_s[:]
-        pend = pend_s[:]
-
-        # ---- pop (two-plane compressed stack) ----
-        need_pop = (done == 0) & (valid == 0) & (ptr > 0)
-        top = jnp.maximum(ptr - 1, 0)
-        selT = slot_iota == top
-        A = jnp.sum(jnp.where(selT, stkA_s[:], 0), axis=0, keepdims=True)
-        B = jnp.sum(jnp.where(selT, stkB_s[:], 0), axis=0, keepdims=True)
-        lsb = B & (-B)
-        cpop = (jax.lax.bitcast_convert_type(lsb.astype(f32), i32)
-                >> 23) - 127
-        newB = B ^ lsb
-        n_int_p = A & 15
-        base_int_p = (A >> 4) & 0x3FFF
-        base_leaf_p = (A >> 18) & 0x3FFF
-        ref_p = jnp.where(cpop < n_int_p, base_int_p + cpop,
-                          -(base_leaf_p + (cpop - n_int_p)) - 1)
-        keep = need_pop & (newB != 0)
-        stkB_s[:] = jnp.where(selT & keep, newB, stkB_s[:])
-        ptr = jnp.where(need_pop & (newB == 0), top, ptr)
-        cur = jnp.where(need_pop, ref_p, cur)
-        valid = jnp.where(need_pop, 1, valid)
-
-        # ---- promote leaf cur -> pending bank ----
-        promo = (valid > 0) & (cur < 0) & (pend == 0)
-        pend = jnp.where(promo, -cur, pend)
-        valid = jnp.where(promo, 0, valid)
-
-        node_lane = (valid > 0) & (cur >= 0)
-        leaf_round = (it % round_every) == (round_every - 1)
-
-        # ---- node phase (ONE whole-wavefront one-hot MXU gather) ----
-        rd = ray_s[:]
-        btv = bt_s[:]
-        node_idx = jnp.where(node_lane, cur, -1)
-        oh_n = (iota_nc == node_idx).astype(jnp.bfloat16)
-        gg = jax.lax.dot_general(
-            nodes_ref[:], oh_n, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-        )
-        ox, oy, oz = rd[0:1], rd[1:2], rd[2:3]
-        ix, iy, iz = rd[9:10], rd[10:11], rd[11:12]
-        tx0 = (gg[0:8] - ox) * ix
-        ty0 = (gg[8:16] - oy) * iy
-        tz0 = (gg[16:24] - oz) * iz
-        tx1 = (gg[24:32] - ox) * ix
-        ty1 = (gg[32:40] - oy) * iy
-        tz1 = (gg[40:48] - oz) * iz
-        te = jnp.maximum(
-            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-            jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
-        )
-        tx = jnp.minimum(
-            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-            jnp.minimum(jnp.maximum(tz0, tz1), btv),
-        )
-        hit8 = (te <= tx) & node_lane
-
-        te_bits = jax.lax.bitcast_convert_type(te, i32)
-        key8 = jnp.where(hit8, (te_bits & jnp.int32(~7)) | iota8, IMAX)
-        kmin = jnp.min(key8, axis=0, keepdims=True)
-        anyf = jnp.max(hit8.astype(i32), axis=0, keepdims=True)
-        c_near = kmin & 7
-
-        base_int = (gg[48:49] + gg[49:50] * 256.0
-                    + gg[50:51] * 65536.0).astype(i32)
-        n_int = gg[51:52].astype(i32)
-        base_leaf = (gg[52:53] + gg[53:54] * 256.0
-                     + gg[54:55] * 65536.0).astype(i32)
-        curn = jnp.where(c_near < n_int, base_int + c_near,
-                         -(base_leaf + (c_near - n_int)) - 1)
-        full_mask = jnp.sum(jnp.where(hit8, pow2_8, 0), axis=0,
-                            keepdims=True)
-        near_pow = jnp.sum(jnp.where(iota8 == c_near, pow2_8, 0),
-                           axis=0, keepdims=True)
-        maskg = full_mask ^ near_pow  # meaningful only when anyf
-        packA = n_int | (base_int << 4) | (base_leaf << 18)
-
-        found = anyf > 0
-        cur = jnp.where(node_lane, jnp.where(found, curn, cur), cur)
-        valid = jnp.where(node_lane, anyf, valid)
-        push = node_lane & found & (maskg != 0)
-        slot = jnp.minimum(ptr, S - 1)
-        selP = (slot_iota == slot) & push
-        stkA_s[:] = jnp.where(selP, packA, stkA_s[:])
-        stkB_s[:] = jnp.where(selP, maskg, stkB_s[:])
-        ptr = ptr + push.astype(i32)
-
-        cur_s[:] = cur
-        ptr_s[:] = jnp.minimum(ptr, S)
-        valid_s[:] = valid
-        pend_s[:] = pend
-
-        # ---- leaf round (lane-chunked whole-wavefront int8 gather) ----
-        @pl.when(leaf_round)
-        def _leaf_round():
-            pendv = pend_s[:]
-            btv2 = bt_s[:]
-            rd2 = ray_s[:]
-            step = jnp.float32(frame[3])
-
-            def mt_at(lidx, pl_c, ox2, oy2, oz2, dx, dy, dz, t_min, bt_c):
-                """Leaf gather + Moller-Trumbore over one WC-wide slice.
-                Returns (win_t, win_p, newhit, win_u, win_v)."""
-                oh_l = (iota_lc == lidx).astype(jnp.int8)
-                gl = jax.lax.dot_general(
-                    leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
-                    preferred_element_type=i32,
-                )
-
-                def kax(base, gl=gl):
-                    return (gl[base:base + 1] + gl[base + 1:base + 2] * 256
-                            + gl[base + 2:base + 3] * 65536
-                            + (128 + 128 * 256 + 128 * 65536))
-
-                kx = kax(18 * Tc + 1)
-                ky = kax(18 * Tc + 4)
-                kz = kax(18 * Tc + 7)
-
-                def qc(j, gl=gl):
-                    return (gl[j * Tc:(j + 1) * Tc] * 256
-                            + gl[9 * Tc + j * Tc:9 * Tc + (j + 1) * Tc]
-                            + (128 * 256 + 128))
-
-                q0x, q0y, q0z = qc(0), qc(1), qc(2)
-                v0x = jnp.float32(frame[0]) + (kx + q0x).astype(f32) * step
-                v0y = jnp.float32(frame[1]) + (ky + q0y).astype(f32) * step
-                v0z = jnp.float32(frame[2]) + (kz + q0z).astype(f32) * step
-                e1x = (qc(3) - q0x).astype(f32) * step
-                e1y = (qc(4) - q0y).astype(f32) * step
-                e1z = (qc(5) - q0z).astype(f32) * step
-                e2x = (qc(6) - q0x).astype(f32) * step
-                e2y = (qc(7) - q0y).astype(f32) * step
-                e2z = (qc(8) - q0z).astype(f32) * step
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
-                tvx = ox2 - v0x
-                tvy = oy2 - v0y
-                tvz = oz2 - v0z
-                u = (tvx * px + tvy * py + tvz * pz) * inv_det
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-
-                cnt = gl[18 * Tc:18 * Tc + 1] + 128
-                # winner prim POSITION = leaf base + slot (prim ids are
-                # not stored; the wrapper remaps through bvh.lane8_order)
-                prim12 = (gl[18 * Tc + 10:18 * Tc + 11]
-                          + gl[18 * Tc + 11:18 * Tc + 12] * 256
-                          + gl[18 * Tc + 12:18 * Tc + 13] * 65536
-                          + (128 + 128 * 256 + 128 * 65536)) + iota_t
-                hit12 = (
-                    pl_c
-                    & (iota_t < cnt)
-                    & (jnp.abs(det) > TRI_EPS)
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (t > t_min)
-                    & (t < bt_c)
-                )
-                t_bits = jax.lax.bitcast_convert_type(
-                    jnp.where(hit12, t, jnp.float32(jnp.inf)), i32)
-                key12 = jnp.where(hit12, (t_bits & ~SLOTM) | iota_t, IMAX)
-                kmin12 = jnp.min(key12, axis=0, keepdims=True)
-                newhit = jnp.max(hit12.astype(i32), axis=0, keepdims=True)
-                win_t = jax.lax.bitcast_convert_type(kmin12 & ~SLOTM, f32)
-                oh12 = (iota_t == (kmin12 & SLOTM)) & hit12
-                win_p = jnp.sum(jnp.where(oh12, prim12, 0), axis=0,
-                                keepdims=True)
-                if any_hit:
-                    return win_t, win_p, newhit, None, None
-                win_u = jnp.sum(jnp.where(oh12, u, 0.0), axis=0,
-                                keepdims=True)
-                win_v = jnp.sum(jnp.where(oh12, v, 0.0), axis=0,
-                                keepdims=True)
-                return win_t, win_p, newhit, win_u, win_v
-
-            if compact:
-                # -- pend-compaction: pack pending lanes into a WC-wide
-                # slice so the leaf table is streamed over WC lanes, not W.
-                # Moves are exact byte-split int8 one-hot matmuls. A second
-                # slice runs ONLY when pends overflow WC (scalar-gated), so
-                # typical rounds pay half of the uncompacted cost and heavy
-                # rounds pay the same — never extra stall iterations. --
-                pl_all = pendv > 0
-                ev = pl_all.astype(i32)
-                cs = ev
-                k = 1
-                while k < W:
-                    cs = cs + jnp.where(lane_iota_w >= k,
-                                        pltpu.roll(cs, k, 1), 0)
-                    k *= 2
-                rank = cs - ev  # exclusive prefix rank over lanes
-                npend = jnp.sum(ev)
-
-                def split_f32(x):
-                    bits = jax.lax.bitcast_convert_type(x, i32)
-                    return [(((bits >> (8 * j)) & 255) - 128).astype(jnp.int8)
-                            for j in range(4)]
-
-                def compact_slice(base):
-                    take = pl_all & (rank >= base) & (rank < base + WC)
-                    rankc = jnp.where(take, rank - base, -1)
-                    P8 = (iota_wc_w == rankc).astype(jnp.int8)  # (WC, W)
-                    xrows = [take.astype(jnp.int8),
-                             ((pendv & 255) - 128).astype(jnp.int8),
-                             ((pendv >> 8) - 128).astype(jnp.int8)]
-                    for ci in (0, 1, 2, 3, 4, 5, 6):
-                        xrows += split_f32(rd2[ci:ci + 1])
-                    xrows += split_f32(bt_s[:])
-                    X = jnp.concatenate(xrows, axis=0)  # (35, W) int8
-                    Xc = jax.lax.dot_general(
-                        X, P8, (((1,), (1,)), ((), ())),
-                        preferred_element_type=i32)     # (35, WC)
-                    occ = Xc[0:1]
-                    b128 = occ * 128
-
-                    def join_f32(r0):
-                        bits = ((Xc[r0:r0 + 1] + b128)
-                                | ((Xc[r0 + 1:r0 + 2] + b128) << 8)
-                                | ((Xc[r0 + 2:r0 + 3] + b128) << 16)
-                                | ((Xc[r0 + 3:r0 + 4] + b128) << 24))
-                        return jax.lax.bitcast_convert_type(bits, f32)
-
-                    pv_c = (Xc[1:2] + b128) | ((Xc[2:3] + b128) << 8)
-                    mask_c = occ > 0
-                    lidx_c = jnp.where(mask_c, pv_c - 1, -1)
-                    cox, coy, coz = join_f32(3), join_f32(7), join_f32(11)
-                    cdx, cdy, cdz = join_f32(15), join_f32(19), join_f32(23)
-                    ctm, cbt = join_f32(27), join_f32(31)
-                    # inactive slots: keep MT predicates false via bt<=t_min
-                    cbt = jnp.where(mask_c, cbt, 0.0)
-                    win_t, win_p, newhit, win_u, win_v = mt_at(
-                        lidx_c, mask_c, cox, coy, coz, cdx, cdy, cdz,
-                        ctm, cbt)
-
-                    yrows = [newhit.astype(jnp.int8)]
-                    for j in range(4):
-                        yrows.append((((win_p >> (8 * j)) & 255) - 128)
-                                     .astype(jnp.int8))
-                    tb = jax.lax.bitcast_convert_type(win_t, i32)
-                    for j in range(4):
-                        yrows.append((((tb >> (8 * j)) & 255) - 128)
-                                     .astype(jnp.int8))
-                    if not any_hit:
-                        for val in (win_u, win_v):
-                            vb = jax.lax.bitcast_convert_type(val, i32)
-                            for j in range(4):
-                                yrows.append((((vb >> (8 * j)) & 255) - 128)
-                                             .astype(jnp.int8))
-                    Y = jnp.concatenate(yrows, axis=0)
-                    Yw = jax.lax.dot_general(
-                        Y, P8, (((1,), (0,)), ((), ())),
-                        preferred_element_type=i32)     # (r, W)
-                    t128 = take.astype(i32) * 128
-
-                    def wjoin(r0):
-                        return ((Yw[r0:r0 + 1] + t128)
-                                | ((Yw[r0 + 1:r0 + 2] + t128) << 8)
-                                | ((Yw[r0 + 2:r0 + 3] + t128) << 16)
-                                | ((Yw[r0 + 3:r0 + 4] + t128) << 24))
-
-                    nh = take & (Yw[0:1] > 0)  # newhit row unbiased 0/1
-                    nbp = wjoin(1)
-                    nbt = jax.lax.bitcast_convert_type(wjoin(5), f32)
-                    bt_s[:] = jnp.where(nh, nbt, bt_s[:])
-                    bp_s[:] = jnp.where(nh, nbp, bp_s[:])
-                    pend_s[:] = jnp.where(take, 0, pend_s[:])
-                    if any_hit:
-                        done_s[:] = jnp.where(nh, 1, done_s[:])
-                        ptr_s[:] = jnp.where(nh, 0, ptr_s[:])
-                        valid_s[:] = jnp.where(nh, 0, valid_s[:])
-                        pw_s[:] = jnp.where(nh, 1, pw_s[:])
-                    else:
-                        nbu = jax.lax.bitcast_convert_type(wjoin(9), f32)
-                        nbv = jax.lax.bitcast_convert_type(wjoin(13), f32)
-                        bu_s[:] = jnp.where(nh, nbu, bu_s[:])
-                        bv_s[:] = jnp.where(nh, nbv, bv_s[:])
-
-                compact_slice(0)
-
-                @pl.when(npend > WC)
-                def _overflow_slice():
-                    compact_slice(WC)
-            else:
-                nt_l, np_l, nu_l, nv_l, nh_l = [], [], [], [], []
-                # leaf_half: probe-only ablation — intersect only the first
-                # lane-chunk (WRONG results; measures the leaf-dot share)
-                for cix in range(1 if leaf_half else LC):
-                    c0 = cix * WC
-                    pl_c = pendv[:, c0:c0 + WC] > 0
-                    lidx = jnp.where(pl_c, pendv[:, c0:c0 + WC] - 1, -1)
-                    win_t, win_p, newhit, win_u, win_v = mt_at(
-                        lidx, pl_c,
-                        rd2[0:1, c0:c0 + WC], rd2[1:2, c0:c0 + WC],
-                        rd2[2:3, c0:c0 + WC], rd2[3:4, c0:c0 + WC],
-                        rd2[4:5, c0:c0 + WC], rd2[5:6, c0:c0 + WC],
-                        rd2[6:7, c0:c0 + WC], btv2[:, c0:c0 + WC])
-                    nt_l.append(win_t)
-                    np_l.append(win_p)
-                    nh_l.append(newhit)
-                    if not any_hit:
-                        nu_l.append(win_u)
-                        nv_l.append(win_v)
-                if leaf_half:
-                    for _ in range(LC - 1):
-                        nh_l.append(jnp.zeros((1, WC), i32))
-                        nt_l.append(jnp.full((1, WC), jnp.inf, f32))
-                        np_l.append(jnp.full((1, WC), -1, i32))
-                        if not any_hit:
-                            nu_l.append(jnp.zeros((1, WC), f32))
-                            nv_l.append(jnp.zeros((1, WC), f32))
-                nh = jnp.concatenate(nh_l, axis=1) > 0
-                nbt = jnp.concatenate(nt_l, axis=1)
-                nbp = jnp.concatenate(np_l, axis=1)
-                bt_s[:] = jnp.where(nh, nbt, btv2)
-                bp_s[:] = jnp.where(nh, nbp, bp_s[:])
-                pend_s[:] = jnp.where(pendv > 0, 0, pendv)
-                if any_hit:
-                    done_s[:] = jnp.where(nh, 1, done_s[:])
-                    ptr_s[:] = jnp.where(nh, 0, ptr_s[:])
-                    valid_s[:] = jnp.where(nh, 0, valid_s[:])
-                    pw_s[:] = jnp.where(nh, 1, pw_s[:])
-                else:
-                    bu_s[:] = jnp.where(nh, jnp.concatenate(nu_l, axis=1),
-                                        bu_s[:])
-                    bv_s[:] = jnp.where(nh, jnp.concatenate(nv_l, axis=1),
-                                        bv_s[:])
-
-        # ---- finish detection ----
-        fin = ((done_s[:] == 0) & (valid_s[:] == 0) & (ptr_s[:] == 0)
-               & (pend_s[:] == 0))
-        done_s[:] = jnp.where(fin, 1, done_s[:])
-        pw_s[:] = jnp.where(fin, 1, pw_s[:])
-
-        # occupancy accounting — probe-only (occ_stats), never production.
-        if occ_stats:
-            stats_ref[0, 5] = stats_ref[0, 5] + jnp.sum(
-                node_lane.astype(i32))
-            stats_ref[0, 6] = stats_ref[0, 6] + jnp.sum(
-                (pend_s[:] > 0).astype(i32))
-            stats_ref[0, 7] = stats_ref[0, 7] + jnp.sum(
-                (done_s[:] > 0).astype(i32))
-
-        # ---- write + advance + load (static-strided window) ----
-        @pl.when(leaf_round)
-        def _write_load():
-            base = sc_s[0, 1]
-            genv = gen_s[:]
-            pwv = pw_s[:] > 0
-            tvals = jnp.where(bp_s[:] >= 0, bt_s[:], jnp.float32(jnp.inf))
-            pvals = bp_s[:].astype(f32)
-            for w in range(window):
-                krow = jnp.minimum(base + w, n_gen - 1)
-                m = pwv & (genv == base + w)
-                off = pl.multiple_of(krow * 8, 8)
-                rows = out_ref[pl.ds(off, 8)]
-                r0 = jnp.where(m, tvals, rows[0:1])
-                r1 = jnp.where(m, pvals, rows[1:2])
-                r2 = jnp.where(m, bu_s[:], rows[2:3])
-                r3 = jnp.where(m, bv_s[:], rows[3:4])
-                out_ref[pl.ds(off, 8)] = jnp.concatenate(
-                    [r0, r1, r2, r3, rows[4:8]], axis=0)
-            wrote = pwv & (genv >= base) & (genv < base + window)
-            gen2 = genv + wrote.astype(i32)
-            pw2 = jnp.where(wrote, 0, pwv.astype(i32))
-
-            donev = done_s[:]
-            can = ((donev > 0) & (pw2 == 0) & (gen2 < n_gen)
-                   & (gen2 < base + window))
-            rd3 = ray_s[:]
-            comp = [rd3[c:c + 1] for c in range(8)]
-            for w in range(window):
-                kk = jnp.minimum(base + w, n_gen - 1)
-                m = can & (gen2 == base + w)
-                rows8 = rays_ref[pl.ds(pl.multiple_of(kk * 8, 8), 8)]
-                for cc in range(8):
-                    comp[cc] = jnp.where(m, rows8[cc:cc + 1], comp[cc])
-            loaded = can
-            act = comp[7] > 0.0
-
-            def inv3(c_):
-                return jnp.where(jnp.abs(c_) > 1e-12, 1.0 / c_,
-                                 jnp.sign(c_) * 1e12 + 1e12)
-
-            zeros = jnp.zeros((1, W), f32)
-            rows16 = comp + [zeros, inv3(comp[3]), inv3(comp[4]),
-                             inv3(comp[5]), zeros, zeros, zeros, zeros]
-            newray = jnp.concatenate(rows16, axis=0)
-            ray_s[:] = jnp.where(loaded, newray, rd3)
-            bt_s[:] = jnp.where(loaded, comp[7], bt_s[:])
-            bu_s[:] = jnp.where(loaded, 0.0, bu_s[:])
-            bv_s[:] = jnp.where(loaded, 0.0, bv_s[:])
-            bp_s[:] = jnp.where(loaded, -1, bp_s[:])
-            cur_s[:] = jnp.where(loaded, 0, cur_s[:])
-            ptr_s[:] = jnp.where(loaded, 0, ptr_s[:])
-            valid_s[:] = jnp.where(loaded, act.astype(i32), valid_s[:])
-            pend_s[:] = jnp.where(loaded, 0, pend_s[:])
-            done_s[:] = jnp.where(loaded, 1 - act.astype(i32), done_s[:])
-            # inactive rays (padding / masked-off): write a miss next round
-            pw_s[:] = jnp.where(loaded & (~act), 1, pw2)
-            gen_s[:] = gen2
-
-            sc_s[0, 1] = jnp.min(gen2)
-            sc_s[0, 0] = jnp.sum((gen2 >= n_gen).astype(i32))
-            stats_ref[0, 2] = stats_ref[0, 2] + jnp.sum(
-                (done_s[:] == 0).astype(i32))
-            stats_ref[0, 3] = stats_ref[0, 3] + 1
-
-        return it + 1, sc_s[0, 0]
-
-    it, ndone = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0)))
-    stats_ref[0, 0] = it
-    stats_ref[0, 1] = ndone
-    stats_ref[0, 4] = sc_s[0, 1]  # final window base
-
-
-def _lane8w_call(bvh: BVHData, o, d, tmin, tmax, act,
-                 any_hit: bool, interpret: bool, round_every: int = 8,
-                 width: int = 4096, window: int = 8, leaf_chunks: int = 2,
-                 occ_stats: bool = False, leaf_half: bool = False,
-                 compact: bool = False):
-    """One pallas_call over <= L8_MAX_RAYS rays; output is ordered by
-    construction (lane l owns rays k*width + l for generations k)."""
-    n = o.shape[0]
-    W = width
-    if compact and leaf_chunks != 2:
-        raise ValueError("lane8w compact mode requires leaf_chunks=2 "
-                         "(two rank slices must cover the full width)")
-    n_gen = max(1, -(-n // W))
-    npad = n_gen * W
-
-    def padto(x, fill=0.0):
-        return jnp.pad(x, (0, npad - n), constant_values=fill)
-
-    f7 = jnp.where(act > 0, tmax, -1.0)
-    fields = jnp.stack([
-        padto(o[:, 0]), padto(o[:, 1]), padto(o[:, 2]),
-        padto(d[:, 0]), padto(d[:, 1]), padto(d[:, 2], fill=1.0),
-        padto(tmin), padto(f7, fill=-1.0),
-    ], axis=0)
-    rays = fields.reshape(8, n_gen, W).transpose(1, 0, 2).reshape(
-        n_gen * 8, W)
-
-    m_nodes = bvh.nodes_lane8.shape[0]
-    m_leaves = bvh.leaves_lane8.shape[0]
-    S = max(2, int(bvh.lane8_depth))
-    iter_cap = 128 * n_gen + 4096
-
-    out, stats = pl.pallas_call(
-        partial(_kernel_lane8w, any_hit=any_hit, n_gen=n_gen,
-                m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
-                frame=bvh.lane8_frame, leaf_tris=bvh.lane8_leaf_tris,
-                round_every=round_every, width=W, window=window,
-                s_depth=S, leaf_chunks=leaf_chunks, occ_stats=occ_stats,
-                leaf_half=leaf_half, compact=compact),
-        grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_gen * 8, W), jnp.float32),
-            jax.ShapeDtypeStruct((1, 8), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((1, W), jnp.int32),      # cur_s
-            pltpu.VMEM((1, W), jnp.int32),      # ptr_s
-            pltpu.VMEM((1, W), jnp.int32),      # valid_s
-            pltpu.VMEM((1, W), jnp.int32),      # pend_s
-            pltpu.VMEM((1, W), jnp.int32),      # done_s
-            pltpu.VMEM((1, W), jnp.int32),      # pw_s
-            pltpu.VMEM((1, W), jnp.int32),      # gen_s
-            pltpu.VMEM((16, W), jnp.float32),   # ray_s
-            pltpu.VMEM((1, W), jnp.float32),    # bt_s
-            pltpu.VMEM((1, W), jnp.float32),    # bu_s
-            pltpu.VMEM((1, W), jnp.float32),    # bv_s
-            pltpu.VMEM((1, W), jnp.int32),      # bp_s
-            pltpu.VMEM((S, W), jnp.int32),      # stkA_s
-            pltpu.VMEM((S, W), jnp.int32),      # stkB_s
-            pltpu.SMEM((1, 4), jnp.int32),      # sc_s
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(bvh.nodes_lane8, bvh.leaves_lane8, rays)
-
-    blk = out.reshape(n_gen, 8, W)[:, :4].transpose(1, 0, 2).reshape(4, npad)
-    t = blk[0, :n]
-    prim = blk[1, :n].astype(jnp.int32)  # exact for prim < 2^24
-    u = blk[2, :n]
-    v = blk[3, :n]
-    miss = prim < 0
-    # kernels return prim POSITIONS (leaf base + slot); remap to prim ids
-    prim = jnp.where(
-        miss, -1, bvh.lane8_order[jnp.clip(prim, 0,
-                                           bvh.lane8_order.shape[0] - 1)])
-    return HitRecord(
-        t=jnp.where(miss, jnp.inf, t), prim=prim, u=u, v=v,
-    ), stats
-
-
-@partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats",
-                                  "round_every", "width", "window",
-                                  "leaf_chunks", "occ_stats", "leaf_half",
-                                  "compact"))
-def traverse_pallas_lane8w(
-    bvh: BVHData,
-    o: jax.Array,
-    d: jax.Array,
-    t_min=1e-4,
-    t_max=jnp.inf,
-    active=None,
-    any_hit: bool = False,
-    interpret: bool = False,
-    return_stats: bool = False,
-    round_every: int = 8,
-    width: int = 4096,
-    window: int = 8,
-    leaf_chunks: int = 2,
-    occ_stats: bool = False,
-    leaf_half: bool = False,
-    compact: bool = False,
-) -> HitRecord:
-    """Whole-wavefront lane-major per-lane BVH8 traversal (v11)."""
-    n = o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    tmax_arr = jnp.where(jnp.isfinite(tmax_arr), tmax_arr, jnp.float32(3e38))
-    act = (
-        jnp.ones((n,), jnp.float32)
-        if active is None
-        else jnp.asarray(active).astype(jnp.float32)
-    )
-    recs = []
-    stats = None
-    for s in range(0, n, L8_MAX_RAYS):
-        e = min(n, s + L8_MAX_RAYS)
-        rec, st = _lane8w_call(
-            bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
-            any_hit, interpret, round_every, width, window, leaf_chunks,
-            occ_stats, leaf_half, compact)
-        recs.append(rec)
-        stats = st if stats is None else stats + st
-    if len(recs) == 1:
-        rec = recs[0]
-    else:
-        rec = HitRecord(
-            t=jnp.concatenate([r.t for r in recs]),
-            prim=jnp.concatenate([r.prim for r in recs]),
-            u=jnp.concatenate([r.u for r in recs]),
-            v=jnp.concatenate([r.v for r in recs]),
-        )
-    if return_stats:
-        return rec, stats
-    return rec
-
-
-def pallas_lane8w_supported(bvh: BVHData, n: int) -> bool:
-    """Production routing gate: same structural requirements as lane8s."""
-    return jax.default_backend() == "tpu" and lane8s_tables_ok(bvh, n)

@@ -145,30 +145,6 @@ def test_pallas_traversal_matches_xla(cornell_scene):
     assert np.array_equal(np.asarray(rec_a.prim) >= 0, m)
 
 
-def test_lane8_traversal_matches_xla(cornell_scene):
-    """Per-lane BVH8 kernel (int8 lattice-quantized cluster leaves) must
-    agree with the XLA traversal in interpreter mode: same winning prim,
-    same any-hit verdict, t within the lattice quantization tolerance."""
-    from hiprt_pt_tpu.core.camera import generate_camera_rays
-    from hiprt_pt_tpu.ops.pallas_traverse import traverse_pallas_lane8
-    from hiprt_pt_tpu.ops.traverse import occluded
-
-    scene, camera = cornell_scene
-    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
-    assert bvh.lane8_frame is not None
-    o, d = generate_camera_rays(camera, 32, 16)  # 512 rays
-    rec_r = closest_hit(bvh, o, d, t_min=0.0)
-    rec_p = traverse_pallas_lane8(bvh, o, d, t_min=0.0, interpret=True)
-    p_r = np.asarray(rec_r.prim)
-    assert np.mean(p_r == np.asarray(rec_p.prim)) > 0.999
-    m = p_r >= 0
-    assert np.allclose(np.asarray(rec_p.t)[m], np.asarray(rec_r.t)[m],
-                       rtol=1e-4)
-    occ_r = np.asarray(occluded(bvh, o, d, t_min=0.0))
-    rec_a = traverse_pallas_lane8(bvh, o, d, t_min=0.0, any_hit=True,
-                                  interpret=True)
-    assert np.array_equal(occ_r, np.asarray(rec_a.prim) >= 0)
-
 def test_lane8log_traversal_matches_xla(cornell_scene):
     """Completion-log lane8 variant (v8): windowless refill, prefix-sum
     rank via log-step rolls, 8-row ray chunks with activity in sign(tmax).
@@ -244,42 +220,21 @@ def test_lane8s_traversal_matches_xla(cornell_scene):
     assert np.mean(pm[active] == p_r[active]) > 0.999
 
 
-def test_lane8w_traversal_matches_lane8s(cornell_scene):
-    """Whole-wavefront lane-major variant (v11: one node/leaf one-hot dot
-    per round over all lanes instead of one per sublane group — the leaf
-    table is streamed through the MXU once, not 8x). Must agree with the
-    XLA traversal and be exactly equivalent to lane8s (same tables, same
-    walk order); inactive rays must come back as misses."""
-    import jax.numpy as jnp
+def test_lane8s_multi_generation(cornell_scene):
+    """A wavefront larger than one resident-lane generation (n > 8*lanes)
+    must round-trip through the static-strided refill windows exactly."""
     from hiprt_pt_tpu.core.camera import generate_camera_rays
-    from hiprt_pt_tpu.ops.pallas_traverse import (
-        lane8s_tables_ok, traverse_pallas_lane8s, traverse_pallas_lane8w)
-    from hiprt_pt_tpu.ops.traverse import occluded
+    from hiprt_pt_tpu.ops.pallas_traverse import traverse_pallas_lane8s
 
     scene, camera = cornell_scene
     bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
-    assert lane8s_tables_ok(bvh, 512)
-    o, d = generate_camera_rays(camera, 96, 48)  # 4608 rays > one width
+    o, d = generate_camera_rays(camera, 96, 48)  # 4608 rays > 8*512
     rec_r = closest_hit(bvh, o, d, t_min=0.0)
     p_r = np.asarray(rec_r.prim)
     m = p_r >= 0
     rec_s = traverse_pallas_lane8s(bvh, o, d, t_min=0.0, interpret=True)
-    rec_w = traverse_pallas_lane8w(bvh, o, d, t_min=0.0, interpret=True,
-                                   width=4096, leaf_chunks=2)
-    assert np.mean(p_r == np.asarray(rec_w.prim)) > 0.999
-    assert np.allclose(np.asarray(rec_w.t)[m], np.asarray(rec_r.t)[m],
+    assert np.mean(p_r == np.asarray(rec_s.prim)) > 0.999
+    assert np.allclose(np.asarray(rec_s.t)[m], np.asarray(rec_r.t)[m],
                        rtol=1e-4)
-    # exact equivalence with lane8s (same int8 lattice tables)
-    assert np.array_equal(np.asarray(rec_s.prim), np.asarray(rec_w.prim))
-    occ_r = np.asarray(occluded(bvh, o, d, t_min=0.0))
-    rec_a = traverse_pallas_lane8w(bvh, o, d, t_min=0.0, any_hit=True,
-                                   interpret=True)
-    assert np.array_equal(occ_r, np.asarray(rec_a.prim) >= 0)
-    # inactive rays must be reported as misses
-    active = np.zeros(4608, bool); active[::5] = True
-    rec_m = traverse_pallas_lane8w(bvh, o, d, t_min=0.0,
-                                   active=jnp.asarray(active),
-                                   interpret=True)
-    pm = np.asarray(rec_m.prim)
-    assert np.all(pm[~active] == -1)
-    assert np.mean(pm[active] == p_r[active]) > 0.999
+
+

@@ -148,6 +148,26 @@ def main():
             extra["cornell_error"] = repr(e)[:200]
             _emit(stress_mrays, extra)
 
+    # --- extra: million-triangle scale proof (config 6; VERDICT r2 #4) ---
+    # 1.63M-tri stress variant — production routing at this scale is the
+    # lane8log fallback (lane8s's 14-bit packed-ref cap is ~1.45M tris);
+    # full A/B + exactness evidence in benchmarks/scale_1p6m.py / ROUND3.md
+    if _elapsed() < _BUDGET_S:
+        try:
+            scene_l, cam_l = load_stress_scene(
+                aspect=width / height, tri_scale=11.0
+            )
+            rl = make_renderer(scene_l, cam_l,
+                               LightSamplingStrategy.RIS_BSDF_LIGHT)
+            scale_mrays, _ = _bench_renderer(rl, n_frames=2)
+            extra["scale_1p6m_tris"] = int(scene_l.triangles.shape[0])
+            extra["scale_1p6m_mrays_per_s"] = round(scale_mrays, 2)
+            del rl
+            _emit(stress_mrays, extra)
+        except Exception as e:
+            extra["scale_error"] = repr(e)[:200]
+            _emit(stress_mrays, extra)
+
     extra["bench_wall_s"] = round(_elapsed(), 1)
     _emit(stress_mrays, extra)
 

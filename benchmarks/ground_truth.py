@@ -7,7 +7,10 @@ out — so tests/oracle_pt.py (an independent plain-numpy path tracer sharing
 no code with the framework) plays the ground-truth role. This script renders
 cornell with both at matched settings and writes GROUND_TRUTH.md.
 
-Usage: python benchmarks/ground_truth.py [--res 48] [--spp 32]
+Usage: python benchmarks/ground_truth.py [--res 48] [--spp 32] [--pbr]
+(--pbr appends the converged glass / dispersion / metal rows using
+tests/oracle_pt.py::render_oracle_pbr on the procedural cornell+sphere
+scene of tests/test_oracle_pbr.py)
 """
 
 from __future__ import annotations
@@ -26,6 +29,8 @@ def main():
     ap.add_argument("--res", type=int, default=48)
     ap.add_argument("--spp", type=int, default=32)
     ap.add_argument("--out", default="GROUND_TRUTH.md")
+    ap.add_argument("--pbr", action="store_true",
+                    help="append converged glass/dispersion/metal rows")
     args = ap.parse_args()
 
     import numpy as np
@@ -135,7 +140,66 @@ def main():
             "estimators); the interior means agree to ~2%, and the block "
             "correlation shows the spatial structure matches.\n"
         )
+    if args.pbr:
+        append_pbr_rows(args.out)
     print(f"wrote {args.out}")
+
+
+def append_pbr_rows(out_path):
+    """Converged configs 2-3 vs the independent PBR oracle (VERDICT r2 #6):
+    smooth glass, glass+dispersion, GGX metal on the procedural
+    cornell+sphere scene; interior-mean agreement is the tight statistic
+    (the per-pixel RMSE of two independent estimators stays noise-bound)."""
+    import numpy as np
+
+    from oracle_pt import render_oracle_pbr
+    from test_oracle_pbr import (
+        KIND_GLASS, KIND_METAL, RES, _framework_render, build_box_sphere)
+
+    configs = [
+        ("glass (smooth, ior 1.5)",
+         dict(base_color=[1.0, 1.0, 1.0], roughness=0.0,
+              specular_transmission=1.0, ior=1.5), KIND_GLASS, 8, 1024),
+        ("glass + dispersion (abbe 25)",
+         dict(base_color=[1.0, 1.0, 1.0], roughness=0.0,
+              specular_transmission=1.0, ior=1.5, dispersion_scale=1.0,
+              dispersion_abbe_number=25.0), KIND_GLASS, 8, 1024),
+        ("metal (GGX r=0.3, F82 Schlick)",
+         dict(base_color=[0.95, 0.64, 0.35], roughness=0.3, metallic=1.0),
+         KIND_METAL, 3, 1024),
+    ]
+    lines = [
+        "\n## Principled configs 2-3 (converged; oracle_pt.render_oracle_pbr)\n\n",
+        "Procedural cornell+sphere, framework runs the FULL principled path\n"
+        "(no override, energy compensation off to match the single-scattering\n"
+        f"oracle), {RES}x{RES}, oracle at the listed spp vs framework at 2048\n"
+        "spp, clip 6.0. CI gate (reduced spp, <=5% mean):\n"
+        "tests/test_oracle_pbr.py.\n\n",
+        "| config | spp (oracle) | oracle mean | framework mean | "
+        "mean rel diff | 4x4-block corr |\n|---|---|---|---|---|---|\n",
+    ]
+    for name, row, kind, bounces, spp in configs:
+        scene, scene_np, cam = build_box_sphere(row, kind)
+        t0 = time.perf_counter()
+        ref = render_oracle_pbr(scene_np, RES, RES, spp=spp,
+                                bounces=bounces, seed=11)
+        t_o = time.perf_counter() - t0
+        img = _framework_render(scene, cam, 2048, bounces)
+        a = np.clip(ref, 0, 6.0)
+        b = np.clip(img, 0, 6.0)
+        ma, mb = float(a.mean()), float(b.mean())
+        rel = abs(ma - mb) / max(ma, 1e-9)
+
+        def ds(x):
+            return x.reshape(RES // 4, 4, RES // 4, 4, 3).mean((1, 3)).ravel()
+
+        corr = float(np.corrcoef(ds(a), ds(b))[0, 1])
+        lines.append(f"| {name} | {spp} | {ma:.4f} | {mb:.4f} | "
+                     f"{rel*100:.2f}% | {corr:.4f} |\n")
+        print(f"{name}: oracle={ma:.4f} repo={mb:.4f} rel={rel*100:.2f}% "
+              f"corr={corr:.4f} [{t_o:.0f}s oracle]", flush=True)
+    with open(out_path, "a") as f:
+        f.writelines(lines)
 
 
 if __name__ == "__main__":

@@ -356,6 +356,15 @@ class ViewerServer:
             key = q.get("key", [""])[0]
             if self._set_material(idx, key, q.get("value", ["0"])[0]):
                 r.reset()
+        elif cmd == "option":
+            # tier-3 static-option edit → recompile (reference: an ImGui
+            # macro edit writing through get_raw_pointer_to_macro_value →
+            # GPURenderer::recompile_kernels; per-option, not just presets)
+            key = q.get("key", [""])[0]
+            raw = q.get("value", [""])[0]
+            err = self._set_option(key, raw)
+            if err:
+                return json.dumps({"ok": False, "cmd": cmd, "error": err})
         elif cmd == "preset":
             name = q.get("value", ["none"])[0]
             if self._apply_performance_preset(name):
@@ -453,6 +462,65 @@ class ViewerServer:
                 r.recompile(dataclasses.replace(
                     r.options, direct_light_sampling=strategy))
         return True
+
+    # --- tier-3 options panel (reference: per-option macro editing in the
+    # ImGui settings window; each edit = recompile_kernels) ---
+
+    def _options_json(self) -> str:
+        import dataclasses
+        import enum
+
+        opts = self.renderer.options
+        out = {}
+        for f in dataclasses.fields(opts):
+            v = getattr(opts, f.name)
+            if isinstance(v, enum.Enum):
+                out[f.name] = {
+                    "value": v.name,
+                    "choices": [m.name for m in type(v)],
+                }
+            else:
+                out[f.name] = {"value": v}
+        return json.dumps(out)
+
+    def _set_option(self, key: str, raw: str):
+        """Parse + apply one tier-3 option; returns an error string or None.
+        Enum fields accept member names; bools accept 0/1/true/false."""
+        import dataclasses
+        import enum
+
+        opts = self.renderer.options
+        field = {f.name: f for f in dataclasses.fields(opts)}.get(key)
+        if field is None:
+            return f"unknown option {key!r}"
+        cur = getattr(opts, key)
+        try:
+            if isinstance(cur, enum.Enum):
+                val = type(cur)[raw]
+            elif isinstance(cur, bool):
+                val = raw.strip().lower() in ("1", "true", "yes", "on")
+            elif isinstance(cur, int):
+                val = int(raw)
+            else:
+                val = type(cur)(raw)
+        except (KeyError, ValueError) as e:
+            return f"bad value for {key}: {e!r}"
+        with self._step_lock:
+            self.renderer.recompile(opts.replace(**{key: val}))
+        return None
+
+    def _kernels_json(self) -> str:
+        """Compiled-kernel introspection (reference: "Shader kernels" panel
+        with per-kernel register counts, ImGuiSettingsWindow.cpp:2206)."""
+        with self._step_lock:
+            return json.dumps(self.renderer.kernel_stats())
+
+    def _bias_json(self) -> str:
+        from ..restir.bias import bias_status
+
+        return json.dumps(
+            bias_status(self.renderer.options, self.renderer.settings)
+        )
 
     def _stats(self) -> str:
         r = self.renderer
@@ -624,6 +692,15 @@ class ViewerServer:
                     ctype = "application/json"
                 elif u.path == "/settings":
                     body = viewer._settings_json().encode()
+                    ctype = "application/json"
+                elif u.path == "/options":
+                    body = viewer._options_json().encode()
+                    ctype = "application/json"
+                elif u.path == "/kernels":
+                    body = viewer._kernels_json().encode()
+                    ctype = "application/json"
+                elif u.path == "/bias":
+                    body = viewer._bias_json().encode()
                     ctype = "application/json"
                 elif u.path == "/materials":
                     body = viewer._materials_json().encode()

@@ -457,6 +457,46 @@ class Renderer:
                 return True
         return False
 
+    def kernel_stats(self) -> dict:
+        """Compiled-executable introspection for the current configuration —
+        the TPU analog of the reference's "Shader kernels" panel
+        (per-kernel register/shared-mem counts, GPUKernelCompiler.cpp:111-117
+        + ImGuiSettingsWindow.cpp:2206). AOT-lowers the render step for the
+        live option set (a cache hit when the step has already run) and
+        reports XLA's cost and memory analyses."""
+        lowered = render_step.lower(
+            self.options, self.width, self.height, (self.scene, self.bvh),
+            self.state, self.camera, self.settings, self.world,
+        )
+        compiled = lowered.compile()
+        out = {"kernel": "render_step",
+               "options": str(self.options)}
+        try:
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0] if cost else {}
+            out["cost"] = {
+                k: float(v) for k, v in cost.items()
+                if k in ("flops", "transcendentals", "bytes accessed",
+                         "optimal_seconds", "utilization operand 0 {}")
+                and isinstance(v, (int, float))
+            }
+        except Exception as e:  # some backends don't expose analyses
+            out["cost_error"] = repr(e)[:120]
+        try:
+            mem = compiled.memory_analysis()
+            for attr in (
+                "argument_size_in_bytes", "output_size_in_bytes",
+                "temp_size_in_bytes", "generated_code_size_in_bytes",
+                "alias_size_in_bytes",
+            ):
+                v = getattr(mem, attr, None)
+                if v is not None:
+                    out[attr] = int(v)
+        except Exception as e:
+            out["memory_error"] = repr(e)[:120]
+        return out
+
     # --- output ---
 
     def hdr_image(self) -> np.ndarray:

@@ -425,3 +425,81 @@ def test_renderer_profile(cornell_scene):
     assert prof["camera_pass_ms"] > 0
     assert prof["full_frame_ms"] >= prof["camera_plus_overhead_ms"] * 0.5
     assert r.metrics.get_average("per_bounce_ms") >= 0.0
+
+
+def test_viewer_tier3_panels(cornell_scene):
+    """Tier-3 per-option editing, kernel introspection, and the live ReSTIR
+    bias-status explainer (reference: ImGui settings window macro editing +
+    the "Shader kernels" panel ImGuiSettingsWindow.cpp:2206 + the bias
+    explainer :1639)."""
+    import urllib.request
+
+    from hiprt_pt_tpu.app.viewer import ViewerServer
+    from hiprt_pt_tpu.core.settings import (
+        AmbientLightType, BSDFOverride, LightSamplingStrategy, RenderOptions,
+        ReSTIRBiasCorrection,
+    )
+    from hiprt_pt_tpu.render.renderer import Renderer
+
+    scene, camera = cornell_scene
+    r = Renderer(
+        scene, camera, 32, 32,
+        options=RenderOptions(
+            bsdf_override=BSDFOverride.LAMBERTIAN, max_bounces_static=1,
+            direct_light_sampling=LightSamplingStrategy.MIS,
+        ),
+    )
+    r.settings = r.settings.replace(
+        nb_bounces=jnp.int32(1), samples_per_frame=jnp.int32(1)
+    )
+    r.world = r.world.replace(
+        ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
+    )
+    r.max_sample_count = 2
+    srv = ViewerServer(r, port=18733)
+    srv.serve(blocking=False)
+
+    def get(path):
+        return urllib.request.urlopen(
+            f"http://127.0.0.1:18733{path}", timeout=120
+        ).read()
+
+    try:
+        # /options lists every tier-3 field with enum choices
+        opts = json.loads(get("/options"))
+        assert opts["direct_light_sampling"]["value"] == "MIS"
+        assert "RESTIR_DI" in opts["direct_light_sampling"]["choices"]
+        assert opts["max_bounces_static"]["value"] == 1
+
+        # per-option edit triggers a tier-3 recompile (strategy swap)
+        res = json.loads(get(
+            "/control?cmd=option&key=direct_light_sampling&value=RESTIR_DI"))
+        assert res.get("ok", True), res
+        opts = json.loads(get("/options"))
+        assert opts["direct_light_sampling"]["value"] == "RESTIR_DI"
+        # unknown option rejected cleanly
+        res = json.loads(get("/control?cmd=option&key=nope&value=1"))
+        assert res["ok"] is False
+
+        # bias explainer: the default ReSTIR config carries the
+        # visibility-reuse reason; switching to 1/M adds the 1/M reason;
+        # non-ReSTIR strategies report inactive
+        bias = json.loads(get("/bias"))
+        assert bias["active"] and bias["biased"]
+        titles = [x["title"] for x in bias["reasons"]]
+        assert any("Visibility reuse" in t for t in titles)
+        get("/control?cmd=option&key=restir_di_bias_correction"
+            "&value=M_WEIGHT_1_OVER_M")
+        bias = json.loads(get("/bias"))
+        assert any("1/M" in x["title"] for x in bias["reasons"])
+        get("/control?cmd=option&key=direct_light_sampling&value=MIS")
+        bias = json.loads(get("/bias"))
+        assert bias["active"] is False
+
+        # kernel introspection: AOT stats for the live executable
+        stats = json.loads(get("/kernels"))
+        assert stats["kernel"] == "render_step"
+        assert ("generated_code_size_in_bytes" in stats
+                or "cost" in stats), stats
+    finally:
+        srv.stop()

@@ -1,30 +1,22 @@
 """Interactive-loop demonstration (VERDICT r2 #9).
 
-Drives the real HTTP viewer end-to-end on the stress interior at 540p:
-apply the "fastest" performance preset (low-res interaction scale 0.5,
-1 bounce — reference: ImGuiSettingsWindow::apply_performance_preset +
-the interaction low-res mode, CameraRays.h:60-76), issue a stream of
-camera-rotate interactions, and report the achieved interactive frame
-rate from the viewer's own /stats; then switch to high_quality and report
-steady accumulation. Run ALONE on the TPU; prints one JSON line.
+Measures the real interactive loop on the stress interior at 540p: apply
+the viewer's "fastest" performance preset (low-res interaction scale 0.5,
+1 bounce, auto spp — reference: ImGuiSettingsWindow::
+apply_performance_preset + the interaction low-res mode CameraRays.h:60-76),
+then time a stream of camera-rotate + frame iterations exactly as the
+viewer's render loop runs them (each rotate resets accumulation like
+RenderWindow::reset_render). Then switch to the high_quality preset and
+report full-res accumulation throughput. Run ALONE on the TPU; prints one
+JSON line.
 """
 
 import json
 import os
 import sys
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-
-PORT = 8799
-
-
-def _get(path):
-    with urllib.request.urlopen(
-        f"http://127.0.0.1:{PORT}{path}", timeout=900
-    ) as r:
-        return r.read().decode()
 
 
 def main():
@@ -36,6 +28,7 @@ def main():
 
     from hiprt_pt_tpu.app.viewer import ViewerServer
     from hiprt_pt_tpu.assets.stress import load_stress_scene
+    from hiprt_pt_tpu.core.camera import camera_rotate
     from hiprt_pt_tpu.core.settings import (
         AmbientLightType,
         LightSamplingStrategy,
@@ -54,52 +47,48 @@ def main():
     r.world = r.world.replace(
         ambient_light_type=jnp.int32(int(AmbientLightType.NONE))
     )
-    srv = ViewerServer(r, port=PORT)
-    srv.auto_samples_per_frame = True
-    srv.serve(blocking=False)
-    _get("/stats")
-    print(f"viewer up after {time.perf_counter() - t0:.0f}s", flush=True)
+    srv = ViewerServer(r, port=0)  # preset/stat machinery; loop driven here
+    print(f"scene+renderer up after {time.perf_counter() - t0:.0f}s",
+          flush=True)
 
-    # interactive phase: fastest preset (low-res 0.5 + 1 bounce recompile)
-    _get("/control?cmd=preset&value=fastest")
-    t_compile = time.perf_counter()
-    last = json.loads(_get("/stats"))
-    while True:
-        time.sleep(2.0)
-        cur = json.loads(_get("/stats"))
-        if (cur["samples"] != last["samples"] and cur["frame_ms_avg"] > 0) \
-                or time.perf_counter() - t_compile > 600:
-            break
-        last = cur
-    print(f"interactive program live after "
-          f"{time.perf_counter() - t_compile:.0f}s", flush=True)
+    assert srv._apply_performance_preset("fastest")
+    t0 = time.perf_counter()
+    r.step(block=True)  # tier-3 recompile of the interactive program
+    print(f"interactive program compiled in "
+          f"{time.perf_counter() - t0:.0f}s", flush=True)
 
-    t_int = time.perf_counter()
-    while time.perf_counter() - t_int < 30.0:
-        _get("/control?cmd=rotate&yaw=0.02&pitch=0.0")
-        time.sleep(0.05)
-    stats_i = json.loads(_get("/stats"))
-    interactive_fps = 1000.0 / max(stats_i["frame_ms_avg"], 1e-3)
+    times = []
+    for _ in range(40):
+        t0 = time.perf_counter()
+        r.set_camera(camera_rotate(r.camera, 0.02, 0.0))
+        r.step(block=True)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    med_ms = times[len(times) // 2] * 1000.0
+    fps = 1000.0 / med_ms
 
-    # convergence phase: high_quality preset, full-res accumulation
-    _get("/control?cmd=preset&value=high_quality")
-    _get("/control?cmd=reset")
-    t_hq = time.perf_counter()
-    while True:
-        time.sleep(2.0)
-        cur = json.loads(_get("/stats"))
-        if cur["samples"] > 2 or time.perf_counter() - t_hq > 600:
-            break
-    time.sleep(30)
-    stats_q = json.loads(_get("/stats"))
+    assert srv._apply_performance_preset("high_quality")
+    r.reset()
+    t0 = time.perf_counter()
+    r.step(block=True)  # recompile (4 bounces, full res)
+    print(f"high-quality program compiled in "
+          f"{time.perf_counter() - t0:.0f}s", flush=True)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < 20.0:
+        r.step(block=True)
+        n += 1
+    import jax
+
+    sps = float(jax.device_get(r.state.sample_count)) / (
+        time.perf_counter() - t0)
     print(json.dumps({
-        "metric": "interactive loop (stress 540p, viewer /stats)",
-        "interactive_fps": round(interactive_fps, 2),
-        "interactive_frame_ms": stats_i["frame_ms_avg"],
-        "hq_samples_per_s": stats_q["samples_per_s"],
-        "hq_samples_accumulated": stats_q["samples"],
+        "metric": "interactive loop (stress 540p)",
+        "interactive_fps_median": round(fps, 2),
+        "interactive_frame_ms_median": round(med_ms, 1),
+        "interactive_frames_timed": len(times),
+        "hq_samples_per_s": round(sps, 3),
     }), flush=True)
-    srv.stop()
 
 
 if __name__ == "__main__":

@@ -1,6 +1,7 @@
 """Staged benchmark configs (BASELINE.json) — one JSON line per config.
 
-The five configurations map 1:1 onto the build-plan milestones (SURVEY.md §7.1):
+The configurations map 1:1 onto the build-plan milestones (SURVEY.md §7.1)
+plus the round-3 million-triangle scale config:
   1. Cornell GLTF 256x256, diffuse (Oren-Nayar) + uniform-light MIS, 4 bounces
   2. Glass + dispersion + envmap CDF-inversion sampling
   3. Full principled BSDF + alias-table envmap MIS
@@ -54,6 +55,11 @@ def run_config(name, scene_path, res, options_kw, settings_kw, world_kw,
         from hiprt_pt_tpu.assets.stress import load_stress_scene
 
         scene, camera = load_stress_scene(aspect=res[0] / res[1])
+    elif scene_path == "stress-1p6m":
+        from hiprt_pt_tpu.assets.stress import load_stress_scene
+
+        scene, camera = load_stress_scene(
+            aspect=res[0] / res[1], tri_scale=11.0)
     else:
         scene, camera = load_scene_file(
             scene_path, aspect=res[0] / res[1], envmap=envmap
@@ -200,6 +206,20 @@ def main():
             samples_per_frame=jnp.int32(1),
             enable_adaptive_sampling=jnp.bool_(True),
         ),
+        None,
+        f,
+    )
+    # 6 — million-triangle scale (VERDICT r2 #4; full proof incl. traversal
+    # exactness in benchmarks/scale_1p6m.py)
+    run_config(
+        "6-scale-1p6m-ris",
+        "stress-1p6m",
+        res(1920, 1080),
+        dict(
+            direct_light_sampling=LightSamplingStrategy.RIS_BSDF_LIGHT,
+            max_bounces_static=4,
+        ),
+        dict(nb_bounces=jnp.int32(4), samples_per_frame=jnp.int32(1)),
         None,
         f,
     )

@@ -30,6 +30,14 @@ ImGuiObjectsWindow material editor, 78-1238):
   /control?cmd=material&index=i&key=k&value=v  — live material edit
 Both reset accumulation exactly like the reference's edits do.
 
+Tier-3 static options + introspection (reference: per-option macro editing
+with recompile, the "Shader kernels" panel ImGuiSettingsWindow.cpp:2206,
+and the ReSTIR bias explainer :1639):
+  /options                                     — every tier-3 option + choices
+  /control?cmd=option&key=k&value=v            — one option edit → recompile
+  /kernels                                     — AOT cost/memory analysis
+  /bias                                        — live ReSTIR bias status
+
 Camera interactors (reference: mouse/keyboard interactors,
 src/UI/Interaction/):
   /control?cmd=rotate&yaw=r&pitch=r    — first-person look (left drag)
@@ -74,6 +82,9 @@ _PAGE = """<!doctype html><html><head><title>hiprt_pt_tpu viewer</title></head>
 function setp(k,v){ fetch('/control?cmd=set&key='+k+'&value='+v); }
 function setm(i,k,v){ fetch('/control?cmd=material&index='+i+'&key='+k+'&value='+v); }
 function cam(k,v){ fetch('/control?cmd='+k+'&value='+v); }
+function seto(k,v){ fetch('/control?cmd=option&key='+k+'&value='+v).then(buildPanel); }
+async function kern(){ document.getElementById('kern').innerText =
+  await (await fetch('/kernels')).text(); }
 async function buildPanel(){
   const s = await (await fetch('/settings')).json();
   let h = '<b>render settings</b><table>';
@@ -82,7 +93,26 @@ async function buildPanel(){
           onchange="setp('${k}', this.value)"/></td></tr>`;
   }
   h += '</table><b>materials</b> <select id="mat" onchange="buildMat()"></select><div id="matp"></div>';
+  const o = await (await fetch('/options')).json();
+  h += '<b>kernel options (tier 3 — edits recompile)</b><table>';
+  for (const [k,v] of Object.entries(o)) {
+    if (v.choices) {
+      h += `<tr><td>${k}</td><td><select onchange="seto('${k}', this.value)">` +
+           v.choices.map(c=>`<option ${c===v.value?'selected':''}>${c}</option>`).join('') +
+           '</select></td></tr>';
+    } else {
+      h += `<tr><td>${k}</td><td><input style="width:6em" value="${v.value}"
+            onchange="seto('${k}', this.value)"/></td></tr>`;
+    }
+  }
+  h += '</table><div id="bias"></div><button onclick="kern()">kernel stats</button><pre id="kern"></pre>';
   document.getElementById('panel').innerHTML = h;
+  const b = await (await fetch('/bias')).json();
+  if (b.active) {
+    document.getElementById('bias').innerHTML = '<b>ReSTIR status:</b> ' +
+      (b.biased ? 'BIASED<br/>' + b.reasons.map(x=>'- '+x.title).join('<br/>')
+                : 'Unbiased');
+  }
   const m = await (await fetch('/materials')).json();
   window._mats = m;
   const sel = document.getElementById('mat');

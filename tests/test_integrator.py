@@ -174,6 +174,7 @@ def test_ris_agrees_with_mis(cornell_scene, mis_image):
     assert abs(a - b) / max(a, 1e-6) < 0.12, (a, b)
 
 
+@pytest.mark.slow
 def test_ris_proxy_target_agrees_with_exact(cornell_scene):
     """Proxy-target RIS (cheap candidate weighting + exact winner shading,
     models/proxy.py) must converge to the same radiance as exact-target RIS

@@ -157,7 +157,12 @@ def _compare(ref, img, clip=6.0, mean_tol=0.05, corr_tol=0.97):
     return ma, mb, rel, corr
 
 
-@pytest.mark.parametrize("config", ["glass", "dispersion", "metal"])
+@pytest.mark.parametrize(
+    "config",
+    [pytest.param("glass", marks=pytest.mark.slow),
+     pytest.param("dispersion", marks=pytest.mark.slow),
+     "metal"],
+)
 def test_pbr_oracle(config):
     if config == "glass":
         row = dict(base_color=[1.0, 1.0, 1.0], roughness=0.0,

@@ -138,11 +138,14 @@ class RenderOptions:
     )
     restir_di_confidence_weights: bool = True
     restir_di_fused_spatiotemporal: bool = False
-    # light presampling pool geometry (reference: ReSTIRDISettings.h
-    # LightPresamplingSettings number_of_subsets=128 x subset_size=1024;
-    # static here because the pool is a fixed-shape device array)
-    restir_presample_subset_count: int = 32
-    restir_presample_subset_size: int = 256
+    # light presampling pool geometry — matches the reference default
+    # (ReSTIRDISettings.h LightPresamplingSettings number_of_subsets=128 x
+    # subset_size=1024; static here because the pool is a fixed-shape device
+    # array). A/B'd on the 1080p stress ReSTIR bench 2026-08-20: 128x1024 is
+    # perf-neutral vs 32x256 (1.70 vs 1.71 Mrays/s) and decorrelates
+    # tile-shared candidates better, so the reference default stands.
+    restir_presample_subset_count: int = 128
+    restir_presample_subset_size: int = 1024
     # toggle the presampled pool entirely (reference:
     # ReSTIR_DI_DoLightsPresampling kernel option)
     restir_do_light_presampling: bool = True

@@ -52,14 +52,49 @@ def atrous_denoise(
     sigma_albedo: float = 0.25,
     sigma_normal: float = 0.3,
     prefilter: bool = True,
+    variance: jax.Array | None = None,
+    spp_map: jax.Array | None = None,
 ) -> jax.Array:
     """Denoise an (H, W, 3) HDR image. albedo/normal: optional (H, W, 3) AOVs
-    (reference: OIDN albedo/normal auxiliary images)."""
+    (reference: OIDN albedo/normal auxiliary images).
+
+    variance: optional (H, W) per-pixel variance of the MEAN luminance
+    estimate (from the adaptive-sampling squared-luminance accumulator).
+    When given, the color edge weight blends (per pixel, in log space)
+    the SVGF-style exp(-|l_p - l_q| / (sigma_l * sqrt(var_3x3) + eps))
+    [Schied et al. 2017] with the fixed-sigma weight, by how converged the
+    pixel is (spp_map / 32 clamped to [0,1]): noisy pixels smooth by the
+    variance rule, converged pixels keep the detail-preserving fixed
+    sigma. Measured on the cornell curve (benchmarks/denoise_curve.py):
+    better than either pure rule across 2-64 spp."""
     img = suppress_fireflies(color) if prefilter else color
 
     def edge_weight(c_center, c_tap, sigma):
         d2 = jnp.sum((c_center - c_tap) ** 2, axis=-1)
         return jnp.exp(-d2 / jnp.maximum(sigma * sigma, 1e-8))
+
+    if variance is not None:
+        # 3x3 gaussian-prefiltered std of the luminance mean (SVGF g3x3)
+        vacc = jnp.zeros_like(variance)
+        wtot = 0.0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                kk = (2.0 if dy == 0 else 1.0) * (2.0 if dx == 0 else 1.0)
+                vacc = vacc + kk * jnp.roll(variance, (dy, dx), axis=(0, 1))
+                wtot += kk
+        std_f = jnp.sqrt(jnp.maximum(vacc / wtot, 0.0))
+        conv_t = (
+            jnp.clip(spp_map / 32.0, 0.0, 1.0)
+            if spp_map is not None else jnp.zeros_like(variance)
+        )
+        if spp_map is not None:
+            # at n < 2 the sample variance is identically 0 (degenerate) —
+            # fall back fully to the fixed-sigma rule
+            conv_t = jnp.where(spp_map < 2.0, 1.0, conv_t)
+
+    def lum(c):
+        return (0.2126 * c[..., 0] + 0.7152 * c[..., 1]
+                + 0.0722 * c[..., 2])
 
     for it in range(iterations):
         stride = 1 << it
@@ -69,7 +104,18 @@ def atrous_denoise(
             for dx in range(-2, 3):
                 k = _KERNEL_1D[dy + 2] * _KERNEL_1D[dx + 2]
                 tap = jnp.roll(img, (dy * stride, dx * stride), axis=(0, 1))
-                w = k * edge_weight(img, tap, sigma_color * (2.0 ** -it))
+                if variance is not None:
+                    # log-space per-pixel blend of the variance rule and
+                    # the fixed-sigma rule by convergence t
+                    dl = jnp.abs(lum(img) - lum(tap))
+                    e_var = dl / (4.0 * std_f + 1e-3)
+                    sig = sigma_color * (2.0 ** -it)
+                    d2c = jnp.sum((img - tap) ** 2, axis=-1)
+                    e_fix = d2c / jnp.maximum(sig * sig, 1e-8)
+                    w = k * jnp.exp(
+                        -((1.0 - conv_t) * e_var + conv_t * e_fix))
+                else:
+                    w = k * edge_weight(img, tap, sigma_color * (2.0 ** -it))
                 if albedo is not None:
                     tap_a = jnp.roll(
                         albedo, (dy * stride, dx * stride), axis=(0, 1)
@@ -86,12 +132,35 @@ def atrous_denoise(
     return img
 
 
-def denoise(renderer, blend: float = 1.0) -> np.ndarray:
+def denoise(renderer, blend: float = 1.0, use_variance: bool = True
+            ) -> np.ndarray:
     """Denoise a Renderer's current image using its accumulated AOVs
     (reference: RenderWindow::denoise + denoiser blend setting).
     Returns (H, W, 3) numpy, blended denoised/raw by `blend`."""
+    from ..ops.pixel_order import unscramble
+
     hdr = jnp.asarray(renderer.hdr_image().copy())
     alb, nrm = renderer.aov_images()
-    out = atrous_denoise(hdr, jnp.asarray(alb.copy()), jnp.asarray(nrm.copy()))
+    var = None
+    if use_variance:
+        st = renderer.state
+        n = jnp.maximum(st.pixel_sample_count.astype(jnp.float32), 1.0)
+        mean_l = st.accum_luminance / n if hasattr(st, "accum_luminance")             else None
+        # variance of the mean: (E[l^2] - E[l]^2) / n
+        from ..ops.tonemap import luminance as _lum_fn
+
+        ml = _lum_fn(st.accum) / n
+        v = jnp.maximum(st.accum_sq_luminance / n - ml * ml, 0.0) / n
+        var = jnp.asarray(unscramble(
+            np.asarray(jax.device_get(v)), renderer.width, renderer.height,
+        )[::-1])
+        spp_map = jnp.asarray(unscramble(
+            np.asarray(jax.device_get(n)), renderer.width, renderer.height,
+        )[::-1])
+    else:
+        spp_map = None
+    out = atrous_denoise(
+        hdr, jnp.asarray(alb.copy()), jnp.asarray(nrm.copy()), variance=var,
+        spp_map=spp_map)
     out = blend * out + (1.0 - blend) * hdr
     return np.asarray(jax.device_get(out))

@@ -82,11 +82,6 @@ class BVHData:
     # layout, refs packed into the node row — scales past the SMEM limit
     nodes8l: jax.Array | None = None    # (M8, 64) f32
     leaf_rows8: jax.Array | None = None  # (L, 128) f32, permuted leaf rows
-    # Combined 128-wide row table for the per-ray compacted-DFS traversal
-    # (ops/compact_traverse.py): rows [0:M8] node rows (64 f32 + zero pad,
-    # col 120 = 0), rows [M8:] leaf rows (col 120 = 1). One gather serves
-    # either kind of visit. ref >= 0 -> row ref; ref < 0 -> row M8 - ref - 1.
-    rows8c: jax.Array | None = None     # (M8 + L, 128) f32
     # Per-LANE traversal tables (ops/pallas_traverse._kernel_lane8): node rows
     # fetched by one-hot MXU matmul, so boxes are bf16 with DIRECTED rounding
     # (mins down, maxs up — conservative, never culls a true hit) and meta
@@ -508,7 +503,7 @@ def build_bvh(
                 n16, lrows = _compact_split(rows_native)
             n8, r8 = _collapse8(n16)
             n8l, lr8 = _collapse8_linear(n16, lrows)
-            r8c, d8 = _rows8c_and_depth(n8l, lr8)
+            d8 = _depth8_of(n8l)
             lc = _lane8_cluster_tables(vertices, triangles)
             if lc is not None:
                 nl8, ll8, fr8, l8o, l8t, l8d = lc
@@ -523,7 +518,7 @@ def build_bvh(
                 nodes4=jnp.asarray(_collapse4(n16)),
                 nodes8=jnp.asarray(n8), refs8=jnp.asarray(r8),
                 nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
-                rows8c=jnp.asarray(r8c), depth8=d8,
+                depth8=d8,
                 nodes_lane8=jnp.asarray(nl8), leaves_lane8=jnp.asarray(ll8),
                 lane8_frame=fr8, lane8_leaf_tris=l8t, lane8_depth=l8d,
                 lane8_order=jnp.asarray(l8o),
@@ -676,7 +671,7 @@ def build_bvh(
     n16, lrows = _compact_split(rows)
     n8, r8 = _collapse8(n16)
     n8l, lr8 = _collapse8_linear(n16, lrows)
-    r8c, d8 = _rows8c_and_depth(n8l, lr8)
+    d8 = _depth8_of(n8l)
     nl8, ll8, fr8, l8o = _pack_lane8(n8l, lr8, vertices, triangles)
     return BVHData(
         nodes=jnp.asarray(rows), tri_rows=jnp.asarray(tri_rows),
@@ -684,31 +679,13 @@ def build_bvh(
         nodes4=jnp.asarray(_collapse4(n16)),
         nodes8=jnp.asarray(n8), refs8=jnp.asarray(r8),
         nodes8l=jnp.asarray(n8l), leaf_rows8=jnp.asarray(lr8),
-        rows8c=jnp.asarray(r8c), depth8=d8,
+        depth8=d8,
         nodes_lane8=jnp.asarray(nl8), leaves_lane8=jnp.asarray(ll8),
         lane8_frame=fr8, lane8_depth=_depth8_of(n8l),
         lane8_order=jnp.asarray(l8o),
     )
 
 
-def _rows8c_and_depth(n8l: np.ndarray, lr8: np.ndarray):
-    """Combined 128-wide row table + max depth for the linear BVH8.
-
-    Node rows pad to 128 floats (col 120 stays 0 = not-a-leaf); leaf rows
-    append after (col 120 = 1). Rows are BFS-ordered, so parents always
-    precede children and depth resolves in one ascending pass."""
-    M = n8l.shape[0]
-    wa = np.ascontiguousarray(n8l[:, 48]).view(np.int32)
-    base = wa & ((1 << 26) - 1)
-    n_int = wa >> 26
-    depth = np.zeros((M,), np.int32)
-    depth[0] = 1
-    for r in np.nonzero(n_int)[0]:
-        depth[base[r]:base[r] + n_int[r]] = depth[r] + 1
-    rows = np.concatenate(
-        [np.pad(n8l, ((0, 0), (0, 128 - n8l.shape[1]))), lr8]
-    ).astype(np.float32)
-    return rows, int(depth.max(initial=1))
 
 
 def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
@@ -898,8 +875,48 @@ def _collapse8_linear(n16: np.ndarray, leaf_rows: np.ndarray,
     def is_leaf_child(n, c):
         return cnts2[n, c] > 0 or refs2[n, c] < 0
 
+    # subtree leaf-ref counts per BVH2 internal node (iterative post-order,
+    # no child-ordering assumption) — drives the fullness-greedy collapse
+    nleaf = np.full(M, -1, np.int64)
+
+    def _subtree_leaves(root):
+        stack = [root]
+        while stack:
+            n = stack[-1]
+            if nleaf[n] >= 0:
+                stack.pop()
+                continue
+            total = 0
+            ready = True
+            for c in range(2):
+                if cnts2[n, c] < 0 or (cnts2[n, c] == 0
+                                       and refs2[n, c] == 0):
+                    continue
+                if is_leaf_child(n, c):
+                    total += 1
+                elif nleaf[refs2[n, c]] < 0:
+                    stack.append(refs2[n, c])
+                    ready = False
+                else:
+                    total += nleaf[refs2[n, c]]
+            if ready:
+                nleaf[n] = total
+                stack.pop()
+        return nleaf[root]
+
     def children8(n):
-        """3-level pull-up: list of (box, kind, bvh2_ref), internal first."""
+        """Fullness-greedy collapse: start from the two BVH2 children, then
+        keep expanding the internal entry with the SMALLEST subtree leaf
+        count until the node holds 8 entries (or only leaves remain).
+
+        Small subtrees get absorbed whole (no underfull descendant nodes);
+        big subtrees stay as refs and fill their own nodes. The fixed
+        3-level pull-up this replaces averaged fanout ~4.0 on the stress
+        cluster tree (1000 nodes / 4022 refs) and area-greedy expansion
+        barely improved it (938) — node visits per ray dominate traversal
+        cost (benchmarks/l8decomp.py), and visits scale with node count.
+        Returns (box, kind, bvh2_ref) entries, internal-first (the
+        consecutive-children layout needs it)."""
         ch = []
         for c in range(2):
             if cnts2[n, c] < 0 or (cnts2[n, c] == 0 and refs2[n, c] == 0):
@@ -910,21 +927,36 @@ def _collapse8_linear(n16: np.ndarray, leaf_rows: np.ndarray,
             if is_leaf_child(n, c):
                 ch.append((boxes[n, c], "leaf", refs2[n, c]))
             else:
-                g = refs2[n, c]
-                for gc in range(2):
-                    if is_leaf_child(g, gc):
-                        ch.append((boxes[g, gc], "leaf", refs2[g, gc]))
-                    else:
-                        gg = refs2[g, gc]
-                        for ggc in range(2):
-                            if is_leaf_child(gg, ggc):
-                                ch.append(
-                                    (boxes[gg, ggc], "leaf", refs2[gg, ggc])
-                                )
-                            else:
-                                ch.append(
-                                    (boxes[gg, ggc], "node", refs2[gg, ggc])
-                                )
+                ch.append((boxes[n, c], "node", refs2[n, c]))
+        while len(ch) < 8:
+            # 1) absorb whole small subtrees when they fit in the free
+            #    slots (no underfull descendant nodes, no depth growth);
+            # 2) otherwise expand the largest-area internal entry (the
+            #    balanced choice — keeps the tree shallow).
+            best, best_n = -1, 1 << 60
+            for i, (_box, kind, r) in enumerate(ch):
+                if kind == "node":
+                    s = _subtree_leaves(r)
+                    if s < best_n and len(ch) - 1 + s <= 8:
+                        best, best_n = i, s
+            if best < 0:
+                best_a = -1.0
+                for i, (box, kind, _r) in enumerate(ch):
+                    if kind == "node":
+                        dx = max(float(box[3] - box[0]), 0.0)
+                        dy = max(float(box[4] - box[1]), 0.0)
+                        dz = max(float(box[5] - box[2]), 0.0)
+                        a = dx * dy + dy * dz + dz * dx
+                        if a > best_a:
+                            best, best_a = i, a
+            if best < 0:
+                break
+            _box, _kind, r = ch.pop(best)
+            for c in range(2):
+                if is_leaf_child(r, c):
+                    ch.append((boxes[r, c], "leaf", refs2[r, c]))
+                else:
+                    ch.append((boxes[r, c], "node", refs2[r, c]))
         ch.sort(key=lambda e: 0 if e[1] == "node" else 1)
         return ch
 

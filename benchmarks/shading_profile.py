@@ -32,6 +32,9 @@ def timed(label, jit_fn, make_args, reps=3):
 
 
 def main():
+    from hiprt_pt_tpu.utils.precompile import enable_persistent_cache
+
+    enable_persistent_cache()
     width, height = (1920, 1080) if len(sys.argv) < 3 else (
         int(sys.argv[1]), int(sys.argv[2]))
     n = width * height
@@ -102,51 +105,61 @@ def main():
           lambda i: (jnp.where(active, mat_id + 0 * i, i % 7),))
     mat_mod._ONEHOT_GATHER_MAX_MATERIALS = saved
 
+    # NOTE: every big per-lane operand (mats/p/ns/wo/...) is passed as a jit
+    # ARGUMENT — closing over them embeds 2M-lane constants in the HLO and
+    # trips the relay's remote_compile HTTP 413 body cap.
     mats = jax.jit(lambda ids, uv_: apply_textures(
         scene.textures, scene.materials.at_indices(ids).make_safe(), uv_
     ))(mat_id, uv)
     jax.block_until_ready(mats.roughness)
     timed("apply_textures (on gathered mats)",
-          jax.jit(lambda uv_: apply_textures(scene.textures, mats, uv_)),
-          lambda i: (uv + i * 1e-7,))
+          jax.jit(lambda m_, uv_: apply_textures(scene.textures, m_, uv_)),
+          lambda i: (mats, uv + i * 1e-7))
 
     aux = {"eta_rel": jnp.full((n,), 1.5, jnp.float32)}
-    _, ls = jax.jit(lambda rg: sample_emissive_triangle(scene, p, rg))(rngs0)
+    _, ls = jax.jit(lambda p_, rg: sample_emissive_triangle(scene, p_, rg)
+                    )(p, rngs0)
     wi = ls["wi"]
     jax.block_until_ready(wi)
 
     timed("sample_emissive_triangle",
-          jax.jit(lambda rg: sample_emissive_triangle(scene, p, rg)),
-          lambda i: (vary_rng(i),))
+          jax.jit(lambda p_, rg: sample_emissive_triangle(scene, p_, rg)),
+          lambda i: (p, vary_rng(i)))
     timed("bsdf_proxy_eval",
-          jax.jit(lambda w: bsdf_proxy_eval(opts, mats, ns, wo, w, aux)),
-          lambda i: (wi + i * 1e-7,))
+          jax.jit(lambda m_, ns_, wo_, w: bsdf_proxy_eval(
+              opts, m_, ns_, wo_, w, aux)),
+          lambda i: (mats, ns, wo, wi + i * 1e-7))
     timed("bsdf_eval (full principled)",
-          jax.jit(lambda w: bsdf_eval(opts, mats, ns, wo, w, aux)),
-          lambda i: (wi + i * 1e-7,))
+          jax.jit(lambda m_, ns_, wo_, w: bsdf_eval(
+              opts, m_, ns_, wo_, w, aux)),
+          lambda i: (mats, ns, wo, wi + i * 1e-7))
     timed("bsdf_proxy_sample",
-          jax.jit(lambda rg: bsdf_proxy_sample(opts, mats, ns, wo, rg, aux)),
-          lambda i: (vary_rng(i),))
+          jax.jit(lambda m_, ns_, wo_, rg: bsdf_proxy_sample(
+              opts, m_, ns_, wo_, rg, aux)),
+          lambda i: (mats, ns, wo, vary_rng(i)))
     timed("bsdf_sample (full principled)",
-          jax.jit(lambda rg: bsdf_sample(opts, mats, ns, wo, rg, aux)),
-          lambda i: (vary_rng(i),))
-    timed("closest_emissive_hit (dense 120-light sweep)",
-          jax.jit(lambda w: closest_emissive_hit(scene, p, w, active=active)),
-          lambda i: (wi + i * 1e-7,))
+          jax.jit(lambda m_, ns_, wo_, rg: bsdf_sample(
+              opts, m_, ns_, wo_, rg, aux)),
+          lambda i: (mats, ns, wo, vary_rng(i)))
+    timed("closest_emissive_hit (dense emissive sweep)",
+          jax.jit(lambda p_, w, a_: closest_emissive_hit(
+              scene, p_, w, active=a_)),
+          lambda i: (p, wi + i * 1e-7, active))
     uu = jnp.full((n,), 0.3, jnp.float32)
 
-    def interp_nm(w):
-        ns2, _ng2, uv2, mid2, tan2 = _interpolate_hit(scene, prim, uu, uu, w)
+    def interp_nm(prim_, w):
+        ns2, _ng2, uv2, mid2, tan2 = _interpolate_hit(
+            scene, prim_, uu, uu, w)
         m2 = scene.materials.at_indices(jnp.maximum(mid2, 0))
         return apply_normal_map(scene.textures, m2, uv2, ns2, tan2)
 
     timed("_interpolate_hit + mats + normal map", jax.jit(interp_nm),
-          lambda i: (wi + i * 1e-7,))
+          lambda i: (prim, wi + i * 1e-7))
     timed("ris_direct_lighting (whole, incl shadow ray)",
-          jax.jit(lambda rg: ris_direct_lighting(
-              opts, scene, bvh, settings, mats, p, ns, ng, wo, rg,
+          jax.jit(lambda m_, p_, ns_, ng_, wo_, rg: ris_direct_lighting(
+              opts, scene, bvh, settings, m_, p_, ns_, ng_, wo_, rg,
               active, aux["eta_rel"])),
-          lambda i: (vary_rng(i),))
+          lambda i: (mats, p, ns, ng, wo, vary_rng(i)))
 
 
 if __name__ == "__main__":

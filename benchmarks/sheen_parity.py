@@ -43,36 +43,48 @@ def load_ltc_table():
 
 
 def ltc_eval(A, B, R, wo, wi):
-    """Fitted-LTC sheen BRDF value for directions in the plane-of-incidence
-    frame (wo in xz-plane). M = [[A,0,B],[0,A,0],[0,0,1]] (tizian
-    ltc-sheen); BRDF = R * D_ltc(wi) / cos_theta_i with
-    D_ltc(w) = cos(w_orig)/pi * |det Minv| / ||Minv w||^3 * ... using the
-    standard LTC change of variables."""
-    # Minv of [[A,0,B],[0,A,0],[0,0,1]]
-    # M = A 0 B ; 0 A 0 ; 0 0 1  -> Minv = 1/A 0 -B/A ; 0 1/A 0 ; 0 0 1
+    """Fitted-LTC sheen BRDF*cos value for directions in the
+    plane-of-incidence frame (wo in xz-plane, view at phi=0).
+
+    SheenLTC.h:24-47 semantics: (A, B) ARE the entries of
+    M^-1 = [[A,0,B],[0,A,0],[0,0,1]], applied DIRECTLY to the light
+    direction; D = cos(norm(M^-1 w))/pi * det(M^-1)/||M^-1 w||^3.
+    (Two round-3 bugs fixed here: the old version applied M instead of
+    M^-1 — i.e. (x/A - zB/A, y/A, z) — and divided by l^2 instead of l^3;
+    the resulting density integrated to ~1.25 and skewed every ROUND3.md
+    shape-L1 number.)"""
     w = np.asarray(wi, np.float64)
-    wx = w[..., 0] / A - w[..., 2] * (B / A)
-    wy = w[..., 1] / A
+    wx = w[..., 0] * A + w[..., 2] * B
+    wy = w[..., 1] * A
     wz = w[..., 2]
     l = np.sqrt(wx * wx + wy * wy + wz * wz)
-    det_minv = 1.0 / (A * A)
-    # D_o = clamped cosine; LTC density transform
+    det_minv = A * A
     cos_orig = np.maximum(wz / np.maximum(l, 1e-12), 0.0)
-    D = cos_orig / np.pi * det_minv / np.maximum(l, 1e-12) ** 2
-    return R * D  # BRDF * cos_i convention of the fit: D already integrates
-    # to 1 over the hemisphere, R is the directional reflectance
+    D = cos_orig / np.pi * det_minv / np.maximum(l, 1e-12) ** 3
+    return R * D  # BRDF * cos_i convention: D integrates to 1 over the
+    # hemisphere, R is the directional reflectance
+
+
+_LOBE_JIT = None
 
 
 def charlie_eval_cos(alpha, wo, wi):
-    """This repo's sheen lobe f*cos_i (models/principled.py _sheen_lobe,
-    evaluated through the real code path)."""
+    """This repo's SHIPPED sheen lobe f*cos_i (models/principled.py
+    _sheen_lobe through the real code path — since round 4 this is the own
+    fitted SGGX-slab LTC when bake/data_sheen_ltc_poly.npy is present, the
+    analytic Charlie lobe otherwise). Jitted: eager per-op dispatch through
+    the axon relay is glacial."""
+    import jax
     import jax.numpy as jnp
 
-    from hiprt_pt_tpu.models.principled import _sheen_lobe
+    global _LOBE_JIT
+    if _LOBE_JIT is None:
+        from hiprt_pt_tpu.models.principled import _sheen_lobe
 
-    f, _pdf = _sheen_lobe(jnp.asarray(wo, jnp.float32),
-                          jnp.asarray(wi, jnp.float32),
-                          jnp.asarray(alpha, jnp.float32))
+        _LOBE_JIT = jax.jit(
+            lambda wo_, wi_, a_: _sheen_lobe(wo_, wi_, a_)[0])
+    f = _LOBE_JIT(jnp.asarray(wo, jnp.float32), jnp.asarray(wi, jnp.float32),
+                  jnp.broadcast_to(jnp.float32(alpha), wo.shape[:-1]))
     return np.asarray(f, np.float64) * np.maximum(wi[..., 2], 0.0)
 
 
@@ -87,11 +99,16 @@ def hemisphere_grid(n_theta=64, n_phi=64):
 
 
 def main():
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    try:  # sitecustomize overrides JAX_PLATFORMS; force selection directly
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
     table = load_ltc_table()
     wi, dw = hemisphere_grid()
 
-    print("| alpha | cos_o | LTC albedo | Charlie albedo | ratio | "
+    print("| alpha | cos_o | ref-LTC albedo | ours albedo | ratio | "
           "shape L1 |")
     print("|---|---|---|---|---|---|")
     worst_ratio, worst_l1 = 1.0, 0.0

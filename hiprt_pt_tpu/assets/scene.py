@@ -122,8 +122,9 @@ class SceneData:
     # packed per-emissive sampling row — ONE gather serves a whole light
     # candidate (the unpacked path cost ~9 per-ray gathers each):
     # [0:3] v0, [3:6] e1, [6:9] e2, [9:12] unit normal, [12] area,
-    # [13] pmf, [14:17] radiance, [17] tri index (bitcast i32),
-    # [18] alias prob, [19] alias slot (bitcast i32), [20:32] pad
+    # [13] pmf, [14:17] radiance, [17] tri index (f32 VALUE, exact < 2^24),
+    # [18] alias prob, [19] alias slot (f32 VALUE), [20:32] pad — integer
+    # columns ride as values so the one-hot MXU gather path stays exact
     emissive_rows: jax.Array         # (E, 32) f32
     emissive_slot_of_tri: jax.Array  # (T,) i32 — tri -> emissive slot (-1)
     emissive_total_area: jax.Array   # scalar f32
@@ -283,12 +284,16 @@ def build_scene(
         em_rows[:, 12] = e_area
         em_rows[:, 13] = pmf
         em_rows[:, 14:17] = em_colors[material_ids[ei]]
-        em_rows[:, 17] = ei.astype(np.int32).view(np.float32)
+        # integer columns are stored as f32 VALUES (exact below 2^24), not
+        # bitcasts: the one-hot matmul gather path (gather_emissive_rows)
+        # must reproduce them through f32 MXU passes, where a bitcast
+        # pattern could be a denormal the MXU flushes
+        em_rows[:, 17] = ei.astype(np.float32)
         em_rows[:, 18] = alias_p
-        em_rows[:, 19] = alias_i.astype(np.int32).view(np.float32)
+        em_rows[:, 19] = alias_i.astype(np.float32)
         slot_of_tri[ei] = np.arange(E, dtype=np.int32)
     else:
-        em_rows[:, 17] = np.asarray([-1], np.int32).view(np.float32)[0]
+        em_rows[:, 17] = -1.0
 
     # static texture-kind usage flags (see TextureAtlas.kinds_used)
     if textures is not None:

@@ -131,30 +131,33 @@ def sggx_sample_visible(key, wi, S):
 
 def selftest_sggx_sampler(alpha=0.3, n=200_000, seed=0):
     """Chi-square-style check: the sampled visible-normal histogram must
-    match <wm,wi>+ D(wm)/sigma(wi) (guards against convention slips)."""
+    match <wm,wi>+ D(wm)/sigma(wi) (guards against convention slips).
+    One jitted program (eager op-by-op through the axon relay is glacial)."""
     S = (1.0, 1.0, alpha * alpha)
-    wi = jnp.asarray([0.6, 0.0, 0.8])
-    wm = sggx_sample_visible(
-        jax.random.PRNGKey(seed), jnp.broadcast_to(wi, (n, 3)), S)
-    # analytic density over z-cos bins (marginalized by MC over phi):
-    # compare E[f(wm)] for a few test functions instead of binning 2D
-    dens = (jnp.maximum(jnp.sum(wm * wi, axis=-1), 0.0),
-            wm[..., 2] ** 2, jnp.abs(wm[..., 0]))
-    # importance-reweight MC estimate of each moment under D_vis using a
-    # uniform-sphere MC of the analytic density as ground truth
-    k = jax.random.PRNGKey(seed + 1)
-    u = jax.random.normal(k, (4 * n, 3))
-    u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
-    pd = (jnp.maximum(jnp.sum(u * wi, axis=-1), 0.0) * sggx_ndf(u, S)
-          / sggx_sigma(wi, S))
-    Z = jnp.mean(pd) * 4 * jnp.pi  # should be ~1 (D_vis normalized)
-    errs = [float(Z - 1.0)]
-    for f_s, f_u in zip(dens, (jnp.maximum(jnp.sum(u * wi, axis=-1), 0.0),
-                               u[..., 2] ** 2, jnp.abs(u[..., 0]))):
-        mc = jnp.mean(f_s)
-        ref = jnp.mean(f_u * pd) * 4 * jnp.pi / Z
-        errs.append(float(mc - ref))
-    return errs
+
+    @jax.jit
+    def run():
+        wi = jnp.asarray([0.6, 0.0, 0.8])
+        wm = sggx_sample_visible(
+            jax.random.PRNGKey(seed), jnp.broadcast_to(wi, (n, 3)), S)
+        # compare E[f(wm)] for a few test functions against an
+        # importance-reweighted uniform-sphere MC of the analytic density
+        dens = (jnp.maximum(jnp.sum(wm * wi, axis=-1), 0.0),
+                wm[..., 2] ** 2, jnp.abs(wm[..., 0]))
+        k = jax.random.PRNGKey(seed + 1)
+        u = jax.random.normal(k, (4 * n, 3))
+        u = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+        pd = (jnp.maximum(jnp.sum(u * wi, axis=-1), 0.0) * sggx_ndf(u, S)
+              / sggx_sigma(wi, S))
+        Z = jnp.mean(pd) * 4 * jnp.pi  # ~1 (D_vis normalized)
+        errs = [Z - 1.0]
+        for f_s, f_u in zip(dens,
+                            (jnp.maximum(jnp.sum(u * wi, axis=-1), 0.0),
+                             u[..., 2] ** 2, jnp.abs(u[..., 0]))):
+            errs.append(jnp.mean(f_s) - jnp.mean(f_u * pd) * 4 * jnp.pi / Z)
+        return jnp.stack(errs)
+
+    return [float(e) for e in np.asarray(run())]
 
 
 # --------------------------------------------------------------------------
@@ -172,13 +175,19 @@ def slab_walk(key, mu_o, alpha, n_paths, max_bounces=48, s_xy=1.0,
     by the caller via the alive fraction)."""
     S = (s_xy, s_xy, alpha * alpha)
     sin_o = jnp.sqrt(jnp.maximum(1.0 - mu_o * mu_o, 0.0))
-    w0 = jnp.stack([jnp.broadcast_to(sin_o, (n_paths,)),
+    # entry ray travels FROM the viewer into the slab; the LTC standard
+    # frame puts the to-viewer direction at phi=0 (+x), so the ray heads
+    # toward (-x, -z) — a +x entry would put the viewer at phi=pi and flip
+    # the fitted Bi skew sign
+    w0 = jnp.stack([jnp.broadcast_to(-sin_o, (n_paths,)),
                     jnp.zeros((n_paths,)),
                     jnp.broadcast_to(-mu_o, (n_paths,))], axis=-1)
     z0 = jnp.full((n_paths,), thickness)
     alive0 = jnp.ones((n_paths,), bool)
     esc0 = jnp.zeros((n_paths,), bool)
-    out0 = jnp.zeros((n_paths, 3))
+    # non-escaped rows keep a safe up-vector (zero dirs would hit the
+    # log-pdf clamps with degenerate values)
+    out0 = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n_paths, 3))
 
     def body(carry, k):
         z, w, alive, esc, out = carry
@@ -230,7 +239,9 @@ def ltc_logpdf(w, Ai, Bi):
     wx = w[..., 0] * Ai + w[..., 2] * Bi
     wy = w[..., 1] * Ai
     wz = w[..., 2]
-    l2 = wx * wx + wy * wy + wz * wz
+    # zero-weight (non-escaped) rows carry w = 0 — clamp both logs so
+    # 0 * (-inf) never poisons the masked sum
+    l2 = jnp.maximum(wx * wx + wy * wy + wz * wz, 1e-12)
     cos_orig = jnp.maximum(wz, 1e-9)  # pre-normalization z
     # D = (wz/l) / pi * Ai^2 / l^3  ->  log
     return (jnp.log(cos_orig) - 0.5 * jnp.log(l2) + 2.0 * jnp.log(Ai)
@@ -266,13 +277,15 @@ def fit_cell(esc, dirs, steps=200, lr=0.05, init=(1.0, 0.0)):
 
 
 @functools.partial(jax.jit, static_argnames=("n_paths", "flake", "steps"))
-def fit_alpha_row(key, alpha, n_paths, flake="specular", steps=200):
+def fit_alpha_row(key, alpha, n_paths, flake="specular", steps=200,
+                  thickness=1.0):
     """All 32 cos_theta cells of one alpha column, vmapped."""
     mus = (jnp.arange(RES) + 0.5) / RES
     keys = jax.random.split(key, RES)
 
     def one(k, mu):
-        esc, dirs, alive = slab_walk(k, mu, alpha, n_paths, flake=flake)
+        esc, dirs, alive = slab_walk(k, mu, alpha, n_paths, flake=flake,
+                                     thickness=thickness)
         w = esc.astype(jnp.float32)
         Ai, Bi, loss = fit_cell(w, dirs, steps=steps)
         R = jnp.sum(w) / n_paths
@@ -283,13 +296,24 @@ def fit_alpha_row(key, alpha, n_paths, flake="specular", steps=200):
 
 def run_fit(n_paths=32768, flake="specular", steps=200, seed=1234,
             verbose=True):
+    """Fit the full 32x32 table.
+
+    Model calibration (benchmarks/sheen_fit_check.py + the T(alpha) probe,
+    2026-08-21): SPECULAR flakes with slab thickness T = alpha minimize the
+    residual against the reference's fitted table in the cells where its
+    own fit is reliable (alpha >= ~0.5: |dAi| 0.04, |dBi| 0.02, |dR| 0.03-
+    0.05); the diffuse-flake variant missed the Bi skew by 0.2-0.6. The
+    low-alpha cells disagree more for BOTH parametrizations — ROUND3's
+    parity measurement already established the reference's own low-alpha
+    fit is grazing-only."""
     table = np.zeros((RES, RES, 3), np.float32)
     alive_max = 0.0
     for aj in range(RES):
         alpha = (aj + 0.5) / RES
         Ai, Bi, R, alive, loss = fit_alpha_row(
             jax.random.PRNGKey(seed + aj), jnp.float32(alpha),
-            n_paths, flake=flake, steps=steps)
+            n_paths, flake=flake, steps=steps,
+            thickness=jnp.float32(alpha))
         table[:, aj, 0] = np.asarray(Ai)
         table[:, aj, 1] = np.asarray(Bi)
         table[:, aj, 2] = np.asarray(R)
@@ -329,3 +353,77 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# --------------------------------------------------------------------------
+# Polynomial compression of the fitted table: per-lane bilinear table
+# lookups at wavefront width are XLA gathers (~23 ms / 2M lanes), so the
+# hot path evaluates (Ai, Bi, R) as monomial polynomials in
+# (cos_theta_o, alpha) instead — the same exact-table-AND-fitted-poly
+# pattern the Turquin energy-compensation LUTs use. The npy table remains
+# the ground truth the regression test gates against.
+# --------------------------------------------------------------------------
+
+POLY_PATH = os.path.join(os.path.dirname(__file__), "data_sheen_ltc_poly.npy")
+POLY_DEG = 8  # terms per axis
+
+
+def sanitize_table(table: np.ndarray, r_min: float = 1e-3) -> np.ndarray:
+    """Cells with R ~ 0 (no escaped MC paths — deep-grazing/low-alpha
+    corner) carry meaningless (Ai, Bi); the lobe contributes R*Do ~ 0
+    there, so fill them from the nearest valid cell along alpha to keep
+    the field smooth for the polynomial compression."""
+    out = table.copy()
+    for i in range(RES):
+        valid = np.nonzero(out[i, :, 2] >= r_min)[0]
+        if len(valid) == 0:
+            continue  # whole row dark: Ai/Bi never used at weight ~0
+        for j in range(RES):
+            if out[i, j, 2] < r_min:
+                j_src = valid[np.argmin(np.abs(valid - j))]
+                out[i, j, 0] = out[i, j_src, 0]
+                out[i, j, 1] = out[i, j_src, 1]
+    out[..., 1] = np.clip(out[..., 1], -2.0, 2.0)
+    return out
+
+
+def _cheb_basis(x: np.ndarray, deg: int) -> np.ndarray:
+    """Chebyshev T_0..T_{deg-1} of x mapped from [0,1] to [-1,1]."""
+    t = 2.0 * x - 1.0
+    out = [np.ones_like(t), t]
+    for _ in range(2, deg):
+        out.append(2.0 * t * out[-1] - out[-2])
+    return np.stack(out[:deg], axis=-1)
+
+
+def fit_poly(table: np.ndarray, deg: int = POLY_DEG):
+    """R-weighted least-squares CHEBYSHEV fit of each channel over [0,1]^2
+    (cells where the lobe is dark barely constrain Ai/Bi). A monomial
+    basis at this degree needs delicately cancelling O(1e4) coefficients
+    that die when cast to f32 — Chebyshev keeps every coefficient O(1).
+
+    Returns coeffs (3, deg, deg): channel c value ~=
+    sum_ij coeffs[c, i, j] * T_i(2cos-1) * T_j(2alpha-1). Prints BOTH the
+    f64 fit residual and the residual after the f32 cast (the shipped
+    precision)."""
+    table = sanitize_table(table)
+    cos = (np.arange(RES) + 0.5) / RES
+    alp = (np.arange(RES) + 0.5) / RES
+    C, A = np.meshgrid(cos, alp, indexing="ij")
+    bc = _cheb_basis(C.ravel(), deg)    # (N, deg)
+    ba = _cheb_basis(A.ravel(), deg)
+    basis = (bc[:, :, None] * ba[:, None, :]).reshape(-1, deg * deg)
+    w_ab = np.sqrt(table[..., 2].ravel() + 0.02)
+    coeffs = np.zeros((3, deg, deg), np.float32)
+    for ch in range(3):
+        w = w_ab if ch < 2 else np.ones_like(w_ab)
+        sol, *_ = np.linalg.lstsq(
+            basis * w[:, None], table[..., ch].ravel() * w, rcond=None)
+        coeffs[ch] = sol.reshape(deg, deg).astype(np.float32)
+        r64 = (basis @ sol - table[..., ch].ravel()) * w / w.max()
+        r32 = (basis.astype(np.float32) @ coeffs[ch].ravel()
+               - table[..., ch].ravel()) * w / w.max()
+        print(f"sheen poly ch{ch}: f64 wrms={np.sqrt(np.mean(r64**2)):.4f} "
+              f"f32 wmax={np.abs(r32).max():.4f} "
+              f"wrms={np.sqrt(np.mean(r32 ** 2)):.4f}")
+    return coeffs

@@ -27,6 +27,34 @@ def searchsorted_cdf(cdf: jax.Array, u: jax.Array) -> jax.Array:
     ).astype(jnp.int32)
 
 
+# above this many rows the one-hot operand outgrows the XLA gather cost
+# (same trade as core/material._ONEHOT_GATHER_MAX_MATERIALS, but emissive
+# rows are fetched at FULL wavefront width where the XLA row gather costs
+# ~23 ms / 2M indices on the TPU — the f32 one-hot matmul is ~100x cheaper
+# up to ~1k rows)
+ONEHOT_ROWS_MAX = 1024
+
+
+def gather_rows_T(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather returning the TRANSPOSED rows (C, N).
+
+    Small tables go through an exact one-hot f32 matmul (each output element
+    has exactly one nonzero product; HIGHEST precision passes f32 through
+    the MXU exactly); big tables fall back to the XLA gather. idx must be
+    pre-clipped to [0, rows)."""
+    rows = table.shape[0]
+    if rows <= ONEHOT_ROWS_MAX:
+        oh = (
+            idx[None, :]
+            == jnp.arange(rows, dtype=idx.dtype)[:, None]
+        ).astype(jnp.float32)                          # (rows, N)
+        return jax.lax.dot_general(
+            table, oh, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )                                              # (C, N)
+    return table[idx].T
+
+
 def sample_emissive_triangle(scene: SceneData, p: jax.Array, rng_state,
                              tile_size: int | None = None):
     """Sample one emissive triangle point per shading point p (N,3).
@@ -65,7 +93,7 @@ def sample_emissive_triangle(scene: SceneData, p: jax.Array, rng_state,
         u_acc_t = u_acc[base]
         j = jnp.minimum((u_sel_t * e).astype(jnp.int32), e - 1)
         rowjT = scene.emissive_rows[j].T  # (32, T) — tiny
-        alias_slot = jax.lax.bitcast_convert_type(rowjT[19], jnp.int32)
+        alias_slot = jnp.round(rowjT[19]).astype(jnp.int32)
         slot = jnp.where(u_acc_t < rowjT[18], j, alias_slot)
         rowT_t = jnp.where(
             (slot == j)[None, :], rowjT, scene.emissive_rows[slot].T
@@ -73,11 +101,12 @@ def sample_emissive_triangle(scene: SceneData, p: jax.Array, rng_state,
         rowT = jnp.repeat(rowT_t, tile_size, axis=1)[:, :n]
     else:
         j = jnp.minimum((u_sel * e).astype(jnp.int32), e - 1)
-        rowjT = scene.emissive_rows[j].T  # (32, N)
-        alias_slot = jax.lax.bitcast_convert_type(rowjT[19], jnp.int32)
+        rowjT = gather_rows_T(scene.emissive_rows, j)  # (32, N)
+        alias_slot = jnp.round(rowjT[19]).astype(jnp.int32)
         slot = jnp.where(u_acc < rowjT[18], j, alias_slot)
+        sel = (slot == j)[None, :]
         rowT = jnp.where(
-            (slot == j)[None, :], rowjT, scene.emissive_rows[slot].T
+            sel, rowjT, gather_rows_T(scene.emissive_rows, slot)
         )
 
     v0 = rowT[0:3].T
@@ -87,7 +116,7 @@ def sample_emissive_triangle(scene: SceneData, p: jax.Array, rng_state,
     area = rowT[12]
     pdf_tri = rowT[13]
     radiance = rowT[14:17].T
-    tri_idx = jax.lax.bitcast_convert_type(rowT[17], jnp.int32)
+    tri_idx = jnp.round(rowT[17]).astype(jnp.int32)
 
     light_p, _ng = sample_triangle(v0, e1, e2, u1, u2)
 
@@ -233,7 +262,7 @@ def emissive_pdf_of_direction(
     safe_prim = jnp.maximum(hit_prim, 0)
     slot = scene.emissive_slot_of_tri[safe_prim]
     matched = (hit_prim >= 0) & (slot >= 0)
-    rowT = scene.emissive_rows[jnp.maximum(slot, 0)].T  # (32, N)
+    rowT = gather_rows_T(scene.emissive_rows, jnp.maximum(slot, 0))
     light_n = rowT[9:12].T
     area = rowT[12]
     pdf_tri = rowT[13]

@@ -48,6 +48,7 @@ from ..ops.tonemap import luminance
 from .light_sampling import (
     closest_emissive_hit,
     emissive_pdf_of_direction,
+    gather_rows_T,
     sample_emissive_triangle,
 )
 
@@ -181,7 +182,7 @@ def ris_direct_lighting(
             # closest_emissive_hit)
             t_e, slot = closest_emissive_hit(scene, o, wi, active=cand)
             valid = cand & (slot >= 0)
-            rowT = scene.emissive_rows[jnp.maximum(slot, 0)].T  # (32, N)
+            rowT = gather_rows_T(scene.emissive_rows, jnp.maximum(slot, 0))
             radiance = rowT[14:17].T
             light_n = rowT[9:12].T
             cos_l = jnp.abs(jnp.sum(light_n * (-wi), axis=-1))

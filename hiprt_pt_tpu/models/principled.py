@@ -48,6 +48,21 @@ try:
 except Exception:  # pragma: no cover — LUT not baked yet
     _GGX_ESS = np.ones((32, 32), np.float32)
 
+# Fitted sheen LTC (Ai, Bi, R) polynomial coefficients over
+# (cos_theta_o, alpha) — OWN fit against a volumetric SGGX fiber-slab
+# reference (bake/sheen_ltc_fit.py; reference parity: SheenLTC.h +
+# SheenLTCFittedParameters.h Zeltner-2022 fitted table). Shipped as 8x8
+# monomial polys (table gathers at wavefront width are ~23 ms on TPU;
+# weighted poly rms vs the fitted table <= 0.007). Missing file falls back
+# to the analytic Charlie lobe.
+_SHEEN_LTC_POLY_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "bake", "data_sheen_ltc_poly.npy"
+)
+try:
+    _SHEEN_LTC_POLY = np.load(_SHEEN_LTC_POLY_PATH).astype(np.float32)
+except Exception:  # pragma: no cover — fit not run yet
+    _SHEEN_LTC_POLY = None
+
 # 3D glass tables (ior, roughness, cos) — bake/baker.py bake_ggx_glass_*
 # (reference: GGX_Ess_glass[.inverse]/thin .hdr stacks consumed by
 # MicrofacetEnergyCompensation.h get_GGX_energy_compensation_dielectrics)
@@ -261,10 +276,94 @@ def _ggx_reflection_lobe(wo, wi, ax, ay):
     return spec, pdf, cos_h, valid
 
 
-def _sheen_lobe(wo, wi, sheen_roughness):
-    """'Charlie' sheen NDF (Estevez & Kulla 2017, production-friendly
-    microfacet sheen — replaces the reference's fitted LTC table with an
-    analytic model of the same capability; SheenLTC.h role)."""
+def _sheen_ltc_params(cos_o, sheen_roughness):
+    """(Ai, Bi, R) of the fitted sheen LTC at (cos_theta_o, alpha) — the
+    8x8 CHEBYSHEV polynomials from bake/sheen_ltc_fit.py (bounded O(1)
+    coefficients stay exact in f32; pure VPU, no table gather)."""
+    deg = _SHEEN_LTC_POLY.shape[1]
+
+    def cheb(x):
+        t = 2.0 * jnp.clip(x, 0.0, 1.0) - 1.0
+        Ts = [jnp.ones_like(t), t]
+        for _ in range(2, deg):
+            Ts.append(2.0 * t * Ts[-1] - Ts[-2])
+        return Ts[:deg]
+
+    Tc = cheb(cos_o)
+    Ta = cheb(sheen_roughness)
+    out = []
+    for ch in range(3):
+        co = _SHEEN_LTC_POLY[ch]
+        acc = 0.0
+        for i in range(deg):
+            row = 0.0
+            for j in range(deg):
+                row = row + float(co[i, j]) * Ta[j]
+            acc = acc + row * Tc[i]
+        out.append(acc)
+    Ai = jnp.maximum(out[0], 1e-3)
+    Bi = out[1]
+    R = jnp.clip(out[2], 0.0, 1.0)
+    return Ai, Bi, R
+
+
+def _sheen_view_frame(wo):
+    """cos/sin of the view azimuth — the LTC is fitted in the standard
+    frame with the view direction at phi = 0 (SheenLTC.h get_phi)."""
+    rho = jnp.sqrt(wo[..., 0] ** 2 + wo[..., 1] ** 2)
+    safe = rho > 1e-8
+    c = jnp.where(safe, wo[..., 0] / jnp.maximum(rho, 1e-8), 1.0)
+    s = jnp.where(safe, wo[..., 1] / jnp.maximum(rho, 1e-8), 0.0)
+    return c, s
+
+
+def _sheen_lobe_ltc(wo, wi, sheen_roughness):
+    """Fitted-LTC sheen (own SGGX-slab fit; reference: SheenLTC.h:24-124
+    eval path). f = R * D(wi) / cos_i with D the transformed cosine;
+    pdf = D (the sampler draws from the same D)."""
+    valid = (wo[..., 2] > 1e-6) & (wi[..., 2] > 1e-6)
+    Ai, Bi, R = _sheen_ltc_params(wo[..., 2], sheen_roughness)
+    c, s = _sheen_view_frame(wo)
+    # rotate wi so the view sits at phi=0, then apply M^-1
+    x = c * wi[..., 0] + s * wi[..., 1]
+    y = -s * wi[..., 0] + c * wi[..., 1]
+    z = wi[..., 2]
+    xp = x * Ai + z * Bi
+    yp = y * Ai
+    l2 = jnp.maximum(xp * xp + yp * yp + z * z, 1e-12)
+    Do = z * Ai * Ai / (jnp.pi * l2 * l2)  # cos(norm)/pi * detMinv / len^3
+    Do = jnp.where(valid & (Do > 0.0) & jnp.isfinite(Do), Do, 0.0)
+    f = R * Do / jnp.maximum(wi[..., 2], 1e-8)
+    return jnp.where(valid, f, 0.0), Do
+
+
+def _sheen_sample_ltc(wo, sheen_roughness, u1, u2):
+    """Sample the fitted sheen LTC: cosine-sample the original space, map
+    through M, rotate back to the view azimuth (SheenLTC.h:126-152)."""
+    Ai, Bi, R = _sheen_ltc_params(wo[..., 2], sheen_roughness)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    cx = r * jnp.cos(phi)
+    cy = r * jnp.sin(phi)
+    cz = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    inv_Ai = 1.0 / Ai
+    x = (cx - cz * Bi) * inv_Ai
+    y = cy * inv_Ai
+    v = jnp.stack([x, y, cz], axis=-1)
+    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    c, s = _sheen_view_frame(wo)
+    return jnp.stack(
+        [c * v[..., 0] - s * v[..., 1],
+         s * v[..., 0] + c * v[..., 1],
+         v[..., 2]],
+        axis=-1,
+    )
+
+
+def _sheen_lobe_charlie(wo, wi, sheen_roughness):
+    """'Charlie' sheen NDF (Estevez & Kulla 2017) — fallback when the
+    fitted LTC polys are absent; benchmarks/sheen_parity.py measured this
+    family cannot match the reference's SGGX-derived lobe."""
     valid = (wo[..., 2] > 1e-6) & (wi[..., 2] > 1e-6)
     h = wo + wi
     h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
@@ -280,6 +379,12 @@ def _sheen_lobe(wo, wi, sheen_roughness):
     f = jnp.where(valid, d / denom, 0.0)
     pdf = jnp.where(valid, jnp.maximum(wi[..., 2], 1e-8) * INV_PI, 0.0)
     return f, pdf
+
+
+def _sheen_lobe(wo, wi, sheen_roughness):
+    if _SHEEN_LTC_POLY is not None:
+        return _sheen_lobe_ltc(wo, wi, sheen_roughness)
+    return _sheen_lobe_charlie(wo, wi, sheen_roughness)
 
 
 def _diffuse_lobe(base_color, sigma, wo, wi):
@@ -742,7 +847,8 @@ def sample(
         mf.reflect_local(wo_rot, h_base), -rot
     )  # metal + specular share
 
-    # cosine for diffuse + sheen
+    # cosine for diffuse; the sheen branch draws from its own LTC when the
+    # fitted polys are shipped (pdf consistency with _sheen_lobe_ltc)
     r = jnp.sqrt(u1)
     phi = 2.0 * jnp.pi * u2
     wi_cos = jnp.stack(
@@ -750,6 +856,10 @@ def sample(
          jnp.sqrt(jnp.maximum(0.0, 1.0 - u1))],
         axis=-1,
     )
+    if _SHEEN_LTC_POLY is not None:
+        wi_sheen = _sheen_sample_ltc(wo_up, mats.sheen_roughness, u1, u2)
+    else:
+        wi_sheen = wi_cos
 
     # glass: reflect or refract through h_base by Fresnel (rotated frame);
     # thin-walled surfaces use eta~1 → straight-through transmission
@@ -779,7 +889,7 @@ def sample(
         wi_coat,
         jnp.where(
             (sel_sheen)[..., None],
-            wi_cos,
+            wi_sheen,
             jnp.where(
                 sel_metal[..., None],
                 wi_specm,

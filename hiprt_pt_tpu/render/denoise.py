@@ -132,20 +132,21 @@ def atrous_denoise(
     return img
 
 
-def denoise(renderer, blend: float = 1.0, use_variance: bool = True
-            ) -> np.ndarray:
-    """Denoise a Renderer's current image using its accumulated AOVs
-    (reference: RenderWindow::denoise + denoiser blend setting).
-    Returns (H, W, 3) numpy, blended denoised/raw by `blend`."""
+def collect_aovs(renderer, use_variance: bool = True):
+    """Gather the denoiser inputs from a Renderer in display pixel order:
+    (hdr (H,W,3) jnp, albedo (H,W,3) np, normal (H,W,3) np,
+    variance-of-mean (H,W) jnp | None, spp_map (H,W) jnp | None).
+    Shared by denoise() and the learned-denoiser trainer so training data
+    matches inference inputs exactly."""
     from ..ops.pixel_order import unscramble
 
     hdr = jnp.asarray(renderer.hdr_image().copy())
     alb, nrm = renderer.aov_images()
     var = None
+    spp_map = None
     if use_variance:
         st = renderer.state
         n = jnp.maximum(st.pixel_sample_count.astype(jnp.float32), 1.0)
-        mean_l = st.accum_luminance / n if hasattr(st, "accum_luminance")             else None
         # variance of the mean: (E[l^2] - E[l]^2) / n
         from ..ops.tonemap import luminance as _lum_fn
 
@@ -157,10 +158,33 @@ def denoise(renderer, blend: float = 1.0, use_variance: bool = True
         spp_map = jnp.asarray(unscramble(
             np.asarray(jax.device_get(n)), renderer.width, renderer.height,
         )[::-1])
-    else:
-        spp_map = None
-    out = atrous_denoise(
-        hdr, jnp.asarray(alb.copy()), jnp.asarray(nrm.copy()), variance=var,
-        spp_map=spp_map)
+    return hdr, alb, nrm, var, spp_map
+
+
+def denoise(renderer, blend: float = 1.0, use_variance: bool = True,
+            method: str = "auto") -> np.ndarray:
+    """Denoise a Renderer's current image using its accumulated AOVs
+    (reference: RenderWindow::denoise + denoiser blend setting).
+    Returns (H, W, 3) numpy, blended denoised/raw by `blend`.
+
+    method: "atrous" = the wavelet filter; "nn" = the learned denoiser
+    (render/denoise_nn.py, OIDN-class role) refining the wavelet output;
+    "auto" = nn when its shipped weights exist, else atrous."""
+    hdr, alb, nrm, var, spp_map = collect_aovs(
+        renderer, use_variance=use_variance)
+    alb_j = jnp.asarray(alb.copy())
+    nrm_j = jnp.asarray(nrm.copy())
+    out = atrous_denoise(hdr, alb_j, nrm_j, variance=var, spp_map=spp_map)
+    if method in ("auto", "nn"):
+        from . import denoise_nn
+
+        params = denoise_nn.load_params()
+        if params is not None:
+            out = denoise_nn.apply_jit(
+                params, hdr, out, alb_j, nrm_j, var, spp_map)
+        elif method == "nn":
+            raise FileNotFoundError(
+                f"learned-denoiser weights missing: {denoise_nn.WEIGHTS_PATH}"
+            )
     out = blend * out + (1.0 - blend) * hdr
     return np.asarray(jax.device_get(out))

@@ -41,6 +41,7 @@ from ..lights.envmap_sampling import (
 )
 from ..lights.light_sampling import (
     emissive_pdf_of_direction,
+    gather_rows_T,
 )
 from ..models.dispatcher import (
     bsdf_eval,
@@ -346,7 +347,7 @@ def initial_candidates(
 
             t_e, slot = closest_emissive_hit(scene, o, wi, active=cand)
             em_hit = slot >= 0
-            rowT = scene.emissive_rows[jnp.maximum(slot, 0)].T  # (32, N)
+            rowT = gather_rows_T(scene.emissive_rows, jnp.maximum(slot, 0))
             rad = rowT[14:17].T
             ng_l = rowT[9:12].T
             lp = o + wi * jnp.where(em_hit, t_e, 0.0)[:, None]

@@ -144,6 +144,19 @@ def main():
             jax.vmap(crop, in_axes=(None, 0, 0, 0))(tr[k], si, y0, x0)
             for k in ("noisy", "atrous", "albedo", "normal", "var", "sppm",
                       "target"))
+        # augmentation: random H/V flips (normals are view-space-ish here;
+        # the lobe is symmetric enough for denoising purposes)
+        kf1, kf2 = jax.random.split(ks)
+        fh = jax.random.bernoulli(kf1, 0.5, (args.batch,))
+        fv = jax.random.bernoulli(kf2, 0.5, (args.batch,))
+
+        def flip(a):
+            a = jnp.where(fh[(...,) + (None,) * (a.ndim - 1)],
+                          jnp.flip(a, axis=1), a)
+            return jnp.where(fv[(...,) + (None,) * (a.ndim - 1)],
+                             jnp.flip(a, axis=2), a)
+
+        batch = tuple(flip(b) for b in batch)
         l, g = jax.value_and_grad(loss_fn)(params, batch)
         lr = 2e-3 * (0.5 * (1 + jnp.cos(jnp.pi * i / args.steps))) + 1e-4
         opt_m = jax.tree.map(lambda m, gg: 0.9 * m + 0.1 * gg, opt_m, g)

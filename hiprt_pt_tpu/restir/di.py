@@ -58,11 +58,12 @@ from ..ops.sampling import sample_triangle
 from ..ops.tonemap import luminance
 def _tracers(options, coherent: bool = False):
     # backend-selected traversal (Pallas/XLA) — see render.integrator.
-    # coherent=True routes to the packet kernel: every ReSTIR visibility
-    # sweep shoots camera-vertex WINNER shadow rays (tile-local origins,
-    # tile-shared light targets) — the same population the integrator's
-    # peeled first bounce routes to the wide kernel (measured 2.2x there;
-    # bsdf-candidate rays scatter by direction and stay on the default).
+    # NOTE (round 4, measured): routing the ReSTIR visibility sweeps to the
+    # coherent packet kernel (coherent=True at the three winner-visibility
+    # sites) REGRESSED the restir bench 1.67 -> 1.52 Mrays/s — after
+    # temporal/spatial reuse the winner samples come from NEIGHBOR pixels'
+    # reservoirs, so the packet union inflates vs RIS's tile-shared
+    # candidates. All sites therefore stay on the per-lane default.
     from ..render.integrator import _make_tracers
 
     return _make_tracers(options, coherent=coherent)
@@ -445,7 +446,7 @@ def initial_candidates(
             options, mats, p, ns, wo, eta_rel, _sample_of(res), pctx=pctx
         )
         so = offset_ray_origin(p, ng, wi)
-        blocked = _tracers(options, coherent=True)[1](
+        blocked = _tracers(options)[1](
             bvh, so, wi,
             t_max=jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), 1e30),
             active=active & (res.W > 0.0),
@@ -1088,7 +1089,7 @@ def spatial_reuse_pass(
         )
         do_vis = active & (out.W > 0.0) & jnp.asarray(is_last_pass)
         so = offset_ray_origin(p, gbuf.geometric_normal, wi)
-        blocked = _tracers(options, coherent=True)[1](
+        blocked = _tracers(options)[1](
             bvh, so, wi,
             t_max=jnp.where(jnp.isfinite(dist), dist * (1.0 - 1e-3), 1e30),
             active=do_vis,
@@ -1289,14 +1290,14 @@ def final_shading(
         if (scene.textures is not None and scene.textures.has_alpha and rng_state is not None):
             from ..ops.traverse import occluded_alpha
 
-            _cl, _oc = _tracers(options, coherent=True)
+            _cl, _oc = _tracers(options)
             rng_state, blocked = occluded_alpha(
                 bvh, scene, options, settings, so, wi, rng_state,
                 t_max=t_max, active=has,
                 closest_fn=_cl, occluded_fn=_oc,
             )
         else:
-            blocked = _tracers(options, coherent=True)[1](
+            blocked = _tracers(options)[1](
                 bvh, so, wi, t_max=t_max, active=has)
         has = has & ~blocked
         n_rays = jnp.sum(has.astype(jnp.float32))

@@ -130,7 +130,7 @@ def main():
 
     @jax.jit
     def step(params, opt_m, opt_v, i, key):
-        ks, kx, ky = jax.random.split(key, 3)
+        ks, kx, ky, kflip = jax.random.split(key, 4)
         si = jax.random.randint(ks, (args.batch,), 0, n_snap)
         x0 = jax.random.randint(kx, (args.batch,), 0, RES - CROP)
         y0 = jax.random.randint(ky, (args.batch,), 0, RES - CROP)
@@ -144,19 +144,35 @@ def main():
             jax.vmap(crop, in_axes=(None, 0, 0, 0))(tr[k], si, y0, x0)
             for k in ("noisy", "atrous", "albedo", "normal", "var", "sppm",
                       "target"))
-        # augmentation: random H/V flips (normals are view-space-ish here;
-        # the lobe is symmetric enough for denoising purposes)
-        kf1, kf2 = jax.random.split(ks)
+        # augmentation: random H/V flips. A spatial flip mirrors the view,
+        # so the tangential normal component along the flipped axis must be
+        # negated to keep (normal, image) pairs physically consistent.
+        # Flip keys come from a FRESH split (kflip) — reusing ks would
+        # correlate them with the snapshot-index draws.
+        kf1, kf2 = jax.random.split(kflip)
         fh = jax.random.bernoulli(kf1, 0.5, (args.batch,))
         fv = jax.random.bernoulli(kf2, 0.5, (args.batch,))
 
-        def flip(a):
-            a = jnp.where(fh[(...,) + (None,) * (a.ndim - 1)],
-                          jnp.flip(a, axis=1), a)
-            return jnp.where(fv[(...,) + (None,) * (a.ndim - 1)],
-                             jnp.flip(a, axis=2), a)
+        def flip(a, neg_h=None, neg_v=None):
+            fh_b = fh[(...,) + (None,) * (a.ndim - 1)]
+            fv_b = fv[(...,) + (None,) * (a.ndim - 1)]
+            ah = jnp.flip(a, axis=1)
+            if neg_h is not None:
+                ah = ah * neg_h
+            a = jnp.where(fh_b, ah, a)
+            av = jnp.flip(a, axis=2)
+            if neg_v is not None:
+                av = av * neg_v
+            return jnp.where(fv_b, av, a)
 
-        batch = tuple(flip(b) for b in batch)
+        # axis=1 is y (vertical flip of rows -> negate normal y), axis=2 is
+        # x (horizontal -> negate normal x); normal channels are (x, y, z)
+        neg_y = jnp.asarray([1.0, -1.0, 1.0])
+        neg_x = jnp.asarray([-1.0, 1.0, 1.0])
+        batch = tuple(
+            flip(b, neg_h=neg_y, neg_v=neg_x) if k == "normal" else flip(b)
+            for k, b in zip(("noisy", "atrous", "albedo", "normal", "var",
+                             "sppm", "target"), batch))
         l, g = jax.value_and_grad(loss_fn)(params, batch)
         lr = 2e-3 * (0.5 * (1 + jnp.cos(jnp.pi * i / args.steps))) + 1e-4
         opt_m = jax.tree.map(lambda m, gg: 0.9 * m + 0.1 * gg, opt_m, g)

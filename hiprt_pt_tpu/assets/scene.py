@@ -233,6 +233,12 @@ def build_scene(
 
     # pack per-triangle hit attributes (see SceneData.tri_data layout)
     T = triangles.shape[0]
+    # Emissive tri-index / alias-slot columns (and the lane8 kernels' prim
+    # decode) store integer ids as f32 VALUES, exact only below 2^24 —
+    # fail loudly instead of silently rounding indices at >=16.7M tris.
+    assert T < (1 << 24), (
+        f"scene has {T} triangles; f32-value-encoded indices are exact "
+        "only below 2^24")
     normals32 = normals.astype(np.float32)
     uvs32 = uvs.astype(np.float32)
     td = np.zeros((T, 32), dtype=np.float32)

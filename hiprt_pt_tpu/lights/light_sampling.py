@@ -34,6 +34,12 @@ def searchsorted_cdf(cdf: jax.Array, u: jax.Array) -> jax.Array:
 # up to ~1k rows)
 ONEHOT_ROWS_MAX = 1024
 
+# cap on the materialized (rows, chunk) f32 one-hot operand: lanes are
+# processed in chunks so the peak HBM footprint is bounded at
+# rows x _ONEHOT_CHUNK x 4 B (= 2 GB at the 1024-row ceiling) instead of
+# rows x N (which would be ~8.5 GB per call at a 2M-lane wavefront)
+_ONEHOT_CHUNK = 512 * 1024
+
 
 def gather_rows_T(table: jax.Array, idx: jax.Array) -> jax.Array:
     """Row gather returning the TRANSPOSED rows (C, N).
@@ -44,14 +50,22 @@ def gather_rows_T(table: jax.Array, idx: jax.Array) -> jax.Array:
     pre-clipped to [0, rows)."""
     rows = table.shape[0]
     if rows <= ONEHOT_ROWS_MAX:
-        oh = (
-            idx[None, :]
-            == jnp.arange(rows, dtype=idx.dtype)[:, None]
-        ).astype(jnp.float32)                          # (rows, N)
-        return jax.lax.dot_general(
-            table, oh, (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )                                              # (C, N)
+        def one_chunk(ic):
+            oh = (
+                ic[None, :]
+                == jnp.arange(rows, dtype=ic.dtype)[:, None]
+            ).astype(jnp.float32)                      # (rows, chunk)
+            return jax.lax.dot_general(
+                table, oh, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+            )                                          # (C, chunk)
+
+        n = idx.shape[0]
+        if n <= _ONEHOT_CHUNK:
+            return one_chunk(idx)
+        return jnp.concatenate(
+            [one_chunk(idx[s:min(n, s + _ONEHOT_CHUNK)])
+             for s in range(0, n, _ONEHOT_CHUNK)], axis=1)
     return table[idx].T
 
 

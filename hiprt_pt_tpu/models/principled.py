@@ -52,9 +52,11 @@ except Exception:  # pragma: no cover — LUT not baked yet
 # (cos_theta_o, alpha) — OWN fit against a volumetric SGGX fiber-slab
 # reference (bake/sheen_ltc_fit.py; reference parity: SheenLTC.h +
 # SheenLTCFittedParameters.h Zeltner-2022 fitted table). Shipped as 8x8
-# monomial polys (table gathers at wavefront width are ~23 ms on TPU;
-# weighted poly rms vs the fitted table <= 0.007). Missing file falls back
-# to the analytic Charlie lobe.
+# CHEBYSHEV polys T_i(2*cos-1)*T_j(2*alpha-1) — bake/sheen_ltc_fit.py
+# fit_poly rejects the monomial basis for f32 stability; table gathers at
+# wavefront width are ~23 ms on TPU so the hot path is gather-free
+# (weighted poly rms vs the fitted table <= 0.007). Missing file falls
+# back to the analytic Charlie lobe.
 _SHEEN_LTC_POLY_PATH = os.path.join(
     os.path.dirname(__file__), "..", "bake", "data_sheen_ltc_poly.npy"
 )

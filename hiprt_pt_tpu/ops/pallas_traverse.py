@@ -2779,6 +2779,9 @@ def _kernel_lane8u(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
     stats_ref[0, 0] = it
     stats_ref[0, 1] = ndone
     stats_ref[0, 4] = sc_s[0, 1]  # final window base
+    # iter_cap truncation is otherwise silent (pre-initialized out rows
+    # read as misses): surface it so tests/benchmarks can assert on it
+    stats_ref[0, 5] = (ndone < R).astype(jnp.int32)
 
 
 def _lane8u_call(bvh: BVHData, o, d, tmin, tmax, act, ahf,

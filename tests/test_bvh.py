@@ -259,9 +259,12 @@ def test_lane8u_traversal_matches_xla(cornell_scene):
     p_r = np.asarray(rec_r.prim)
     m = p_r >= 0
     for unroll, window in ((4, 32), (2, 8)):
-        rec_p = traverse_pallas_lane8u(bvh, o, d, t_min=0.0,
-                                       interpret=True, unroll=unroll,
-                                       window=window)
+        rec_p, st = traverse_pallas_lane8u(bvh, o, d, t_min=0.0,
+                                           interpret=True, unroll=unroll,
+                                           window=window, return_stats=True)
+        # stats[0,5] flags silent iter_cap truncation (rays left undone
+        # read as misses) — must never fire on these scenes
+        assert int(np.asarray(st)[0, 5]) == 0
         assert np.mean(p_r == np.asarray(rec_p.prim)) > 0.999
         assert np.allclose(np.asarray(rec_p.t)[m], np.asarray(rec_r.t)[m],
                            rtol=1e-4)

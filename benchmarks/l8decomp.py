@@ -26,6 +26,22 @@ from hiprt_pt_tpu.accel.build import build_bvh
 from hiprt_pt_tpu.ops import pallas_traverse as pt
 
 
+_NULL_FLOOR = [0.0]
+
+
+def measure_null_floor(reps=6):
+    """Per-rep relay dispatch+fetch floor: a trivial jitted op, distinct
+    args per rep (the relay memoizes identical dispatches)."""
+    f = jax.jit(lambda x: x * 2.0 + 1.0)
+    np.asarray(f(jnp.float32(0.5)))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        np.asarray(f(jnp.float32(i)))
+    _NULL_FLOOR[0] = (time.perf_counter() - t0) / reps
+    print(f"relay null floor: {_NULL_FLOOR[0] * 1e3:.1f} ms/rep",
+          flush=True)
+
+
 def make_rays(key, n, lo, hi):
     k1, k2 = jax.random.split(key)
     o = jax.random.uniform(k1, (n, 3), jnp.float32,
@@ -53,15 +69,19 @@ def bench(label, bvh, rays, any_hit, reps, **kw):
     rec = pt.traverse_pallas_lane8s(
         bvh, rays[0][0], rays[0][1], tmin, tmax, act,
         any_hit=any_hit, **kw)
-    jax.block_until_ready(rec.t)
-    # timed: distinct ray sets per rep (sets 1..reps)
+    np.asarray(rec.t[:8])
+    # timed: distinct ray sets per rep (sets 1..reps). block_until_ready
+    # intermittently returns early under the axon relay (r5probe2.py note,
+    # 2026-08-21) — a small VALUE FETCH per rep is the only reliable sync;
+    # it adds the ~26 ms relay floor per rep, which is measured by the
+    # caller via null_floor() and subtracted here.
     t0 = time.perf_counter()
     for i in range(1, reps + 1):
         rec2 = pt.traverse_pallas_lane8s(
             bvh, rays[i][0], rays[i][1], tmin, tmax, act,
             any_hit=any_hit, **kw)
-        jax.block_until_ready(rec2.t)
-    dt = (time.perf_counter() - t0) / reps
+        np.asarray(rec2.t[:8])
+    dt = (time.perf_counter() - t0) / reps - _NULL_FLOOR[0]
     iters, ndone, lr = st[0, 0], st[0, 1], st[0, 3]
     pend_occ = st[0, 5] / max(lr * 4096, 1)
     node_occ = st[0, 6] / max(iters * 4096, 1)
@@ -77,6 +97,7 @@ def main():
     from hiprt_pt_tpu.utils.precompile import enable_persistent_cache
 
     enable_persistent_cache()
+    measure_null_floor()
     nk = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     n = nk * 1024

@@ -1824,7 +1824,10 @@ def traverse_pallas_lane8log(
 # fall back to lane8log.
 # ---------------------------------------------------------------------------
 
-L8S_MAX_PACK = 16384  # 14-bit base_int / base_leaf fields in plane A
+L8S_MAX_PACK = 16384  # 14-bit base_int field in plane A (nodes only;
+#                       base_leaf carries 24 bits across planes A+B)
+L8S_GAP_MIN = 4       # adaptive leaf-cadence bounds (leaf_adapt=True)
+L8S_GAP_MAX = 16
 
 
 def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
@@ -1834,7 +1837,8 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                    *, any_hit: bool, n_gen: int, m_nodes: int,
                    m_leaves: int, iter_cap: int, frame: tuple,
                    leaf_tris: int, round_every: int, lanes: int,
-                   window: int, s_depth: int, probe: bool = False):
+                   window: int, s_depth: int, probe: bool = False,
+                   leaf_adapt: bool = False):
     LN = lanes
     G = 8
     R = G * LN
@@ -1868,6 +1872,8 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         stats_ref[0, _si] = jnp.int32(0)
     sc_s[0, 0] = jnp.int32(0)  # lanes past their last generation
     sc_s[0, 1] = jnp.int32(0)  # window base (min generation)
+    sc_s[0, 2] = jnp.int32(round_every - 1)  # next leaf-round iteration
+    sc_s[0, 3] = jnp.int32(round_every)      # current adaptive gap
 
     slot_iota3 = jax.lax.broadcasted_iota(i32, (S, G, LN), 0)
     iota8 = jax.lax.broadcasted_iota(i32, (8, LN), 0)
@@ -1893,22 +1899,27 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         pend = pend_s[:]
 
         # ---- pop (two-plane compressed stack) ----
+        # plane A: n_int | base_int << 4 | base_leaf_lo14 << 18
+        # plane B: not-yet-visited child bitmask (bits 0..7)
+        #          | base_leaf_hi10 << 8   (lifts the old 14-bit leaf cap
+        #          — ~1.45M tris — to 2^24 refs; VERDICT r4 task 1)
         need_pop = (done == 0) & (valid == 0) & (ptr > 0)
         top = jnp.maximum(ptr - 1, 0)
         selT = slot_iota3 == top[None]
         A = jnp.sum(jnp.where(selT, stkA_s[:], 0), axis=0)
         B = jnp.sum(jnp.where(selT, stkB_s[:], 0), axis=0)
-        lsb = B & (-B)
+        Bm = B & 255
+        lsb = Bm & (-Bm)
         # child slot = exponent of the (power-of-two) lsb
         cpop = (jax.lax.bitcast_convert_type(lsb.astype(f32), i32)
                 >> 23) - 127
         newB = B ^ lsb
         n_int_p = A & 15
         base_int_p = (A >> 4) & 0x3FFF
-        base_leaf_p = (A >> 18) & 0x3FFF
+        base_leaf_p = ((A >> 18) & 0x3FFF) | (((B >> 8) & 0x3FF) << 14)
         ref_p = jnp.where(cpop < n_int_p, base_int_p + cpop,
                           -(base_leaf_p + (cpop - n_int_p)) - 1)
-        keep = need_pop & (newB != 0)
+        keep = need_pop & ((newB & 255) != 0)
         stkB_s[:] = jnp.where(selT & keep[None], newB[None], stkB_s[:])
         ptr = jnp.where(need_pop & (newB == 0), top, ptr)
         cur = jnp.where(need_pop, ref_p, cur)
@@ -1920,7 +1931,16 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         valid = jnp.where(promo, 0, valid)
 
         node_lane = (valid > 0) & (cur >= 0)
-        leaf_round = (it % round_every) == (round_every - 1)
+        if leaf_adapt:
+            # adaptive cadence: the leaf round (a full-table MXU stream,
+            # ~80% of kernel time — ROUND4.md l8decomp) fires when the
+            # scalar schedule says so; the gap is feedback-controlled at
+            # each leaf round from pend occupancy (below), so near-empty
+            # streams stop happening. Scalar SMEM read per iter — no
+            # vector->scalar crossing outside leaf rounds.
+            leaf_round = it >= sc_s[0, 2]
+        else:
+            leaf_round = (it % round_every) == (round_every - 1)
         if probe:
             # occupancy diagnostics (probe builds only — adds per-iter
             # reductions): 5 = pending lanes summed over leaf rounds,
@@ -1982,8 +2002,10 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                                 keepdims=True)
             near_pow = jnp.sum(jnp.where(iota8 == c_near, pow2_8, 0),
                                axis=0, keepdims=True)
-            maskg = full_mask ^ near_pow  # meaningful only when anyfound
-            packA = n_int | (base_int << 4) | (base_leaf << 18)
+            # meaningful only when anyfound; base_leaf hi bits ride in the
+            # mask plane's bits 8..17 (see pop above)
+            maskg = (full_mask ^ near_pow) | ((base_leaf >> 14) << 8)
+            packA = n_int | (base_int << 4) | ((base_leaf & 0x3FFF) << 18)
             curn_l.append(curn)
             anyf_l.append(anyfound)
             packA_l.append(packA)
@@ -1996,7 +2018,9 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         found = anyf_G > 0
         cur = jnp.where(node_lane, jnp.where(found, curn_G, cur), cur)
         valid = jnp.where(node_lane, anyf_G, valid)
-        push = node_lane & found & (mask_G != 0)
+        # push only when unvisited-child bits remain (bits 0..7; the high
+        # bits carry base_leaf_hi and must not trigger a push)
+        push = node_lane & found & ((mask_G & 255) != 0)
         slot = jnp.minimum(ptr, S - 1)
         selP = (slot_iota3 == slot[None]) & push[None]
         stkA_s[:] = jnp.where(selP, packA_G[None], stkA_s[:])
@@ -2014,6 +2038,21 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
             pendv = pend_s[:]
             btv2 = bt_s[:]
             rd2 = ray_s[:]
+            if leaf_adapt:
+                # feedback control: aim for pend occupancy in [5/8, 7/8]
+                # of busy lanes at service time; two vector->scalar
+                # crossings per LEAF ROUND only.
+                npend = jnp.sum((pendv > 0).astype(i32))
+                nbusy = jnp.sum((done_s[:] == 0).astype(i32))
+                gap = sc_s[0, 3]
+                gap2 = jnp.where(
+                    npend * 8 < nbusy * 5,
+                    jnp.minimum(gap + 2, jnp.int32(L8S_GAP_MAX)),
+                    jnp.where(npend * 8 > nbusy * 7,
+                              jnp.maximum(gap - 2, jnp.int32(L8S_GAP_MIN)),
+                              gap))
+                sc_s[0, 3] = gap2
+                sc_s[0, 2] = it + gap2
             step = jnp.float32(frame[3])
             nt_l, np_l, nu_l, nv_l, nh_l = [], [], [], [], []
             for g in range(G):
@@ -2207,7 +2246,8 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
 
 def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
                  any_hit: bool, interpret: bool, round_every: int = 8,
-                 lanes: int = 512, window: int = 8, probe: bool = False):
+                 lanes: int = 512, window: int = 8, probe: bool = False,
+                 leaf_adapt: bool = False):
     """One pallas_call over <= L8_MAX_RAYS rays; output is ordered by
     construction (lane (g, l) owns ray k*8*lanes + g*lanes + l)."""
     n = o.shape[0]
@@ -2238,7 +2278,7 @@ def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
                 m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
                 frame=bvh.lane8_frame, leaf_tris=bvh.lane8_leaf_tris,
                 round_every=round_every, lanes=LN, window=window,
-                s_depth=S, probe=probe),
+                s_depth=S, probe=probe, leaf_adapt=leaf_adapt),
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -2286,7 +2326,8 @@ def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats",
-                                  "round_every", "lanes", "window", "probe"))
+                                  "round_every", "lanes", "window", "probe",
+                                  "leaf_adapt"))
 def traverse_pallas_lane8s(
     bvh: BVHData,
     o: jax.Array,
@@ -2301,6 +2342,7 @@ def traverse_pallas_lane8s(
     lanes: int = 512,
     window: int = 8,
     probe: bool = False,
+    leaf_adapt: bool = False,
 ) -> HitRecord:
     """Sublane-grouped static-strided per-lane BVH8 traversal (v10)."""
     n = o.shape[0]
@@ -2320,7 +2362,8 @@ def traverse_pallas_lane8s(
         def _run(s=s, e=e):
             return _lane8s_call(
                 bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
-                any_hit, interpret, round_every, lanes, window, probe)
+                any_hit, interpret, round_every, lanes, window, probe,
+                leaf_adapt)
 
         def _skip(s=s, e=e):
             return (empty_hit_record(e - s), jnp.zeros((1, 8), jnp.int32))
@@ -2347,16 +2390,23 @@ def traverse_pallas_lane8s(
 
 def lane8s_tables_ok(bvh: BVHData, n: int) -> bool:
     """v10 structural gate (backend-independent, also used by interpret-mode
-    tests): lane8 tables present, 14-bit packed refs fit, and the
-    builder-measured cluster-BVH8 depth bounds a small compressed stack."""
+    tests): lane8 tables present, packed refs fit (base_int 14 bits in
+    plane A; base_leaf 24 bits split across planes A/B since r5 — the old
+    14-bit leaf cap limited lane8s to ~1.45M tris), the leaf table + its
+    one-hot working set fit VMEM, and the builder-measured cluster-BVH8
+    depth bounds a small compressed stack."""
     if bvh.nodes_lane8 is None or bvh.lane8_frame is None:
         return False
     if bvh.leaves_lane8 is None:
         return False
     m_nodes = bvh.nodes_lane8.shape[0]
     m_leaves = bvh.leaves_lane8.shape[0]
+    # VMEM budget: leaf table + iota_lc (m_leaves, 512) i32 + one-hot int8
+    vmem_est = (bvh.leaves_lane8.size
+                + m_leaves * 512 * 5 + m_nodes * 512 * 5)
     return (n >= 1 and m_nodes <= L8S_MAX_PACK
-            and m_leaves <= L8S_MAX_PACK
+            and m_leaves < (1 << 24)
+            and vmem_est <= 100 * 1024 * 1024
             and int(bvh.lane8_depth) <= 16)
 
 

@@ -60,18 +60,28 @@ def _emit(headline_mrays, extra):
 
 
 def _bench_renderer(r, n_frames=4):
-    """Mrays/s and spp/s over one fused n_frames-sample dispatch."""
+    """Mrays/s and spp/s over one fused n_frames-sample dispatch.
+
+    samples_per_frame is a TRACED value, so the 1-sample warm-up run
+    compiles and warms the SAME executable as the n_frames timed run at
+    ~1/n_frames of the device cost (r4's bench lost its cornell+scale
+    evidence rows to warm-up wall time inside the 400 s budget)."""
     import jax
     import jax.numpy as jnp
 
     r.fuse_frame = True
+    r.settings = r.settings.replace(samples_per_frame=jnp.int32(1))
+    r.step(block=True)  # compile + warm-up (same program, 1 sample)
     r.settings = r.settings.replace(samples_per_frame=jnp.int32(n_frames))
-    r.step(block=True)  # compile + warm-up (the fused program)
     rays0 = float(jax.device_get(r.state.rays_traced))
     t0 = time.perf_counter()
     r.step(block=True)
-    dt = time.perf_counter() - t0
+    # the value fetch is INSIDE the timing: block_until_ready can return
+    # early under the axon relay (benchmarks/r5probe2.py, 2026-08-21), so
+    # only the device_get reliably bounds the device work; its ~30 ms
+    # relay floor is noise on a multi-second measurement
     rays1 = float(jax.device_get(r.state.rays_traced))
+    dt = time.perf_counter() - t0
     return (rays1 - rays0) / dt / 1e6, n_frames / dt
 
 
@@ -117,18 +127,25 @@ def main():
     _emit(stress_mrays, extra)  # headline lands NOW, extras grow below
     del rs
 
-    # --- extra: ReSTIR DI fused spatiotemporal on the stress scene (the
-    # reference's flagship interactive mode, ReSTIRDIRenderPass.cpp:475-506)
+    # --- extra: million-triangle scale proof (config 6; VERDICT r2 #4) ---
+    # 1.63M-tri stress variant — runs FIRST among extras (r4's bench lost
+    # this row and cornell's to the 400 s budget; ReSTIR now goes last).
+    # lane8s's old 14-bit packed-ref cap was lifted in r5 (plane-B
+    # packing), so production routing at this scale is lane8s itself.
     if _elapsed() < _BUDGET_S:
         try:
-            rr = make_renderer(scene_s, cam_s, LightSamplingStrategy.RESTIR_DI)
-            restir_mrays, restir_spp = _bench_renderer(rr)
-            extra["restir_mrays_per_s"] = round(restir_mrays, 2)
-            extra["restir_spp_per_s_1080p"] = round(restir_spp, 3)
-            del rr
+            scene_l, cam_l = load_stress_scene(
+                aspect=width / height, tri_scale=11.0
+            )
+            rl = make_renderer(scene_l, cam_l,
+                               LightSamplingStrategy.RIS_BSDF_LIGHT)
+            scale_mrays, _ = _bench_renderer(rl, n_frames=2)
+            extra["scale_1p6m_tris"] = int(scene_l.triangles.shape[0])
+            extra["scale_1p6m_mrays_per_s"] = round(scale_mrays, 2)
+            del rl
             _emit(stress_mrays, extra)
-        except Exception as e:  # an extra must never kill the headline
-            extra["restir_error"] = repr(e)[:200]
+        except Exception as e:
+            extra["scale_error"] = repr(e)[:200]
             _emit(stress_mrays, extra)
 
     # --- extra: cornell, full principled BSDF, MIS NEE (config-1 @1080p) ---
@@ -148,24 +165,18 @@ def main():
             extra["cornell_error"] = repr(e)[:200]
             _emit(stress_mrays, extra)
 
-    # --- extra: million-triangle scale proof (config 6; VERDICT r2 #4) ---
-    # 1.63M-tri stress variant — production routing at this scale is the
-    # lane8log fallback (lane8s's 14-bit packed-ref cap is ~1.45M tris);
-    # full A/B + exactness evidence in benchmarks/scale_1p6m.py / ROUND3.md
+    # --- extra: ReSTIR DI fused spatiotemporal on the stress scene (the
+    # reference's flagship interactive mode, ReSTIRDIRenderPass.cpp:475-506)
     if _elapsed() < _BUDGET_S:
         try:
-            scene_l, cam_l = load_stress_scene(
-                aspect=width / height, tri_scale=11.0
-            )
-            rl = make_renderer(scene_l, cam_l,
-                               LightSamplingStrategy.RIS_BSDF_LIGHT)
-            scale_mrays, _ = _bench_renderer(rl, n_frames=2)
-            extra["scale_1p6m_tris"] = int(scene_l.triangles.shape[0])
-            extra["scale_1p6m_mrays_per_s"] = round(scale_mrays, 2)
-            del rl
+            rr = make_renderer(scene_s, cam_s, LightSamplingStrategy.RESTIR_DI)
+            restir_mrays, restir_spp = _bench_renderer(rr)
+            extra["restir_mrays_per_s"] = round(restir_mrays, 2)
+            extra["restir_spp_per_s_1080p"] = round(restir_spp, 3)
+            del rr
             _emit(stress_mrays, extra)
-        except Exception as e:
-            extra["scale_error"] = repr(e)[:200]
+        except Exception as e:  # an extra must never kill the headline
+            extra["restir_error"] = repr(e)[:200]
             _emit(stress_mrays, extra)
 
     extra["bench_wall_s"] = round(_elapsed(), 1)

@@ -104,10 +104,13 @@ def main():
     scene, cam = load_stress_scene(aspect=16 / 9)
     verts = np.asarray(scene.vertices)
     tris = np.asarray(scene.triangles)
-    bvh = build_bvh(verts, tris)
+    leaf_bits = int(os.environ.get("LEAF_BITS", "16"))
+    leaf_tc = int(os.environ.get("LEAF_TC", "128"))
+    bvh = build_bvh(verts, tris, leaf_bits=leaf_bits,
+                    lane8_leaf_tris=leaf_tc)
     mn = bvh.nodes_lane8.shape
     ml = bvh.leaves_lane8.shape
-    print(f"stress {tris.shape[0]} tris; nodes_lane8 {mn} "
+    print(f"stress {tris.shape[0]} tris (leaf_bits={leaf_bits}); nodes_lane8 {mn} "
           f"({np.prod(mn) * 2 / 1e6:.2f} MB bf16), leaves_lane8 {ml} "
           f"({np.prod(ml) / 1e6:.2f} MB int8), depth {bvh.lane8_depth}, "
           f"Tc={bvh.lane8_leaf_tris}", flush=True)
@@ -123,8 +126,18 @@ def main():
     bvh_l2 = bvh.replace(leaves_lane8=jnp.concatenate(
         [bvh.leaves_lane8, jnp.zeros_like(bvh.leaves_lane8)], axis=0))
 
+    adapt = os.environ.get("L8_MODE", "both")
     for any_hit, tag in ((False, "cl"), (True, "ah")):
         t_base, rec0 = bench(f"lane8s {tag} base", bvh, rays, any_hit, reps)
+        if adapt in ("both", "adapt"):
+            t_a, rec_a = bench(f"lane8s {tag} ADAPT", bvh, rays, any_hit,
+                               reps, leaf_adapt=True)
+            print(f"  -> adapt vs base: {t_a * 1e3:7.1f} vs "
+                  f"{t_base * 1e3:7.1f} ms "
+                  f"(same prim: {bool(jnp.all(rec0.prim == rec_a.prim))})",
+                  flush=True)
+        if adapt == "adapt":
+            continue
         t_n2, rec_n = bench(f"lane8s {tag} nodes x2", bvh_n2, rays,
                             any_hit, reps)
         t_l2, rec_l = bench(f"lane8s {tag} leaves x2", bvh_l2, rays,

@@ -19,14 +19,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+_FLOOR = [0.0]
+
+
+def _null_floor(reps=6):
+    f = jax.jit(lambda x: x * 2.0 + 1.0)
+    np.asarray(f(jnp.float32(0.5)))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        np.asarray(f(jnp.float32(i)))
+    _FLOOR[0] = (time.perf_counter() - t0) / reps
+    print(f"relay null floor: {_FLOOR[0] * 1e3:.1f} ms/rep", flush=True)
+
+
+def _fetch(out):
+    # block_until_ready intermittently lies under the axon relay
+    # (r5probe2.py, 2026-08-21); a small value fetch is the reliable sync
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[:1]
+
+
 def timed(label, jit_fn, make_args, reps=3):
     out = jit_fn(*make_args(0))
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for i in range(1, reps + 1):
         out = jit_fn(*make_args(i))
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
+        _fetch(out)
+    dt = (time.perf_counter() - t0) / reps - _FLOOR[0]
     print(f"{label:46s} {dt * 1e3:9.1f} ms", flush=True)
     return out
 
@@ -35,6 +55,7 @@ def main():
     from hiprt_pt_tpu.utils.precompile import enable_persistent_cache
 
     enable_persistent_cache()
+    _null_floor()
     from hiprt_pt_tpu.assets.stress import load_stress_scene
     from hiprt_pt_tpu.core import rng as rng_mod
     from hiprt_pt_tpu.core.settings import (

@@ -112,6 +112,9 @@ class BVHData:
     # concatenated per-leaf prim list (prim ids are not stored in the
     # leaf table — 14% less table stream per leaf round)
     lane8_order: jax.Array | None = None   # (total leaf refs,) i32
+    # leaf coordinate precision of leaves_lane8: 16 (two byte rows per
+    # coord) or 12 (hi row + shared nibble row; wrapper refines winners)
+    lane8_leaf_bits: int = struct.field(pytree_node=False, default=16)
     # triangle-slot capacity Tc of a lane8 leaf row (12 on the python
     # fallback path; LANE8_LEAF_TRIS cluster leaves on the native path)
     lane8_leaf_tris: int = struct.field(pytree_node=False, default=12)
@@ -240,6 +243,7 @@ def _compact_from_raw(bounds, meta, order, vertices, triangles):
 
 
 LANE8_LEAF_TRIS = 128  # cluster-leaf capacity of the lane8 tables
+LANE8_LEAF_BITS = 16   # default leaf coordinate precision (16 or 12)
 
 
 def _cluster_from_raw(bounds, meta, order, leaf_tris: int):
@@ -311,7 +315,9 @@ def _depth8_of(n8l: np.ndarray) -> int:
     return int(depth.max(initial=1))
 
 
-def _lane8_cluster_tables(vertices, triangles, leaf_tris: int = LANE8_LEAF_TRIS):
+def _lane8_cluster_tables(vertices, triangles,
+                          leaf_tris: int = LANE8_LEAF_TRIS,
+                          leaf_bits: int = LANE8_LEAF_BITS):
     """Build the lane8 tables over their OWN cluster-leaf BVH8.
 
     The lane8 leaf gather streams the whole leaf table through the MXU
@@ -335,7 +341,8 @@ def _lane8_cluster_tables(vertices, triangles, leaf_tris: int = LANE8_LEAF_TRIS)
     counts_l[src < 0] = 0
     nl8, ll8, fr8, l8o = _pack_lane8(
         n8lc, None, vertices, triangles,
-        prims=prims_l, counts=counts_l, leaf_tris=leaf_tris)
+        prims=prims_l, counts=counts_l, leaf_tris=leaf_tris,
+        leaf_bits=leaf_bits)
     return nl8, ll8, fr8, l8o, leaf_tris, _depth8_of(n8lc)
 
 
@@ -472,6 +479,8 @@ def build_bvh(
     triangles: np.ndarray,
     max_leaf: int = MAX_LEAF,
     use_native: bool = True,
+    leaf_bits: int = LANE8_LEAF_BITS,
+    lane8_leaf_tris: int = LANE8_LEAF_TRIS,
 ) -> BVHData:
     vertices = np.asarray(vertices, dtype=np.float32)
     triangles = np.asarray(triangles, dtype=np.int64)
@@ -504,7 +513,9 @@ def build_bvh(
             n8, r8 = _collapse8(n16)
             n8l, lr8 = _collapse8_linear(n16, lrows)
             d8 = _depth8_of(n8l)
-            lc = _lane8_cluster_tables(vertices, triangles)
+            lc = _lane8_cluster_tables(vertices, triangles,
+                                       leaf_tris=lane8_leaf_tris,
+                                       leaf_bits=leaf_bits)
             if lc is not None:
                 nl8, ll8, fr8, l8o, l8t, l8d = lc
             else:
@@ -522,6 +533,7 @@ def build_bvh(
                 nodes_lane8=jnp.asarray(nl8), leaves_lane8=jnp.asarray(ll8),
                 lane8_frame=fr8, lane8_leaf_tris=l8t, lane8_depth=l8d,
                 lane8_order=jnp.asarray(l8o),
+                lane8_leaf_bits=(leaf_bits if lc is not None else 16),
             )
 
     v0 = vertices[triangles[:, 0]]
@@ -693,7 +705,8 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
                 tris: np.ndarray | None = None,
                 prims: np.ndarray | None = None,
                 counts: np.ndarray | None = None,
-                leaf_tris: int = 12):
+                leaf_tris: int = 12,
+                leaf_bits: int = 16):
     """Pack the linear BVH8 into the per-lane MXU-gather tables.
 
     See BVHData.nodes_lane8/leaves_lane8 for the layout. Boxes use directed
@@ -777,7 +790,12 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
     # (k + q) -> f32 is exact; every leaf's vertex spread fits 16 bits
     # relative to its own quantized min.
     LAT_SPAN = (1 << 24) - (1 << 17)
-    REL_SPAN = 65000
+    # per-leaf relative span: 16-bit = two full byte rows per coord;
+    # 12-bit = one hi-byte row + half a shared-nibble row (W -22%, the
+    # leaf MXU stream shrinks by the same factor; quantization error grows
+    # 16x and is repaired by the wrapper's exact winner re-intersection —
+    # ops/pallas_traverse.traverse_pallas_lane8s(refine=...))
+    REL_SPAN = 65000 if leaf_bits == 16 else 4050
     vm4 = vmask[:, :, None, None]
     used = vmask.any(axis=1)
     if used.any():
@@ -799,7 +817,8 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
     k = np.where(vm4, lat, np.int64(1 << 30)).min(axis=(1, 2))  # (L, 3)
     k = np.where(used[:, None], k, 0)
     q = np.where(vm4, lat - k[:, None, None, :], 0)
-    assert q.min() >= 0 and q.max() < 65536, (q.min(), q.max())
+    qmax = 65536 if leaf_bits == 16 else 4096
+    assert q.min() >= 0 and q.max() < qmax, (q.min(), q.max())
 
     def enc(x):  # -128 encode byte values in [0, 255]
         return (x - 128).astype(np.int8)
@@ -821,22 +840,40 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
         order = np.zeros((1,), np.int32)
     assert bases[-1] + cnt_arr[-1] < (1 << 24)
 
-    W = -(-(18 * Tc + 13) // 8) * 8
-    leaves = np.zeros((L, W), np.int8)
     # COMPONENT-MAJOR: row j*Tc + kk (component j = vert*3 + axis of tri
     # slot kk) so the kernel runs Moller-Trumbore on (Tc, L8) blocks
     q_cm = q.transpose(0, 2, 3, 1).reshape(L, 9 * Tc)
-    leaves[:, 0:9 * Tc] = enc(q_cm >> 8)
-    leaves[:, 9 * Tc:18 * Tc] = enc(q_cm & 255)
-    leaves[:, 18 * Tc] = enc(cnt_arr)  # count
+    if leaf_bits == 16:
+        HB = 18 * Tc
+        W = -(-(HB + 13) // 8) * 8
+        leaves = np.zeros((L, W), np.int8)
+        leaves[:, 0:9 * Tc] = enc(q_cm >> 8)
+        leaves[:, 9 * Tc:18 * Tc] = enc(q_cm & 255)
+    else:
+        # 12-bit: rows [0:9Tc] = q >> 4; rows [9Tc:14Tc) = shared nibble
+        # rows, pair p packs coords (2p | 2p+1<<4); coord 8 rides p=4's
+        # low nibble (see _kernel_lane8* leaf_bits==12 decode)
+        HB = 14 * Tc
+        W = -(-(HB + 13) // 8) * 8
+        leaves = np.zeros((L, W), np.int8)
+        leaves[:, 0:9 * Tc] = enc(q_cm >> 4)
+        for pair in range(5):
+            lo0 = q_cm[:, (2 * pair) * Tc:(2 * pair + 1) * Tc] & 15
+            if 2 * pair + 1 < 9:
+                lo1 = q_cm[:, (2 * pair + 1) * Tc:(2 * pair + 2) * Tc] & 15
+            else:
+                lo1 = 0
+            leaves[:, 9 * Tc + pair * Tc:9 * Tc + (pair + 1) * Tc] = enc(
+                lo0 | (lo1 << 4))
+    leaves[:, HB] = enc(cnt_arr)  # count
     for a in range(3):
         ka = k[:, a]
-        leaves[:, 18 * Tc + 1 + a * 3] = enc(ka & 255)
-        leaves[:, 18 * Tc + 2 + a * 3] = enc((ka >> 8) & 255)
-        leaves[:, 18 * Tc + 3 + a * 3] = enc((ka >> 16) & 255)
-    leaves[:, 18 * Tc + 10] = enc(bases & 255)
-    leaves[:, 18 * Tc + 11] = enc((bases >> 8) & 255)
-    leaves[:, 18 * Tc + 12] = enc((bases >> 16) & 255)
+        leaves[:, HB + 1 + a * 3] = enc(ka & 255)
+        leaves[:, HB + 2 + a * 3] = enc((ka >> 8) & 255)
+        leaves[:, HB + 3 + a * 3] = enc((ka >> 16) & 255)
+    leaves[:, HB + 10] = enc(bases & 255)
+    leaves[:, HB + 11] = enc((bases >> 8) & 255)
+    leaves[:, HB + 12] = enc((bases >> 16) & 255)
     frame = (float(origin[0]), float(origin[1]), float(origin[2]), step)
     return nodes, leaves, frame, order
 

@@ -106,9 +106,14 @@ def _make_tracers(options: RenderOptions, coherent: bool = False):
                 # 23.5 vs 26.9 ms) but the REAL bounce wavefront measured
                 # in situ kept re8 ahead (bench 6.03 vs 5.98 Mrays/s) —
                 # cadence optima don't transfer across ray populations.
+                # refine=False: the integrator repairs lattice-quantized
+                # t/u/v inside _interpolate_hit's existing tri_data gather
+                # (column-free), so the wrapper's own refinement gather
+                # would be a duplicate ~8.5 ns/row pass
                 return traverse_pallas_lane8s(bvh, o, d, t_min, tm,
                                               active, any_hit=any_hit,
-                                              lanes=512, window=16)
+                                              lanes=512, window=16,
+                                              refine=False)
             if not coherent and pallas_lane8_supported(bvh, o.shape[0]):
                 # fallback when the cluster-BVH8 is too deep/large for the
                 # lane8s packed refs (14-bit) or compressed stack (<=16).
@@ -172,15 +177,51 @@ from ..ops.texture import apply_normal_map, apply_textures
 from ..ops.tonemap import luminance
 
 
-def _interpolate_hit(scene: SceneData, prim, u, v, ray_d):
+def _interpolate_hit(scene: SceneData, prim, u, v, ray_d,
+                     ray_o=None, hit_t=None):
     """Gather hit attributes for a batch of hits: position is recomputed by the
     caller from ray origin + t·d; here: normals, uv, material
     (reference: Intersect.h:30-83 normal selection + smooth shading).
 
     ONE packed tri_data gather + transpose; all math on (N,) components
-    (TPU layout rule — see ops/traverse.py docstring)."""
+    (TPU layout rule — see ops/traverse.py docstring).
+
+    When (ray_o, hit_t) are given, the winner triangle is re-intersected
+    EXACTLY from tri_data's v0/e1/e2 columns (15:24) and the refined
+    (t, u, v) are returned as a second tuple — this repairs the lattice
+    quantization of the Pallas traversal tables (up to ~4e-3 relative t
+    error at 16-bit leaves, 16x that at 12-bit; see
+    ops/pallas_traverse.refine_hit_record) at ZERO extra gather cost: the
+    XLA row gather is row-rate-bound and column-count-free up to 128
+    columns (measured 2026-08-21: C=8/32/128 all ~17.5 ms at 2M rows)."""
     safe = jnp.maximum(prim, 0)
     rowT = scene.tri_data[safe].T  # (32, N)
+    if ray_o is not None:
+        dx, dy, dz = ray_d[:, 0], ray_d[:, 1], ray_d[:, 2]
+        ox, oy, oz = ray_o[:, 0], ray_o[:, 1], ray_o[:, 2]
+        v0x, v0y, v0z = rowT[15], rowT[16], rowT[17]
+        e1x, e1y, e1z = rowT[18], rowT[19], rowT[20]
+        e2x, e2y, e2z = rowT[21], rowT[22], rowT[23]
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        ue = (tvx * px + tvy * py + tvz * pz) * inv_det
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        ve = (dx * qx + dy * qy + dz * qz) * inv_det
+        te = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+        eps = 1e-4
+        ok = ((prim >= 0) & (jnp.abs(det) > 1e-12) & (te > 0.0)
+              & (ue >= -eps) & (ve >= -eps) & (ue + ve <= 1.0 + eps))
+        u = jnp.where(ok, jnp.clip(ue, 0.0, 1.0), u)
+        v = jnp.where(ok, jnp.clip(ve, 0.0, 1.0), v)
+        t_ref = jnp.where(ok, te, hit_t)
     w = 1.0 - u - v
 
     nx = rowT[0] * w + rowT[3] * u + rowT[6] * v
@@ -203,6 +244,8 @@ def _interpolate_hit(scene: SceneData, prim, u, v, ray_d):
     )
     mat_id = jax.lax.bitcast_convert_type(rowT[24], jnp.int32)
     tangent = jnp.stack([rowT[28], rowT[29], rowT[30]], axis=-1)
+    if ray_o is not None:
+        return (ns, ng, uv, mat_id, tangent), (t_ref, u, v)
     return ns, ng, uv, mat_id, tangent
 
 
@@ -273,15 +316,15 @@ def camera_rays_pass(
     closest, _ = _make_tracers(options, coherent=True)
     rec = closest(bvh, o, d, t_min=0.0, active=active)
     hit = rec.prim >= 0
-    ns, ng, uv, mat_id, tangent = _interpolate_hit(
-        scene, rec.prim, rec.u, rec.v, d
+    (ns, ng, uv, mat_id, tangent), (t_cam, _uc, _vc) = _interpolate_hit(
+        scene, rec.prim, rec.u, rec.v, d, ray_o=o, hit_t=rec.t
     )
     if scene.textures is not None:
         nm_idx = scene.materials.fields_at(
             jnp.maximum(mat_id, 0), ("normal_map_texture_index",)
         )["normal_map_texture_index"]
         ns = apply_normal_map(scene.textures, nm_idx, uv, ns, tangent)
-    pos = o + d * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
+    pos = o + d * jnp.where(jnp.isfinite(t_cam), t_cam, 0.0)[..., None]
     backface = jnp.sum(ns * d, axis=-1) > 0.0
 
     gbuf = GBuffer(
@@ -292,7 +335,7 @@ def camera_rays_pass(
         material_id=jnp.where(hit, mat_id, -1),
         prim_index=rec.prim,
         uv=uv,
-        t=rec.t,
+        t=t_cam,
         ray_dir=d,
         backface=backface,
     )
@@ -768,14 +811,22 @@ def render_sample(
         rec = closest_b(bvh, o_next, wi, t_min=0.0, active=valid_sample)
         hit = rec.prim >= 0
 
+        # next-vertex attributes + exact winner refinement: one gather
+        # serves interpolation AND repairs the traversal tables' lattice
+        # quantization before any consumer of t (absorption segment
+        # length, emitter pdf distance, next position)
+        (ns2, ng2, uv2, mat_id2, tan2), (t_b, _u2, _v2) = _interpolate_hit(
+            scene, rec.prim, rec.u, rec.v, wi, ray_o=o_next, hit_t=rec.t
+        )
+
         # Beer-Lambert absorption along the segment inside a medium
-        seg_t = jnp.where(hit, rec.t, 0.0)
+        seg_t = jnp.where(hit, t_b, 0.0)
         absorb = jnp.exp(-medium_sigma * seg_t[..., None])
         new_throughput = new_throughput * absorb
 
         # hit an emitter via the BSDF ray → MIS-weighted emission
         light_pdf, is_em = emissive_pdf_of_direction(
-            scene, o_next, rec.prim, rec.t, wi
+            scene, o_next, rec.prim, t_b, wi
         )
         if options.direct_light_sampling in (
             LightSamplingStrategy.RIS_BSDF_LIGHT,
@@ -827,16 +878,13 @@ def render_sample(
             (valid_sample & ~hit)[..., None], env_c, 0.0
         )
 
-        # prepare next vertex
-        ns2, ng2, uv2, mat_id2, tan2 = _interpolate_hit(
-            scene, rec.prim, rec.u, rec.v, wi
-        )
+        # prepare next vertex (attributes gathered above, pre-refinement)
         if scene.textures is not None:
             nm_idx2 = scene.materials.fields_at(
                 jnp.maximum(mat_id2, 0), ("normal_map_texture_index",)
             )["normal_map_texture_index"]
             ns2 = apply_normal_map(scene.textures, nm_idx2, uv2, ns2, tan2)
-        p2 = o_next + wi * jnp.where(jnp.isfinite(rec.t), rec.t, 0.0)[..., None]
+        p2 = o_next + wi * jnp.where(jnp.isfinite(t_b), t_b, 0.0)[..., None]
         next_active = valid_sample & hit
         entering2 = jnp.sum(ns2 * wi, axis=-1) < 0.0
 

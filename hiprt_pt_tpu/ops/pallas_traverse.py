@@ -1313,7 +1313,9 @@ def _leaf_geo_decode(gl, Tc, leaf_bits):
             nib = gl[9 * Tc + pr * Tc:9 * Tc + (pr + 1) * Tc] + 128
             lo = (nib & 15) if (j % 2 == 0) else (nib >> 4)
             return hi * 16 + lo
-    cnt = gl[HB:HB + 1] + 128
+    # two-byte count (lo, hi at HB+13): one byte capped leaves at 255
+    # tris and zeroed full 256-tri leaves
+    cnt = (gl[HB:HB + 1] + 128) + (gl[HB + 13:HB + 14] + 128) * 256
     prim_base = (gl[HB + 10:HB + 11] + gl[HB + 11:HB + 12] * 256
                  + gl[HB + 12:HB + 13] * 65536
                  + (128 + 128 * 256 + 128 * 65536))

@@ -120,8 +120,9 @@ def main(argv=None) -> int:
         from ..render.checkpoint import load_checkpoint
 
         r.state = load_checkpoint(args.resume, r.state)
-        log.info(f"resumed from {args.resume} at sample "
-                 f"{int(jax.device_get(r.state.sample_count))}")
+        sc = int(jax.device_get(r.state.sample_count))
+        r._sc_host = sc  # keep the renderer's host mirror in sync
+        log.info(f"resumed from {args.resume} at sample {sc}")
     r.max_sample_count = args.samples
     r.max_render_time = args.max_time
 

@@ -279,6 +279,7 @@ class Renderer:
         self.fuse_frame = False
         self._render_start_time: Optional[float] = None
         self.max_sample_count: Optional[int] = None
+        self._sc_host = 0  # host mirror of state.sample_count (step/reset)
         self.max_render_time: Optional[float] = None
 
     def recompile(self, options: RenderOptions):
@@ -296,6 +297,27 @@ class Renderer:
         )
         self._render_start_time = None
 
+
+    # --- settings: host-mirrored scalars ----------------------------------
+    # The interactive loop used to pay one relay roundtrip PER FRAME fetching
+    # samples_per_frame (plus 2-3 more in the stop checks) — each device_get
+    # is a ~26 ms relay floor (ROUND5.md). The setter snapshots the loop-hot
+    # scalars once per settings assignment instead.
+
+    @property
+    def settings(self):
+        return self._settings
+
+    @settings.setter
+    def settings(self, value):
+        self._settings = value
+        import numpy as _np
+        self._spf_host = max(int(_np.asarray(value.samples_per_frame)), 1)
+        self._stop_noise_host = float(
+            _np.asarray(value.stop_noise_threshold))
+        self._stop_pct_host = float(
+            _np.asarray(value.stop_pixel_percentage_converged))
+
     # --- frame loop ---
 
     def step(self, block: bool = False) -> RenderState:
@@ -305,7 +327,8 @@ class Renderer:
         if self._render_start_time is None:
             self._render_start_time = time.perf_counter()
         t0 = time.perf_counter()
-        spf = max(int(jax.device_get(self.settings.samples_per_frame)), 1)
+        spf = self._spf_host
+        self._sc_host += spf
         if self.fuse_frame and spf > 1:
             # whole frame in one dispatch (fori_loop over samples) —
             # bit-identical to the sequential chain below
@@ -422,7 +445,7 @@ class Renderer:
     def render(self, total_samples: int, log_every: int = 0):
         """Headless render loop to a target sample count (reference:
         main.cpp GPU_RENDER=0 CPU headless path)."""
-        while int(jax.device_get(self.state.sample_count)) < total_samples:
+        while self._sc_host < total_samples:
             self.step(block=True)
             if log_every:
                 sc = int(jax.device_get(self.state.sample_count))
@@ -436,7 +459,7 @@ class Renderer:
     def is_rendering_done(self) -> bool:
         """Stop conditions (reference: RenderWindow.cpp:582-616): max samples,
         max time, percentage of pixels converged."""
-        sc = int(jax.device_get(self.state.sample_count))
+        sc = self._sc_host
         if self.max_sample_count is not None and sc >= self.max_sample_count:
             return True
         if (
@@ -446,14 +469,11 @@ class Renderer:
             >= self.max_render_time
         ):
             return True
-        stop_thresh = float(jax.device_get(self.settings.stop_noise_threshold))
-        if stop_thresh > 0.0:
+        if self._stop_noise_host > 0.0:
             frac = float(
                 jax.device_get(self.state.nb_pixels_converged)
             ) / float(self.width * self.height)
-            if frac >= float(
-                jax.device_get(self.settings.stop_pixel_percentage_converged)
-            ):
+            if frac >= self._stop_pct_host:
                 return True
         return False
 
@@ -533,6 +553,7 @@ class Renderer:
             == LightSamplingStrategy.RESTIR_DI,
         )
         self._render_start_time = None
+        self._sc_host = 0
 
     def set_camera(self, camera: Camera):
         self.camera = camera

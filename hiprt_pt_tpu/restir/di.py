@@ -527,16 +527,26 @@ def temporal_reuse(
     # row-major pixel → canonical order index
     lin2canon = jnp.argsort(linear_index(width, height))
 
-    prev_rough_bank = scene.materials.roughness
+    # ONE packed previous-frame table (same rationale as the spatial pass:
+    # per-tap reads collapse from ~6 row gathers to 1; see packed_nb there)
+    prev_rough = scene.materials.roughness[
+        jnp.clip(prev_gbuf.material_id, 0, None)
+    ]
+    packed_prev = jnp.concatenate([
+        prev_res.pack_columns(),                              # 0:14
+        prev_gbuf.shading_normal,                             # 14:17
+        prev_gbuf.position,                                   # 17:20
+        prev_gbuf.view_direction,                             # 20:23
+        prev_gbuf.prim_index.astype(jnp.float32)[:, None],    # 23
+        prev_gbuf.material_id.astype(jnp.float32)[:, None],   # 24
+        prev_rough[:, None],                                  # 25
+    ], axis=1)
 
     def tap_valid_at(idx):
-        nb_n = prev_gbuf.shading_normal[idx]
-        nb_p = prev_gbuf.position[idx]
-        nb_rough = prev_rough_bank[
-            jnp.clip(prev_gbuf.material_id[idx], 0, None)
-        ]
-        sim = _similarity_ok(settings, ns, p, rough_here, nb_n, nb_p, nb_rough)
-        return sim & (prev_gbuf.prim_index[idx] >= 0) & (prev_res.M[idx] > 0.0)
+        row = packed_prev[idx]
+        sim = _similarity_ok(settings, ns, p, rough_here,
+                             row[:, 14:17], row[:, 17:20], row[:, 25])
+        return sim & (row[:, 23] >= 0.0) & (row[:, 1] > 0.0)
 
     # --- neighbor search: tap 0 = exact reprojection (± permutation
     # sampling), taps 1..max = random disk offsets; keep the FIRST valid ---
@@ -579,7 +589,9 @@ def temporal_reuse(
         & (found_idx >= 0)
     )
     prev_idx = jnp.maximum(found_idx, 0)
-    prev_r = prev_res.gather(prev_idx).m_capped(settings.restir_di.m_cap)
+    prev_row = packed_prev[prev_idx]
+    prev_r = Reservoir.from_columns(prev_row[:, 0:14]).m_capped(
+        settings.restir_di.m_cap)
 
     ph_here, _, _ = eval_target(
         options, mats, p, ns, wo, eta_rel, _sample_of(prev_r), pctx=pctx
@@ -603,12 +615,11 @@ def temporal_reuse(
             # Z = confidence of participants whose surface CAN produce the
             # final winner (reference: TemporalNormalizationWeight 1/Z)
             prev_mats = scene.materials.at_indices(
-                jnp.clip(prev_gbuf.material_id[prev_idx], 0, None)
+                jnp.clip(prev_row[:, 24].astype(jnp.int32), 0, None)
             ).make_safe()
             ph_win_at_prev, _, _ = eval_target(
-                options, prev_mats, prev_gbuf.position[prev_idx],
-                prev_gbuf.shading_normal[prev_idx],
-                prev_gbuf.view_direction[prev_idx],
+                options, prev_mats, prev_row[:, 17:20],
+                prev_row[:, 14:17], prev_row[:, 20:23],
                 eta_rel, _sample_of(combined),
             )
             z = jnp.where(combined.target > 0.0, M_c, 0.0) + jnp.where(
@@ -624,7 +635,7 @@ def temporal_reuse(
     # reduce to the confidence-weighted balance heuristic at 2 participants;
     # reference: TemporalMISWeight.h) ---
     prev_mats = scene.materials.at_indices(
-        jnp.clip(prev_gbuf.material_id[prev_idx], 0, None)
+        jnp.clip(prev_row[:, 24].astype(jnp.int32), 0, None)
     ).make_safe()
     # temporal candidate x_t: target at its own surface is stored
     ph_t_at_prev = prev_r.target
@@ -633,9 +644,8 @@ def temporal_reuse(
     )
     # canonical candidate x_c evaluated at the temporal surface
     ph_c_at_prev, _, _ = eval_target(
-        options, prev_mats, prev_gbuf.position[prev_idx],
-        prev_gbuf.shading_normal[prev_idx],
-        prev_gbuf.view_direction[prev_idx],
+        options, prev_mats, prev_row[:, 17:20],
+        prev_row[:, 14:17], prev_row[:, 20:23],
         eta_rel, _sample_of(cur_res),
     )
     m_c = c_c * cur_res.target / jnp.maximum(
@@ -737,22 +747,45 @@ def spatial_reuse_pass(
         ny = jnp.clip(py + oy, 0, height - 1)
         return lin2canon[ny * width + nx]
 
-    def _nb_valid(j, nb_idx, nb_M):
-        nb_rough = scene.materials.roughness[
-            jnp.clip(gbuf.material_id[nb_idx], 0, None)
-        ]
+    # ---- ONE packed neighbor table (N, 26): an XLA row gather is per-ROW
+    # rate bound and column-free to 128 cols (ROUND5.md), so every tap
+    # reads reservoir + G-buffer + roughness in ONE gather instead of ~13
+    # separate ones — this was the bulk of the 3.4 s/pass spatial cost in
+    # BENCH r4's 3x ReSTIR tax (benchmarks/restir_profile.py).
+    nb_rough_bank = scene.materials.roughness[
+        jnp.clip(gbuf.material_id, 0, None)
+    ]
+    packed_nb = jnp.concatenate([
+        res.pack_columns(),                                   # 0:14
+        gbuf.shading_normal,                                  # 14:17
+        gbuf.position,                                        # 17:20
+        gbuf.view_direction,                                  # 20:23
+        gbuf.prim_index.astype(jnp.float32)[:, None],         # 23
+        gbuf.material_id.astype(jnp.float32)[:, None],        # 24
+        nb_rough_bank[:, None],                               # 25
+    ], axis=1)
+
+    def read_tap(j, u1, u2):
+        """One packed gather per neighbor tap. Returns a dict with the
+        neighbor reservoir, surface fields and the validity mask."""
+        nb_idx = _nb_index(u1, u2)
+        row = packed_nb[nb_idx]
+        nb_r = Reservoir.from_columns(row[:, 0:14])
+        sn = row[:, 14:17]
+        pos = row[:, 17:20]
         sim = _similarity_ok(
-            settings, ns, p, rough_here,
-            gbuf.shading_normal[nb_idx], gbuf.position[nb_idx], nb_rough,
+            settings, ns, p, rough_here, sn, pos, row[:, 25],
         )
-        return (
+        valid = (
             active
             & sim
-            & (gbuf.prim_index[nb_idx] >= 0)
-            & (nb_M > 0.0)
+            & (row[:, 23] >= 0.0)              # prim_index
+            & (nb_r.M > 0.0)
             & (nb_idx != jnp.arange(n))
             & (j < px_nb)  # disocclusion-boost gating
         )
+        return dict(idx=nb_idx, r=nb_r, sn=sn, pos=pos, wo=row[:, 20:23],
+                    matid=row[:, 24].astype(jnp.int32), valid=valid)
 
     # dedicated REPLAYABLE tap stream: every pass below sees the same
     # neighbor picks (needed for pre-counts, Z-counting, GBH, MIS-like)
@@ -763,28 +796,20 @@ def spatial_reuse_pass(
         tap_rng, u2 = rng_mod.next_float(tap_rng)
         return tap_rng, u1, u2
 
-    def neighbor_index_at(j, u1, u2):
-        nb_idx = _nb_index(u1, u2)
-        nb_M = res.M[nb_idx]
-        return nb_idx, _nb_valid(j, nb_idx, nb_M), nb_M
-
-    def nb_surface(nb_idx):
+    def nb_surface_of(tap):
         nb_mats = scene.materials.at_indices(
-            jnp.maximum(gbuf.material_id[nb_idx], 0)
+            jnp.maximum(tap["matid"], 0)
         ).make_safe()
-        return (
-            nb_mats, gbuf.position[nb_idx], gbuf.shading_normal[nb_idx],
-            gbuf.view_direction[nb_idx],
-        )
+        return nb_mats, tap["pos"], tap["sn"], tap["wo"]
 
     # ---- pre-pass: valid-neighbor count and confidence sum (no target
     # evals; reference: count_valid_spatial_neighbors) ----
     def count_body(j, carry):
         cnt, msum, tap_rng = carry
         tap_rng, u1, u2 = taps_draw(tap_rng)
-        _, valid, nb_M = neighbor_index_at(j, u1, u2)
-        cnt = cnt + jnp.where(valid, 1.0, 0.0)
-        msum = msum + jnp.where(valid, nb_M, 0.0)
+        tap = read_tap(j, u1, u2)
+        cnt = cnt + jnp.where(tap["valid"], 1.0, 0.0)
+        msum = msum + jnp.where(tap["valid"], tap["r"].M, 0.0)
         return cnt, msum, tap_rng
 
     valid_cnt, M_sum, _ = jax.lax.fori_loop(
@@ -811,8 +836,8 @@ def spatial_reuse_pass(
         def nb_body(j, carry):
             out, m_c_acc, m_total, rng_state, tap_rng = carry
             tap_rng, u1, u2 = taps_draw(tap_rng)
-            nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
-            nb_r = res.gather(nb_idx)
+            tap = read_tap(j, u1, u2)
+            valid, nb_r = tap["valid"], tap["r"]
             ph_here, _, _ = eval_target(
                 options, mats, p, ns, wo, eta_rel, _sample_of(nb_r),
                 pctx=pctx,
@@ -839,7 +864,7 @@ def spatial_reuse_pass(
             out = new_out
             # canonical accumulation for this pairing: our sample at the
             # neighbor's surface
-            nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface(nb_idx)
+            nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface_of(tap)
             ph_c_at_nb, _, _ = eval_target(
                 options, nb_m, nb_p_, nb_n_, nb_wo_, eta_rel, _sample_of(res)
             )
@@ -913,13 +938,13 @@ def spatial_reuse_pass(
             def k_body(k, carry):
                 dn, tap_rng = carry
                 tap_rng, u1, u2 = taps_draw(tap_rng)
-                nb_idx, valid, nb_M = neighbor_index_at(k, u1, u2)
-                nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface(nb_idx)
+                tap = read_tap(k, u1, u2)
+                nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface_of(tap)
                 ph_k, _, _ = eval_target(
                     options, nb_m, nb_p_, nb_n_, nb_wo_, eta_rel, sample
                 )
-                conf_k = nb_M if use_conf else 1.0
-                dn = dn + jnp.where(valid, ph_k * conf_k, 0.0)
+                conf_k = tap["r"].M if use_conf else 1.0
+                dn = dn + jnp.where(tap["valid"], ph_k * conf_k, 0.0)
                 return dn, tap_rng
 
             dn, _ = jax.lax.fori_loop(0, loop_nb, k_body, (dn, tap_rng0))
@@ -928,8 +953,8 @@ def spatial_reuse_pass(
         def nb_body(j, carry):
             out, m_total, rng_state, tap_rng = carry
             tap_rng, u1, u2 = taps_draw(tap_rng)
-            nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
-            nb_r = res.gather(nb_idx)
+            tap = read_tap(j, u1, u2)
+            valid, nb_r = tap["valid"], tap["r"]
             ph_here, _, _ = eval_target(
                 options, mats, p, ns, wo, eta_rel, _sample_of(nb_r),
                 pctx=pctx,
@@ -984,8 +1009,8 @@ def spatial_reuse_pass(
         def combine_body(j, carry):
             out, m_total, sel, rng_state, tap_rng = carry
             tap_rng, u1, u2 = taps_draw(tap_rng)
-            nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
-            nb_r = res.gather(nb_idx)
+            tap = read_tap(j, u1, u2)
+            valid, nb_r = tap["valid"], tap["r"]
             ph_here, _, _ = eval_target(
                 options, mats, p, ns, wo, eta_rel, _sample_of(nb_r),
                 pctx=pctx,
@@ -1014,13 +1039,13 @@ def spatial_reuse_pass(
         def norm_body(j, carry):
             nume, denom, tap_rng = carry
             tap_rng, u1, u2 = taps_draw(tap_rng)
-            nb_idx, valid, nb_M = neighbor_index_at(j, u1, u2)
-            nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface(nb_idx)
+            tap = read_tap(j, u1, u2)
+            nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface_of(tap)
             ph_j, _, _ = eval_target(
                 options, nb_m, nb_p_, nb_n_, nb_wo_, eta_rel, _sample_of(out)
             )
-            conf_j = nb_M if use_conf else 1.0
-            ok = valid & (ph_j > 0.0)
+            conf_j = tap["r"].M if use_conf else 1.0
+            ok = tap["valid"] & (ph_j > 0.0)
             denom = denom + jnp.where(ok, ph_j * conf_j, 0.0)
             nume = nume + jnp.where(ok & (sel == j), ph_j, 0.0)
             return nume, denom, tap_rng
@@ -1041,8 +1066,8 @@ def spatial_reuse_pass(
         def combine_body(j, carry):
             out, m_total, rng_state, tap_rng = carry
             tap_rng, u1, u2 = taps_draw(tap_rng)
-            nb_idx, valid, _ = neighbor_index_at(j, u1, u2)
-            nb_r = res.gather(nb_idx)
+            tap = read_tap(j, u1, u2)
+            valid, nb_r = tap["valid"], tap["r"]
             ph_here, _, _ = eval_target(
                 options, mats, p, ns, wo, eta_rel, _sample_of(nb_r),
                 pctx=pctx,
@@ -1065,13 +1090,14 @@ def spatial_reuse_pass(
             def z_body(j, carry):
                 z, tap_rng = carry
                 tap_rng, u1, u2 = taps_draw(tap_rng)
-                nb_idx, nb_valid, nb_M = neighbor_index_at(j, u1, u2)
-                nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface(nb_idx)
+                tap = read_tap(j, u1, u2)
+                nb_m, nb_p_, nb_n_, nb_wo_ = nb_surface_of(tap)
                 ph_at_nb, _, _ = eval_target(
                     options, nb_m, nb_p_, nb_n_, nb_wo_, eta_rel,
                     _sample_of(out),
                 )
-                z = z + jnp.where(nb_valid & (ph_at_nb > 0.0), nb_M, 0.0)
+                z = z + jnp.where(tap["valid"] & (ph_at_nb > 0.0),
+                                  tap["r"].M, 0.0)
                 return z, tap_rng
 
             z_count, _ = jax.lax.fori_loop(0, loop_nb, z_body, (z0, tap_rng0))
@@ -1151,25 +1177,39 @@ def fused_spatiotemporal_reuse(
 
     Kf = settings.restir_di.num_spatial_neighbors.astype(jnp.float32) + 1.0
 
+    # ONE packed previous-frame table per pass (see spatial_reuse_pass):
+    # each tap reads reservoir + G-buffer + roughness in ONE row gather
+    prev_rough = scene.materials.roughness[
+        jnp.clip(prev_gbuf.material_id, 0, None)
+    ]
+    packed_prev = jnp.concatenate([
+        prev_res.pack_columns(),                              # 0:14
+        prev_gbuf.shading_normal,                             # 14:17
+        prev_gbuf.position,                                   # 17:20
+        prev_gbuf.view_direction,                             # 20:23
+        prev_gbuf.prim_index.astype(jnp.float32)[:, None],    # 23
+        prev_gbuf.material_id.astype(jnp.float32)[:, None],   # 24
+        prev_rough[:, None],                                  # 25
+    ], axis=1)
+
     def tap(rng_state, tap_px, tap_py, tap_valid, out, m_c, m_total):
         idx = lin2canon[
             jnp.clip(tap_py, 0, height - 1) * width
             + jnp.clip(tap_px, 0, width - 1)
         ]
-        r_n = prev_res.gather(idx).m_capped(settings.restir_di.m_cap)
-        nb_n = prev_gbuf.shading_normal[idx]
-        nb_p = prev_gbuf.position[idx]
-        nb_rough = scene.materials.roughness[
-            jnp.clip(prev_gbuf.material_id[idx], 0, None)
-        ]
+        row = packed_prev[idx]
+        r_n = Reservoir.from_columns(row[:, 0:14]).m_capped(
+            settings.restir_di.m_cap)
+        nb_n = row[:, 14:17]
+        nb_p = row[:, 17:20]
         sim = _similarity_ok(
-            settings, ns, p, mats.roughness, nb_n, nb_p, nb_rough
+            settings, ns, p, mats.roughness, nb_n, nb_p, row[:, 25]
         )
         valid = (
             tap_valid
             & active
             & sim
-            & (prev_gbuf.prim_index[idx] >= 0)
+            & (row[:, 23] >= 0.0)
             & (r_n.M > 0.0)
         )
         # pairwise MIS: the tap's own-domain target is stored in r_n.target
@@ -1182,10 +1222,10 @@ def fused_spatiotemporal_reuse(
         new_out, rng_state = out.combine(rng_state, r_n, ph_here, m_i, valid)
         # canonical pairing term: OUR canonical sample at the tap's surface
         nb_mats = scene.materials.at_indices(
-            jnp.maximum(prev_gbuf.material_id[idx], 0)
+            jnp.maximum(row[:, 24].astype(jnp.int32), 0)
         ).make_safe()
         ph_at_nb, _, _ = eval_target(
-            options, nb_mats, nb_p, nb_n, prev_gbuf.view_direction[idx],
+            options, nb_mats, nb_p, nb_n, row[:, 20:23],
             eta_rel, _sample_of(cur_res),
         )
         term = cur_res.target / jnp.maximum(

@@ -144,6 +144,34 @@ class Reservoir:
         """Reservoirs at pixel indices idx (neighbor taps)."""
         return jax.tree_util.tree_map(lambda a: a[idx], self)
 
+    # --- packed-row neighbor reads -------------------------------------
+    # An XLA row gather at wavefront width is per-ROW rate bound and
+    # column-count-free up to 128 columns (ROUND5.md): gathering the 9
+    # reservoir fields separately costs 9x one packed gather. Passes pack
+    # once, gather once per neighbor tap, and slice columns.
+
+    N_COLS = 14
+
+    def pack_columns(self) -> jax.Array:
+        """(N, 14) f32: [weight_sum, M, W, light_point, light_normal,
+        radiance, target, is_envmap]."""
+        return jnp.concatenate([
+            self.weight_sum[:, None], self.M[:, None], self.W[:, None],
+            self.light_point, self.light_normal, self.radiance,
+            self.target[:, None],
+            self.is_envmap.astype(jnp.float32)[:, None],
+        ], axis=1)
+
+    @classmethod
+    def from_columns(cls, cols: jax.Array) -> "Reservoir":
+        """Inverse of pack_columns (cols (N, 14))."""
+        return cls(
+            weight_sum=cols[:, 0], M=cols[:, 1], W=cols[:, 2],
+            light_point=cols[:, 3:6], light_normal=cols[:, 6:9],
+            radiance=cols[:, 9:12], target=cols[:, 12],
+            is_envmap=cols[:, 13] > 0.5,
+        )
+
     def sanity_mask(self):
         """NaN/negative guard (reference: Reservoir.h:108-162 sanity_check)."""
         ok = (

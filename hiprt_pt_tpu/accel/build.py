@@ -243,7 +243,15 @@ def _compact_from_raw(bounds, meta, order, vertices, triangles):
 
 
 LANE8_LEAF_TRIS = 128  # cluster-leaf capacity of the lane8 tables
-LANE8_LEAF_BITS = 16   # default leaf coordinate precision (16 or 12)
+LANE8_LEAF_BITS = "auto"  # leaf coordinate precision: 16, 12, or "auto"
+# "auto": 12-bit above this many triangles. Measured r5 (l8decomp): the
+# leaf one-hot stream costs ~(table bytes) x lanes in MXU MACs per round,
+# so -22% table bytes is noise at stress scale (7 MB table) but the
+# dominant term at 1.6M tris (43 MB); 12-bit's quantization is repaired
+# exactly for closest hits by winner refinement, while any-hit occlusion
+# picks up ~1e-3 silhouette flips — a trade only worth making where the
+# table stream dominates.
+LEAF_BITS_AUTO_TRIS = 600_000
 
 
 def _cluster_from_raw(bounds, meta, order, leaf_tris: int):
@@ -479,12 +487,14 @@ def build_bvh(
     triangles: np.ndarray,
     max_leaf: int = MAX_LEAF,
     use_native: bool = True,
-    leaf_bits: int = LANE8_LEAF_BITS,
+    leaf_bits=LANE8_LEAF_BITS,
     lane8_leaf_tris: int = LANE8_LEAF_TRIS,
 ) -> BVHData:
     vertices = np.asarray(vertices, dtype=np.float32)
     triangles = np.asarray(triangles, dtype=np.int64)
     T = triangles.shape[0]
+    if leaf_bits == "auto":
+        leaf_bits = 12 if T > LEAF_BITS_AUTO_TRIS else 16
 
     tv0 = vertices[triangles[:, 0]]
     tri_rows = np.zeros((max(T, 1), 12), np.float32)

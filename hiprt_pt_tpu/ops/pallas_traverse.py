@@ -2485,561 +2485,3 @@ def pallas_lane8s_supported(bvh: BVHData, n: int) -> bool:
 
 
 
-# ---------------------------------------------------------------------------
-# v11 "lane8u": unrolled multi-step bodies + batched one-hot matmuls + mixed
-# per-ray any-hit/closest pools, evolved from lane8s (v10).
-#
-# What changed vs v10 and why (decomposition measured on v5e, 2026-08-20,
-# benchmarks/l8decomp.py — cl 67 ms/256k incoherent stress rays broke down
-# as: node gather 2.2 ms, leaf gather 28.3 ms, everything else 36.5 ms
-# across 1440 while-iterations at node-phase occupancy 0.34):
-#   * UNROLL node steps: each while-body runs `unroll` promote->pop->
-#     node-test sub-steps on register-carried state before one leaf-round/
-#     write/load block, amortizing the per-iteration fixed costs (loop
-#     carry through SMEM, predicated-region sequencing, scratch RMW) that
-#     dominated the 36.5 ms "other" share.
-#   * PROMOTE-FIRST sub-step order (promote -> pop -> node test): v10's
-#     pop-first order burned one full iteration on every leaf promotion
-#     (~1.75 wasted iterations per ray).
-#   * ONE matmul per phase instead of 8 per-sublane-group matmuls: the
-#     group one-hots concatenate along lanes into a single (m, 8*LN) rhs —
-#     identical MACs, 1/8 the MXU issue/latency chains.
-#   * TWO-slot pending bank: a lane can hold two discovered leaves before
-#     stalling, halving pend-full stalls at the same leaf-round cadence
-#     (round_every is now counted in BODIES = unroll node steps).
-#   * MIXED pools: the any-hit flag rides per ray (sign-folded into the
-#     tmin row), so shadow and bounce wavefronts share ONE executable and
-#     one pool — the per-bounce any-hit + closest traversals fuse into a
-#     single dispatch with a shared drain tail (VERDICT r3 task 1a).
-#
-# Reference parity note: same role as lane8s — the incoherent-wavefront
-# half of the reference's HW traversal (src/Device/includes/Intersect.h:
-# 129-142, trace_ray + evaluate_shadow_ray in one launch here).
-# ---------------------------------------------------------------------------
-
-
-def _kernel_lane8u(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
-                   cur_s, ptr_s, valid_s, pend_s, done_s, pw_s, gen_s,
-                   ray_s, bt_s, bu_s, bv_s, bp_s,
-                   stkA_s, stkB_s, sc_s,
-                   *, leaf_bits: int, n_gen: int, m_nodes: int,
-                   m_leaves: int, iter_cap: int, frame: tuple,
-                   leaf_tris: int, round_every: int, lanes: int,
-                   window: int, s_depth: int, unroll: int):
-    LN = lanes
-    G = 8
-    R = G * LN
-    S = s_depth
-    bf16 = jnp.bfloat16
-
-    f32 = jnp.float32
-    i32 = jnp.int32
-
-    # ---- one-time init (see v10) ----
-    r4 = jax.lax.broadcasted_iota(i32, (n_gen * 4, G, LN), 0) % 4
-    out_ref[:] = jnp.where(
-        r4 == 0, jnp.float32(jnp.inf),
-        jnp.where(r4 == 1, jnp.float32(-1.0), jnp.float32(0.0)))
-    cur_s[:] = jnp.zeros((G, LN), i32)
-    ptr_s[:] = jnp.zeros((G, LN), i32)
-    valid_s[:] = jnp.zeros((G, LN), i32)
-    pend_s[:] = jnp.zeros((2, G, LN), i32)
-    done_s[:] = jnp.ones((G, LN), i32)   # waiting to load generation 0
-    pw_s[:] = jnp.zeros((G, LN), i32)
-    gen_s[:] = jnp.zeros((G, LN), i32)
-    ray_s[:] = jnp.zeros((16, G, LN), f32)
-    bt_s[:] = jnp.zeros((G, LN), f32)
-    bu_s[:] = jnp.zeros((G, LN), f32)
-    bv_s[:] = jnp.zeros((G, LN), f32)
-    bp_s[:] = jnp.full((G, LN), -1, i32)
-    stkA_s[:] = jnp.zeros((S, G, LN), i32)
-    stkB_s[:] = jnp.zeros((S, G, LN), i32)
-    for _si in range(8):
-        stats_ref[0, _si] = jnp.int32(0)
-    sc_s[0, 0] = jnp.int32(0)  # lanes past their last generation
-    sc_s[0, 1] = jnp.int32(0)  # window base (min generation)
-
-    slot_iota3 = jax.lax.broadcasted_iota(i32, (S, G, LN), 0)
-    iota8 = jax.lax.broadcasted_iota(i32, (8, LN), 0)
-    pow2_8 = jnp.exp2(iota8.astype(f32)).astype(i32)  # exact for 0..7
-    Tc = leaf_tris
-    iota_t = jax.lax.broadcasted_iota(i32, (Tc, LN), 0)
-    iota_nc = jax.lax.broadcasted_iota(i32, (m_nodes, LN), 0)
-    iota_lc = jax.lax.broadcasted_iota(i32, (m_leaves, LN), 0)
-    SLOTM = jnp.int32(max(16, 1 << (Tc - 1).bit_length()) - 1)
-    IMAX = jnp.int32(0x7FFFFFFF)
-
-    def cond(c):
-        it, ndone = c
-        return (it < iter_cap) & (ndone < R)
-
-    def body(c):
-        it, _nd = c
-
-        done = done_s[:]
-        ptr = ptr_s[:]
-        valid = valid_s[:]
-        cur = cur_s[:]
-        p0 = pend_s[0]
-        p1 = pend_s[1]
-        rd = ray_s[:]          # loop-invariant within a body
-        btv = bt_s[:]          # changes only in leaf rounds
-
-        for _u in range(unroll):
-            # ---- promote leaf cur -> pending bank (2 slots) ----
-            want = (valid > 0) & (cur < 0)
-            use0 = want & (p0 == 0)
-            p0 = jnp.where(use0, -cur, p0)
-            use1 = want & ~use0 & (p1 == 0)
-            p1 = jnp.where(use1, -cur, p1)
-            valid = jnp.where(use0 | use1, 0, valid)
-
-            # ---- pop (two-plane compressed stack) ----
-            need_pop = (done == 0) & (valid == 0) & (ptr > 0)
-            top = jnp.maximum(ptr - 1, 0)
-            selT = slot_iota3 == top[None]
-            A = jnp.sum(jnp.where(selT, stkA_s[:], 0), axis=0)
-            B = jnp.sum(jnp.where(selT, stkB_s[:], 0), axis=0)
-            lsb = B & (-B)
-            cpop = (jax.lax.bitcast_convert_type(lsb.astype(f32), i32)
-                    >> 23) - 127
-            newB = B ^ lsb
-            n_int_p = A & 15
-            base_int_p = (A >> 4) & 0x3FFF
-            base_leaf_p = (A >> 18) & 0x3FFF
-            ref_p = jnp.where(cpop < n_int_p, base_int_p + cpop,
-                              -(base_leaf_p + (cpop - n_int_p)) - 1)
-            keep = need_pop & (newB != 0)
-            stkB_s[:] = jnp.where(selT & keep[None], newB[None], stkB_s[:])
-            ptr = jnp.where(need_pop & (newB == 0), top, ptr)
-            cur = jnp.where(need_pop, ref_p, cur)
-            valid = jnp.where(need_pop, 1, valid)
-
-            # ---- node step: ONE batched one-hot matmul for all groups ----
-            node_lane = (valid > 0) & (cur >= 0)
-            oh = jnp.concatenate(
-                [(iota_nc == jnp.where(node_lane[g:g + 1], cur[g:g + 1], -1)
-                  ).astype(bf16) for g in range(G)],
-                axis=1)                                   # (m_nodes, 8*LN)
-            gg_all = jax.lax.dot_general(
-                nodes_ref[:], oh, (((0,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )                                             # (64, 8*LN)
-            curn_l, anyf_l, packA_l, mask_l = [], [], [], []
-            for g in range(G):
-                nl_g = node_lane[g:g + 1]
-                gg = gg_all[:, g * LN:(g + 1) * LN]
-                ox, oy, oz = rd[0, g:g + 1], rd[1, g:g + 1], rd[2, g:g + 1]
-                ix, iy, iz = rd[9, g:g + 1], rd[10, g:g + 1], rd[11, g:g + 1]
-                tx0 = (gg[0:8] - ox) * ix
-                ty0 = (gg[8:16] - oy) * iy
-                tz0 = (gg[16:24] - oz) * iz
-                tx1 = (gg[24:32] - ox) * ix
-                ty1 = (gg[32:40] - oy) * iy
-                tz1 = (gg[40:48] - oz) * iz
-                te = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.maximum(jnp.minimum(tz0, tz1), 0.0),
-                )
-                tx = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.minimum(jnp.maximum(tz0, tz1), btv[g:g + 1]),
-                )
-                hit8 = (te <= tx) & nl_g
-
-                te_bits = jax.lax.bitcast_convert_type(te, i32)
-                key8 = jnp.where(hit8, (te_bits & jnp.int32(~7)) | iota8,
-                                 IMAX)
-                kmin = jnp.min(key8, axis=0, keepdims=True)
-                anyfound = jnp.max(hit8.astype(i32), axis=0, keepdims=True)
-                c_near = kmin & 7
-
-                base_int = (gg[48:49] + gg[49:50] * 256.0
-                            + gg[50:51] * 65536.0).astype(i32)
-                n_int = gg[51:52].astype(i32)
-                base_leaf = (gg[52:53] + gg[53:54] * 256.0
-                             + gg[54:55] * 65536.0).astype(i32)
-                curn = jnp.where(c_near < n_int, base_int + c_near,
-                                 -(base_leaf + (c_near - n_int)) - 1)
-                full_mask = jnp.sum(jnp.where(hit8, pow2_8, 0), axis=0,
-                                    keepdims=True)
-                near_pow = jnp.sum(jnp.where(iota8 == c_near, pow2_8, 0),
-                                   axis=0, keepdims=True)
-                maskg = full_mask ^ near_pow
-                packA = n_int | (base_int << 4) | (base_leaf << 18)
-                curn_l.append(curn)
-                anyf_l.append(anyfound)
-                packA_l.append(packA)
-                mask_l.append(maskg)
-            curn_G = jnp.concatenate(curn_l, axis=0)
-            anyf_G = jnp.concatenate(anyf_l, axis=0)
-            packA_G = jnp.concatenate(packA_l, axis=0)
-            mask_G = jnp.concatenate(mask_l, axis=0)
-
-            found = anyf_G > 0
-            cur = jnp.where(node_lane, jnp.where(found, curn_G, cur), cur)
-            valid = jnp.where(node_lane, anyf_G, valid)
-            push = node_lane & found & (mask_G != 0)
-            slot = jnp.minimum(ptr, S - 1)
-            selP = (slot_iota3 == slot[None]) & push[None]
-            stkA_s[:] = jnp.where(selP, packA_G[None], stkA_s[:])
-            stkB_s[:] = jnp.where(selP, mask_G[None], stkB_s[:])
-            ptr = jnp.minimum(ptr + push.astype(i32), S)
-
-        cur_s[:] = cur
-        ptr_s[:] = ptr
-        valid_s[:] = valid
-        pend_s[0] = p0
-        pend_s[1] = p1
-
-        leaf_round = (it % round_every) == (round_every - 1)
-
-        # ---- leaf round: serve pend slot 0, batched int8 matmul ----
-        @pl.when(leaf_round)
-        def _leaf_round():
-            pendv = pend_s[0]
-            btv2 = bt_s[:]
-            rd2 = ray_s[:]
-            ahf = rd2[8] > 0.5                       # per-ray any-hit flag
-            step = jnp.float32(frame[3])
-            oh_l = jnp.concatenate(
-                [(iota_lc == jnp.where(pendv[g:g + 1] > 0,
-                                       pendv[g:g + 1] - 1, -1)
-                  ).astype(jnp.int8) for g in range(G)],
-                axis=1)                              # (m_leaves, 8*LN)
-            gl_all = jax.lax.dot_general(
-                leaves_ref[:], oh_l, (((0,), (0,)), ((), ())),
-                preferred_element_type=i32,
-            )                                        # (W, 8*LN)
-            nt_l, np_l, nu_l, nv_l, nh_l = [], [], [], [], []
-            for g in range(G):
-                pl_g = pendv[g:g + 1] > 0
-                gl = gl_all[:, g * LN:(g + 1) * LN]
-
-                kx, ky, kz, qc, cnt, prim_base = _leaf_geo_decode(
-                    gl, Tc, leaf_bits)
-
-                ox, oy, oz = rd2[0, g:g + 1], rd2[1, g:g + 1], rd2[2, g:g + 1]
-                dx, dy, dz = rd2[3, g:g + 1], rd2[4, g:g + 1], rd2[5, g:g + 1]
-                t_min = rd2[6, g:g + 1]
-
-                q0x, q0y, q0z = qc(0), qc(1), qc(2)
-                v0x = jnp.float32(frame[0]) + (kx + q0x).astype(f32) * step
-                v0y = jnp.float32(frame[1]) + (ky + q0y).astype(f32) * step
-                v0z = jnp.float32(frame[2]) + (kz + q0z).astype(f32) * step
-                e1x = (qc(3) - q0x).astype(f32) * step
-                e1y = (qc(4) - q0y).astype(f32) * step
-                e1z = (qc(5) - q0z).astype(f32) * step
-                e2x = (qc(6) - q0x).astype(f32) * step
-                e2y = (qc(7) - q0y).astype(f32) * step
-                e2z = (qc(8) - q0z).astype(f32) * step
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                u = (tvx * px + tvy * py + tvz * pz) * inv_det
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                v = (dx * qx + dy * qy + dz * qz) * inv_det
-                t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-
-                prim12 = prim_base + iota_t
-                bt_g = btv2[g:g + 1]
-                hit12 = (
-                    pl_g
-                    & (iota_t < cnt)
-                    & (jnp.abs(det) > TRI_EPS)
-                    & (u >= 0.0)
-                    & (v >= 0.0)
-                    & (u + v <= 1.0)
-                    & (t > t_min)
-                    & (t < bt_g)
-                )
-                t_bits = jax.lax.bitcast_convert_type(
-                    jnp.where(hit12, t, jnp.float32(jnp.inf)), i32)
-                key12 = jnp.where(hit12, (t_bits & ~SLOTM) | iota_t, IMAX)
-                kmin12 = jnp.min(key12, axis=0, keepdims=True)
-                newhit = jnp.max(hit12.astype(i32), axis=0, keepdims=True)
-                win_t = jax.lax.bitcast_convert_type(kmin12 & ~SLOTM, f32)
-                oh12 = (iota_t == (kmin12 & SLOTM)) & hit12
-                win_p = jnp.sum(jnp.where(oh12, prim12, 0), axis=0,
-                                keepdims=True)
-                nt_l.append(win_t)
-                np_l.append(win_p)
-                nh_l.append(newhit)
-                nu_l.append(jnp.sum(jnp.where(oh12, u, 0.0), axis=0,
-                                    keepdims=True))
-                nv_l.append(jnp.sum(jnp.where(oh12, v, 0.0), axis=0,
-                                    keepdims=True))
-            nh = jnp.concatenate(nh_l, axis=0) > 0
-            nbt = jnp.concatenate(nt_l, axis=0)
-            nbp = jnp.concatenate(np_l, axis=0)
-            bt_s[:] = jnp.where(nh, nbt, btv2)
-            bp_s[:] = jnp.where(nh, nbp, bp_s[:])
-            bu_s[:] = jnp.where(nh, jnp.concatenate(nu_l, axis=0), bu_s[:])
-            bv_s[:] = jnp.where(nh, jnp.concatenate(nv_l, axis=0), bv_s[:])
-            # shift the pend bank down where slot 0 was served
-            served = pendv > 0
-            pend_s[0] = jnp.where(served, pend_s[1], pendv)
-            pend_s[1] = jnp.where(served, 0, pend_s[1])
-            # any-hit lanes terminate on first confirmed hit
-            ah_done = nh & ahf
-            done_s[:] = jnp.where(ah_done, 1, done_s[:])
-            ptr_s[:] = jnp.where(ah_done, 0, ptr_s[:])
-            valid_s[:] = jnp.where(ah_done, 0, valid_s[:])
-            pend_s[0] = jnp.where(ah_done, 0, pend_s[0])
-            pend_s[1] = jnp.where(ah_done, 0, pend_s[1])
-            pw_s[:] = jnp.where(ah_done, 1, pw_s[:])
-
-        # ---- finish detection ----
-        fin = ((done_s[:] == 0) & (valid_s[:] == 0) & (ptr_s[:] == 0)
-               & (pend_s[0] == 0) & (pend_s[1] == 0))
-        done_s[:] = jnp.where(fin, 1, done_s[:])
-        pw_s[:] = jnp.where(fin, 1, pw_s[:])
-
-        # ---- write + advance + load (static-strided window) ----
-        @pl.when(leaf_round)
-        def _write_load():
-            base = sc_s[0, 1]
-            genv = gen_s[:]
-            pwv = pw_s[:] > 0
-            tvals = jnp.where(bp_s[:] >= 0, bt_s[:], jnp.float32(jnp.inf))
-            pvals = bp_s[:].astype(f32)
-            for w in range(window):
-                krow = jnp.minimum(base + w, n_gen - 1)
-                m = pwv & (genv == base + w)
-                rows = out_ref[pl.ds(krow * 4, 4)]
-                r0 = jnp.where(m, tvals, rows[0])[None]
-                r1 = jnp.where(m, pvals, rows[1])[None]
-                r2 = jnp.where(m, bu_s[:], rows[2])[None]
-                r3 = jnp.where(m, bv_s[:], rows[3])[None]
-                out_ref[pl.ds(krow * 4, 4)] = jnp.concatenate(
-                    [r0, r1, r2, r3], axis=0)
-            wrote = pwv & (genv >= base) & (genv < base + window)
-            gen2 = genv + wrote.astype(i32)
-            pw2 = jnp.where(wrote, 0, pwv.astype(i32))
-
-            donev = done_s[:]
-            seek = (donev > 0) & (pw2 == 0)
-            rd3 = ray_s[:]
-            comp = [rd3[c] for c in range(8)]
-            loaded = jnp.zeros((G, LN), jnp.bool_)
-            for w in range(window):
-                kk = jnp.minimum(base + w, n_gen - 1)
-                m = seek & (~loaded) & (gen2 == base + w) & (gen2 < n_gen)
-                rows8 = rays_ref[pl.ds(kk * 8, 8)]
-                act_w = rows8[7] > 0.0
-                # dead generation: out rows are pre-initialized to miss —
-                # step past it without a load->write round (see lane8s)
-                gen2 = gen2 + (m & ~act_w).astype(i32)
-                m_live = m & act_w
-                for cc in range(8):
-                    comp[cc] = jnp.where(m_live, rows8[cc], comp[cc])
-                loaded = loaded | m_live
-            # any-hit flag is sign-folded into the tmin row:
-            # row6 = tmin (closest)  |  -(tmin + 1) (any-hit)
-            ahf_new = comp[6] < -0.5
-            tmin_dec = jnp.where(ahf_new, -comp[6] - 1.0, comp[6])
-
-            def inv3(c_):
-                return jnp.where(jnp.abs(c_) > 1e-12, 1.0 / c_,
-                                 jnp.sign(c_) * 1e12 + 1e12)
-
-            zeros = jnp.zeros((G, LN), f32)
-            rows16 = (comp[:6] + [tmin_dec, comp[7],
-                                  ahf_new.astype(f32),
-                                  inv3(comp[3]), inv3(comp[4]),
-                                  inv3(comp[5]), zeros, zeros, zeros, zeros])
-            newray = jnp.concatenate([x[None] for x in rows16], axis=0)
-            ray_s[:] = jnp.where(loaded[None], newray, rd3)
-            bt_s[:] = jnp.where(loaded, comp[7], bt_s[:])
-            bu_s[:] = jnp.where(loaded, 0.0, bu_s[:])
-            bv_s[:] = jnp.where(loaded, 0.0, bv_s[:])
-            bp_s[:] = jnp.where(loaded, -1, bp_s[:])
-            cur_s[:] = jnp.where(loaded, 0, cur_s[:])
-            ptr_s[:] = jnp.where(loaded, 0, ptr_s[:])
-            valid_s[:] = jnp.where(loaded, 1, valid_s[:])
-            pend_s[0] = jnp.where(loaded, 0, pend_s[0])
-            pend_s[1] = jnp.where(loaded, 0, pend_s[1])
-            done_s[:] = jnp.where(loaded, 0, done_s[:])
-            pw_s[:] = pw2
-            gen_s[:] = gen2
-
-            sc_s[0, 1] = jnp.min(gen2)
-            sc_s[0, 0] = jnp.sum((gen2 >= n_gen).astype(i32))
-            stats_ref[0, 2] = stats_ref[0, 2] + jnp.sum(
-                (done_s[:] == 0).astype(i32))
-            stats_ref[0, 3] = stats_ref[0, 3] + 1
-
-        return it + 1, sc_s[0, 0]
-
-    it, ndone = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.int32(0)))
-    stats_ref[0, 0] = it
-    stats_ref[0, 1] = ndone
-    stats_ref[0, 4] = sc_s[0, 1]  # final window base
-    # iter_cap truncation is otherwise silent (pre-initialized out rows
-    # read as misses): surface it so tests/benchmarks can assert on it
-    stats_ref[0, 5] = (ndone < R).astype(jnp.int32)
-
-
-def _lane8u_call(bvh: BVHData, o, d, tmin, tmax, act, ahf,
-                 interpret: bool, round_every: int = 2,
-                 lanes: int = 512, window: int = 32, unroll: int = 4):
-    """One pallas_call over <= L8_MAX_RAYS rays; mixed any-hit/closest via
-    the per-ray flag array (1.0 = any-hit). Output ordered by construction
-    (lane (g, l) owns ray k*8*lanes + g*lanes + l)."""
-    n = o.shape[0]
-    LN = lanes
-    R = 8 * LN
-    n_gen = max(1, -(-n // R))
-    npad = n_gen * R
-
-    def padto(x, fill=0.0):
-        return jnp.pad(x, (0, npad - n), constant_values=fill)
-
-    f7 = jnp.where(act > 0, tmax, -1.0)
-    f6 = jnp.where(ahf > 0.5, -(tmin + 1.0), tmin)
-    fields = jnp.stack([
-        padto(o[:, 0]), padto(o[:, 1]), padto(o[:, 2]),
-        padto(d[:, 0]), padto(d[:, 1]), padto(d[:, 2], fill=1.0),
-        padto(f6), padto(f7, fill=-1.0),
-    ], axis=0)
-    rays = fields.reshape(8, n_gen, 8, LN).transpose(1, 0, 2, 3).reshape(
-        n_gen * 8, 8, LN)
-
-    m_nodes = bvh.nodes_lane8.shape[0]
-    m_leaves = bvh.leaves_lane8.shape[0]
-    S = max(2, int(bvh.lane8_depth))
-    iter_cap = (128 * n_gen + 4096) // unroll + 64
-
-    out, stats = pl.pallas_call(
-        partial(_kernel_lane8u, leaf_bits=bvh.lane8_leaf_bits,
-                n_gen=n_gen,
-                m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
-                frame=bvh.lane8_frame, leaf_tris=bvh.lane8_leaf_tris,
-                round_every=round_every, lanes=LN, window=window,
-                s_depth=S, unroll=unroll),
-        grid=(),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_gen * 4, 8, LN), jnp.float32),
-            jax.ShapeDtypeStruct((1, 8), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((8, LN), jnp.int32),     # cur_s
-            pltpu.VMEM((8, LN), jnp.int32),     # ptr_s
-            pltpu.VMEM((8, LN), jnp.int32),     # valid_s
-            pltpu.VMEM((2, 8, LN), jnp.int32),  # pend_s (2-slot bank)
-            pltpu.VMEM((8, LN), jnp.int32),     # done_s
-            pltpu.VMEM((8, LN), jnp.int32),     # pw_s
-            pltpu.VMEM((8, LN), jnp.int32),     # gen_s
-            pltpu.VMEM((16, 8, LN), jnp.float32),  # ray_s
-            pltpu.VMEM((8, LN), jnp.float32),   # bt_s
-            pltpu.VMEM((8, LN), jnp.float32),   # bu_s
-            pltpu.VMEM((8, LN), jnp.float32),   # bv_s
-            pltpu.VMEM((8, LN), jnp.int32),     # bp_s
-            pltpu.VMEM((S, 8, LN), jnp.int32),  # stkA_s
-            pltpu.VMEM((S, 8, LN), jnp.int32),  # stkB_s
-            pltpu.SMEM((1, 4), jnp.int32),      # sc_s
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(bvh.nodes_lane8, bvh.leaves_lane8, rays)
-
-    blk = out.reshape(n_gen, 4, 8, LN).transpose(1, 0, 2, 3).reshape(4, npad)
-    t = blk[0, :n]
-    prim = blk[1, :n].astype(jnp.int32)  # exact for prim < 2^24
-    u = blk[2, :n]
-    v = blk[3, :n]
-    miss = prim < 0
-    prim = jnp.where(
-        miss, -1, bvh.lane8_order[jnp.clip(prim, 0,
-                                           bvh.lane8_order.shape[0] - 1)])
-    return HitRecord(
-        t=jnp.where(miss, jnp.inf, t), prim=prim, u=u, v=v,
-    ), stats
-
-
-@partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats",
-                                  "round_every", "lanes", "window",
-                                  "unroll"))
-def traverse_pallas_lane8u(
-    bvh: BVHData,
-    o: jax.Array,
-    d: jax.Array,
-    t_min=1e-4,
-    t_max=jnp.inf,
-    active=None,
-    any_hit: bool = False,
-    ah_flags=None,
-    interpret: bool = False,
-    return_stats: bool = False,
-    round_every: int = 2,
-    lanes: int = 512,
-    window: int = 32,
-    unroll: int = 4,
-) -> HitRecord:
-    """Unrolled batched-matmul per-lane BVH8 traversal (v11) with mixed
-    per-ray any-hit/closest pools. ah_flags (n,) overrides any_hit per ray
-    (1.0 = any-hit semantics: first confirmed hit terminates)."""
-    n = o.shape[0]
-    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    tmax_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    tmax_arr = jnp.where(jnp.isfinite(tmax_arr), tmax_arr, jnp.float32(3e38))
-    act = (
-        jnp.ones((n,), jnp.float32)
-        if active is None
-        else jnp.asarray(active).astype(jnp.float32)
-    )
-    if ah_flags is None:
-        ahf = jnp.full((n,), 1.0 if any_hit else 0.0, jnp.float32)
-    else:
-        ahf = jnp.asarray(ah_flags).astype(jnp.float32)
-    recs = []
-    stats = None
-    for s in range(0, n, L8_MAX_RAYS):
-        e = min(n, s + L8_MAX_RAYS)
-
-        def _run(s=s, e=e):
-            return _lane8u_call(
-                bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
-                ahf[s:e], interpret, round_every, lanes, window, unroll)
-
-        def _skip(s=s, e=e):
-            return (empty_hit_record(e - s), jnp.zeros((1, 8), jnp.int32))
-
-        rec, st = jax.lax.cond(jnp.any(act[s:e] > 0), _run, _skip)
-        recs.append(rec)
-        stats = st if stats is None else stats + st
-    if len(recs) == 1:
-        rec = recs[0]
-    else:
-        rec = HitRecord(
-            t=jnp.concatenate([r.t for r in recs]),
-            prim=jnp.concatenate([r.prim for r in recs]),
-            u=jnp.concatenate([r.u for r in recs]),
-            v=jnp.concatenate([r.v for r in recs]),
-        )
-    if bvh.lane8_leaf_bits != 16 and bvh.tri_rows is not None:
-        # mixed pools: refine only the closest-query rays (any-hit rays
-        # carry a boolean-style result; exact u/v/t are meaningless there)
-        ref = refine_hit_record(bvh, o, d, rec)
-        is_cl = ahf <= 0
-        rec = HitRecord(
-            t=jnp.where(is_cl, ref.t, rec.t), prim=rec.prim,
-            u=jnp.where(is_cl, ref.u, rec.u),
-            v=jnp.where(is_cl, ref.v, rec.v),
-        )
-    if return_stats:
-        return rec, stats
-    return rec

@@ -237,83 +237,3 @@ def test_lane8s_multi_generation(cornell_scene):
     assert np.allclose(np.asarray(rec_s.t)[m], np.asarray(rec_r.t)[m],
                        rtol=1e-4)
 
-
-
-
-def test_lane8u_traversal_matches_xla(cornell_scene):
-    """Unrolled batched-matmul lane8 variant (v11): multi-step bodies,
-    promote-first ordering, 2-slot pend bank, per-ray mixed any-hit/closest
-    flags. Must agree with XLA traversal; mixed pools must behave exactly
-    like the corresponding pure calls."""
-    import jax.numpy as jnp
-    from hiprt_pt_tpu.core.camera import generate_camera_rays
-    from hiprt_pt_tpu.ops.pallas_traverse import (
-        lane8s_tables_ok, traverse_pallas_lane8u)
-    from hiprt_pt_tpu.ops.traverse import occluded
-
-    scene, camera = cornell_scene
-    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
-    assert lane8s_tables_ok(bvh, 512)
-    o, d = generate_camera_rays(camera, 32, 16)  # 512 rays
-    rec_r = closest_hit(bvh, o, d, t_min=0.0)
-    p_r = np.asarray(rec_r.prim)
-    m = p_r >= 0
-    for unroll, window in ((4, 32), (2, 8)):
-        rec_p, st = traverse_pallas_lane8u(bvh, o, d, t_min=0.0,
-                                           interpret=True, unroll=unroll,
-                                           window=window, return_stats=True)
-        # stats[0,5] flags silent iter_cap truncation (rays left undone
-        # read as misses) — must never fire on these scenes
-        assert int(np.asarray(st)[0, 5]) == 0
-        assert np.mean(p_r == np.asarray(rec_p.prim)) > 0.999
-        assert np.allclose(np.asarray(rec_p.t)[m], np.asarray(rec_r.t)[m],
-                           rtol=1e-4)
-    occ_r = np.asarray(occluded(bvh, o, d, t_min=0.0))
-    rec_a = traverse_pallas_lane8u(bvh, o, d, t_min=0.0, any_hit=True,
-                                   interpret=True)
-    assert np.array_equal(occ_r, np.asarray(rec_a.prim) >= 0)
-    # mixed pool: even rays closest, odd rays any-hit — each half must
-    # match its pure-call result
-    ahf = (np.arange(512) % 2).astype(np.float32)
-    rec_x = traverse_pallas_lane8u(bvh, o, d, t_min=0.0,
-                                   ah_flags=jnp.asarray(ahf),
-                                   interpret=True)
-    px = np.asarray(rec_x.prim)
-    cl_idx = ahf < 0.5
-    assert np.mean(px[cl_idx] == p_r[cl_idx]) > 0.999
-    assert np.array_equal(px[~cl_idx] >= 0, occ_r[~cl_idx])
-    # inactive rays must be reported as misses
-    active = np.zeros(512, bool); active[::5] = True
-    rec_m = traverse_pallas_lane8u(bvh, o, d, t_min=0.0,
-                                   active=jnp.asarray(active),
-                                   interpret=True)
-    pm = np.asarray(rec_m.prim)
-    assert np.all(pm[~active] == -1)
-    assert np.mean(pm[active] == p_r[active]) > 0.999
-
-
-def test_lane8u_multi_generation(cornell_scene):
-    """v11 wavefront larger than one resident generation (n > 8*lanes) with
-    mixed flags must round-trip through the windowed refill exactly."""
-    import jax.numpy as jnp
-    from hiprt_pt_tpu.core.camera import generate_camera_rays
-    from hiprt_pt_tpu.ops.pallas_traverse import traverse_pallas_lane8u
-    from hiprt_pt_tpu.ops.traverse import occluded
-
-    scene, camera = cornell_scene
-    bvh = build_bvh(np.asarray(scene.vertices), np.asarray(scene.triangles))
-    o, d = generate_camera_rays(camera, 96, 48)  # 4608 rays > 8*512
-    rec_r = closest_hit(bvh, o, d, t_min=0.0)
-    occ_r = np.asarray(occluded(bvh, o, d, t_min=0.0))
-    p_r = np.asarray(rec_r.prim)
-    m = p_r >= 0
-    ahf = (np.arange(4608) % 3 == 0).astype(np.float32)
-    rec_s = traverse_pallas_lane8u(bvh, o, d, t_min=0.0,
-                                   ah_flags=jnp.asarray(ahf),
-                                   interpret=True)
-    ps = np.asarray(rec_s.prim)
-    cl_idx = ahf < 0.5
-    assert np.mean(ps[cl_idx] == p_r[cl_idx]) > 0.999
-    assert np.allclose(np.asarray(rec_s.t)[m & cl_idx],
-                       np.asarray(rec_r.t)[m & cl_idx], rtol=1e-4)
-    assert np.array_equal(ps[~cl_idx] >= 0, occ_r[~cl_idx])

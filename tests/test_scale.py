@@ -35,12 +35,18 @@ def test_scale_caps_and_tables(big_scene):
     assert bvh.nodes_lane8.shape[0] <= pt.MAX_LANE8_NODES
     assert bvh.leaves_lane8.size <= pt.MAX_LANE8_LEAF_BYTES
     assert pt.lane8s_tables_ok(bvh, 1024)
-    # the 1.63M-tri config (tri_scale=11) exceeds lane8s's packed-ref cap
-    # but stays inside lane8log's: m_leaves scales ~T/89
+    # r5: lane8s's old 14-bit packed-leaf-ref cap (16384 leaves, ~1.45M
+    # tris) was lifted — base_leaf's high bits ride the stack mask plane —
+    # so the 1.63M-tri config (tri_scale=11) now routes to lane8s ITSELF;
+    # the remaining caps are the node count and a VMEM estimate
     est_leaves_1p6m = int(1_634_912 / (n_tris / bvh.leaves_lane8.shape[0]))
-    assert est_leaves_1p6m > 16384  # lane8s gate trips...
+    assert est_leaves_1p6m > 16384  # past the OLD cap...
+    import jax.numpy as jnp
+    big = bvh.replace(leaves_lane8=jnp.zeros(
+        (est_leaves_1p6m, 1808), jnp.int8))  # 12-bit W at auto scale
+    assert pt.lane8s_tables_ok(big, 1024)  # ...still lane8s in r5
     assert est_leaves_1p6m * bvh.leaves_lane8.shape[1] \
-        <= pt.MAX_LANE8_LEAF_BYTES  # ...lane8log still in cap
+        <= pt.MAX_LANE8_LEAF_BYTES  # lane8log also remains in cap
 
 
 def test_scale_traversal_matches_bruteforce(big_scene):

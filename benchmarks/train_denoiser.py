@@ -44,9 +44,16 @@ def build_dataset():
     scenes = []
     sc, cam = load_scene_file(
         "/root/reference/data/GLTFs/cornell_pbr.gltf", aspect=1.0)
-    scenes.append(("cornell", sc, cam, LightSamplingStrategy.MIS))
+    scenes.append(("cornell", sc, cam, LightSamplingStrategy.MIS, False))
     sc2, cam2 = load_stress_scene(aspect=1.0)
-    scenes.append(("stress", sc2, cam2, LightSamplingStrategy.RIS_BSDF_LIGHT))
+    scenes.append(("stress", sc2, cam2, LightSamplingStrategy.RIS_BSDF_LIGHT,
+                   False))
+    # HELD-OUT scene (VERDICT r4 task 7): dispersion glass — transport the
+    # training scenes never see; snapshots go to val ONLY
+    sc3, cam3 = load_scene_file(
+        "/root/reference/data/GLTFs/multi-dispersion.gltf", aspect=1.0)
+    scenes.append(("dispersion*", sc3, cam3, LightSamplingStrategy.MIS,
+                   True))
 
     def make(scene, cam, strat, seed):
         opts = RenderOptions(direct_light_sampling=strat,
@@ -61,7 +68,7 @@ def build_dataset():
 
     data = {"train": [], "val": []}
     refs = {}
-    for name, scene, cam, strat in scenes:
+    for name, scene, cam, strat, heldout in scenes:
         ref_r = make(scene, cam, strat, seed=7)
         ref_r.settings = ref_r.settings.replace(
             samples_per_frame=jnp.int32(256))
@@ -71,7 +78,9 @@ def build_dataset():
         refs[name] = ref
         print(f"{name}: reference done", flush=True)
         del ref_r
-        for split, seed in (("train", 3), ("val", 5)):
+        splits = ((("val", 5),) if heldout
+                  else (("train", 3), ("val", 5)))
+        for split, seed in splits:
             r = make(scene, cam, strat, seed=seed)
             done = 0
             for spp in SPPS:

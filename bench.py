@@ -62,17 +62,20 @@ def _emit(headline_mrays, extra):
 def _bench_renderer(r, n_frames=4):
     """Mrays/s and spp/s over one fused n_frames-sample dispatch.
 
-    samples_per_frame is a TRACED value, so the 1-sample warm-up run
-    compiles and warms the SAME executable as the n_frames timed run at
-    ~1/n_frames of the device cost (r4's bench lost its cornell+scale
-    evidence rows to warm-up wall time inside the 400 s budget)."""
+    The warm-up runs the full n_frames program once (its sample count is
+    static in the fused path); with the persistent XLA cache warm, each
+    config costs ~2x its device frame time inside the 400 s budget."""
     import jax
     import jax.numpy as jnp
 
     r.fuse_frame = True
-    r.settings = r.settings.replace(samples_per_frame=jnp.int32(1))
-    r.step(block=True)  # compile + warm-up (same program, 1 sample)
     r.settings = r.settings.replace(samples_per_frame=jnp.int32(n_frames))
+    # warm-up MUST run the n_frames program: the fused path's sample count
+    # is STATIC (render_step n_samples), so a 1-sample warm-up compiles a
+    # different executable and the timed run pays the real compile (the
+    # r5 first-draft "cheap warm" measured 0.34 Mrays/s for exactly that
+    # reason)
+    r.step(block=True)
     rays0 = float(jax.device_get(r.state.rays_traced))
     t0 = time.perf_counter()
     r.step(block=True)

@@ -1949,7 +1949,9 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                           -(base_leaf_p + (cpop - n_int_p)) - 1)
         keep = need_pop & ((newB & 255) != 0)
         stkB_s[:] = jnp.where(selT & keep[None], newB[None], stkB_s[:])
-        ptr = jnp.where(need_pop & (newB == 0), top, ptr)
+        # pop-off test must look at the CHILD bits only — the high bits
+        # carry base_leaf_hi and keep newB nonzero for leaf refs >= 16384
+        ptr = jnp.where(need_pop & ((newB & 255) == 0), top, ptr)
         cur = jnp.where(need_pop, ref_p, cur)
         valid = jnp.where(need_pop, 1, valid)
 

@@ -112,3 +112,40 @@ def test_routing_gates_degrade_in_order(big_scene, monkeypatch):
     assert not pt.pallas_lane8_supported(bvh, 1024)
     # stream8l only needs the BVH8-linear tables
     assert bvh.nodes8l is not None
+
+
+@pytest.mark.slow
+def test_lane8s_beyond_old_leaf_cap():
+    """r5 plane-B packed-leaf-ref regression: leaf refs >= 16384 park their
+    high bits in the stack's mask plane; the pop-off test must ignore those
+    bits (a bug here livelocked the walk into iter_cap truncation — caught
+    as 0.78 prim agreement at 32k leaves)."""
+    import jax.numpy as jnp
+
+    from hiprt_pt_tpu.ops import pallas_traverse as pt
+    from hiprt_pt_tpu.ops.traverse import closest_hit
+
+    rng = np.random.default_rng(11)
+    ntri = 70_000
+    c = rng.uniform(-1, 1, (ntri, 3)).astype(np.float32)
+    v = (c[:, None, :] + rng.uniform(-0.01, 0.01, (ntri, 3, 3))
+         ).astype(np.float32)
+    verts = v.reshape(-1, 3)
+    tris = np.arange(ntri * 3).reshape(-1, 3).astype(np.int32)
+    bvh = build_bvh(verts, tris, lane8_leaf_tris=4, leaf_bits=12)
+    assert bvh.leaves_lane8.shape[0] > 16384, bvh.leaves_lane8.shape
+    n = 2048
+    o = jnp.asarray(rng.uniform(-1.1, 1.1, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    ref = closest_hit(bvh, o, d)
+    rec, st = pt.traverse_pallas_lane8s(bvh, o, d, interpret=True,
+                                        return_stats=True)
+    st = np.asarray(st)
+    assert int(st[0, 1]) == 4096  # every lane finished (no cap truncation)
+    p1, p2 = np.asarray(rec.prim), np.asarray(ref.prim)
+    assert np.mean(p1 == p2) > 0.99
+    mm = (p2 >= 0) & (p1 == p2)
+    assert np.allclose(np.asarray(rec.t)[mm], np.asarray(ref.t)[mm],
+                       rtol=1e-4)

@@ -52,36 +52,53 @@ def build_dataset():
     # training scenes never see; snapshots go to val ONLY
     sc3, cam3 = load_scene_file(
         "/root/reference/data/GLTFs/multi-dispersion.gltf", aspect=1.0)
+    # multi-dispersion has no emissive geometry — it is lit by a uniform
+    # ambient dome (the first run rendered it BLACK under ambient NONE and
+    # the held-out rows were garbage)
     scenes.append(("dispersion*", sc3, cam3, LightSamplingStrategy.MIS,
                    True))
 
-    def make(scene, cam, strat, seed):
+    def make(scene, cam, strat, seed, name):
         opts = RenderOptions(direct_light_sampling=strat,
                              max_bounces_static=4)
         r = Renderer(scene, cam, RES, RES, options=opts, seed=seed)
         r.settings = r.settings.replace(
             nb_bounces=jnp.int32(4), samples_per_frame=jnp.int32(1))
+        amb = (AmbientLightType.UNIFORM if name.startswith("dispersion")
+               else AmbientLightType.NONE)
         r.world = r.world.replace(
-            ambient_light_type=jnp.int32(int(AmbientLightType.NONE)))
+            ambient_light_type=jnp.int32(int(amb)))
         r.fuse_frame = True
         return r
+
+    cache_dir = "/tmp/denoiser_ds_v3"
+    os.makedirs(cache_dir, exist_ok=True)
 
     data = {"train": [], "val": []}
     refs = {}
     for name, scene, cam, strat, heldout in scenes:
-        ref_r = make(scene, cam, strat, seed=7)
+        tag = name.rstrip("*")
+        cpath = os.path.join(cache_dir, f"{tag}.npz")
+        if os.path.exists(cpath):
+            z = np.load(cpath, allow_pickle=True)
+            for item in z["items"]:
+                data[item["split"]].append(item)
+            print(f"{name}: dataset from cache", flush=True)
+            continue
+        ref_r = make(scene, cam, strat, 7, name)
         ref_r.settings = ref_r.settings.replace(
             samples_per_frame=jnp.int32(256))
         for _ in range(4):
             ref_r.step(block=True)
         ref = np.asarray(ref_r.hdr_image())
         refs[name] = ref
-        print(f"{name}: reference done", flush=True)
+        print(f"{name}: reference done (mean {ref.mean():.3f})", flush=True)
         del ref_r
         splits = ((("val", 5),) if heldout
                   else (("train", 3), ("val", 5)))
+        items = []
         for split, seed in splits:
-            r = make(scene, cam, strat, seed=seed)
+            r = make(scene, cam, strat, seed, name)
             done = 0
             for spp in SPPS:
                 r.settings = r.settings.replace(
@@ -92,14 +109,16 @@ def build_dataset():
                 atr = atrous_denoise(
                     hdr, jnp.asarray(alb.copy()), jnp.asarray(nrm.copy()),
                     variance=var, spp_map=sppm)
-                data[split].append(dict(
-                    scene=name, spp=spp,
+                items.append(dict(
+                    scene=name, spp=spp, split=split,
                     noisy=np.asarray(hdr), atrous=np.asarray(atr),
                     albedo=np.asarray(alb), normal=np.asarray(nrm),
                     var=np.asarray(var), sppm=np.asarray(sppm),
                     target=refs[name]))
-            print(f"{name}/{split}: {len(SPPS)} snapshots", flush=True)
-            del r
+        np.savez_compressed(cpath, items=np.asarray(items, dtype=object))
+        for item in items:
+            data[item["split"]].append(item)
+        print(f"{name}: {len(items)} snapshots", flush=True)
     return data
 
 

@@ -52,6 +52,7 @@ def main():
           flush=True)
 
     assert srv._apply_performance_preset("fastest")
+    r = srv.renderer  # presets swap in the true low-res renderer (r5)
     t0 = time.perf_counter()
     r.step(block=True)  # tier-3 recompile of the interactive program
     print(f"interactive program compiled in "
@@ -68,6 +69,7 @@ def main():
     fps = 1000.0 / med_ms
 
     assert srv._apply_performance_preset("high_quality")
+    r = srv.renderer
     r.reset()
     t0 = time.perf_counter()
     r.step(block=True)  # recompile (4 bounces, full res)

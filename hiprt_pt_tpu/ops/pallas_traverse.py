@@ -1231,7 +1231,14 @@ def pallas_stream8l_supported(bvh: BVHData, n: int) -> bool:
 # --------------------------------------------------------------------------
 
 L8_STACK = 64        # per-lane stack depth (>= depth8 * 7)
-L8_MAX_RAYS = 1 << 18  # per-call ray cap (VMEM out buffer)
+L8_MAX_RAYS = 1 << 18  # per-call ray cap (VMEM out buffer; lane8log)
+# lane8s per-call cap: the rays+out VMEM buffers cost 36 B/ray, so 1M rays
+# adds ~50 MB — affordable at stress-table sizes and worth it: the 2.07M
+# in-frame wavefront measured +97 ms/bounce of chunk-boundary overhead at
+# 8 chunks (profile_stress r5). Big leaf tables shrink the cap to keep the
+# total under the 120 MB VMEM window.
+L8S_MAX_RAYS = 1 << 20
+L8S_VMEM_BUDGET = 110 * 1024 * 1024
 MAX_LANE8_NODES = 65536
 MAX_LANE8_LEAF_BYTES = 48 * 1024 * 1024  # int8 leaf table VMEM budget
 
@@ -2377,8 +2384,17 @@ def traverse_pallas_lane8s(
     )
     recs = []
     stats = None
-    for s in range(0, n, L8_MAX_RAYS):
-        e = min(n, s + L8_MAX_RAYS)
+    # per-call cap: stay inside VMEM after the leaf/node tables + one-hot
+    # working set. The rays+out buffers cost 48 B/ray; budget at 64 B/ray
+    # for headroom (scratch, relayouts).
+    fixed = (bvh.leaves_lane8.size + bvh.nodes_lane8.size * 2
+             + (bvh.leaves_lane8.shape[0] + bvh.nodes_lane8.shape[0])
+             * lanes * 5)
+    cap = max(1 << 17, min(L8S_MAX_RAYS,
+                           max(L8S_VMEM_BUDGET - fixed, 1 << 22) // 64))
+    cap = (cap // (8 * lanes)) * (8 * lanes) or (8 * lanes)
+    for s in range(0, n, cap):
+        e = min(n, s + cap)
 
         def _run(s=s, e=e):
             return _lane8s_call(

@@ -126,17 +126,10 @@ def main():
     bvh_l2 = bvh.replace(leaves_lane8=jnp.concatenate(
         [bvh.leaves_lane8, jnp.zeros_like(bvh.leaves_lane8)], axis=0))
 
-    adapt = os.environ.get("L8_MODE", "both")
+    mode = os.environ.get("L8_MODE", "both")
     for any_hit, tag in ((False, "cl"), (True, "ah")):
         t_base, rec0 = bench(f"lane8s {tag} base", bvh, rays, any_hit, reps)
-        if adapt in ("both", "adapt"):
-            t_a, rec_a = bench(f"lane8s {tag} ADAPT", bvh, rays, any_hit,
-                               reps, leaf_adapt=True)
-            print(f"  -> adapt vs base: {t_a * 1e3:7.1f} vs "
-                  f"{t_base * 1e3:7.1f} ms "
-                  f"(same prim: {bool(jnp.all(rec0.prim == rec_a.prim))})",
-                  flush=True)
-        if adapt == "adapt":
+        if mode == "base":
             continue
         t_n2, rec_n = bench(f"lane8s {tag} nodes x2", bvh_n2, rays,
                             any_hit, reps)

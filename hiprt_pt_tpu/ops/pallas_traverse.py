@@ -1861,8 +1861,6 @@ def traverse_pallas_lane8log(
 
 L8S_MAX_PACK = 16384  # 14-bit base_int field in plane A (nodes only;
 #                       base_leaf carries 24 bits across planes A+B)
-L8S_GAP_MIN = 4       # adaptive leaf-cadence bounds (leaf_adapt=True)
-L8S_GAP_MAX = 16
 
 
 def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
@@ -1872,8 +1870,7 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
                    *, leaf_bits: int, any_hit: bool, n_gen: int, m_nodes: int,
                    m_leaves: int, iter_cap: int, frame: tuple,
                    leaf_tris: int, round_every: int, lanes: int,
-                   window: int, s_depth: int, probe: bool = False,
-                   leaf_adapt: bool = False):
+                   window: int, s_depth: int, probe: bool = False):
     LN = lanes
     G = 8
     R = G * LN
@@ -1907,8 +1904,6 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         stats_ref[0, _si] = jnp.int32(0)
     sc_s[0, 0] = jnp.int32(0)  # lanes past their last generation
     sc_s[0, 1] = jnp.int32(0)  # window base (min generation)
-    sc_s[0, 2] = jnp.int32(round_every - 1)  # next leaf-round iteration
-    sc_s[0, 3] = jnp.int32(round_every)      # current adaptive gap
 
     slot_iota3 = jax.lax.broadcasted_iota(i32, (S, G, LN), 0)
     iota8 = jax.lax.broadcasted_iota(i32, (8, LN), 0)
@@ -1968,16 +1963,10 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
         valid = jnp.where(promo, 0, valid)
 
         node_lane = (valid > 0) & (cur >= 0)
-        if leaf_adapt:
-            # adaptive cadence: the leaf round (a full-table MXU stream,
-            # ~80% of kernel time — ROUND4.md l8decomp) fires when the
-            # scalar schedule says so; the gap is feedback-controlled at
-            # each leaf round from pend occupancy (below), so near-empty
-            # streams stop happening. Scalar SMEM read per iter — no
-            # vector->scalar crossing outside leaf rounds.
-            leaf_round = it >= sc_s[0, 2]
-        else:
-            leaf_round = (it % round_every) == (round_every - 1)
+        # NOTE r5: an adaptive leaf cadence (occupancy-feedback gap) was
+        # implemented and measured NEUTRAL-to-worse (ROUND5.md) — the pend
+        # population self-limits at ~0.6 occupancy; fixed cadence stays.
+        leaf_round = (it % round_every) == (round_every - 1)
         if probe:
             # occupancy diagnostics (probe builds only — adds per-iter
             # reductions): 5 = pending lanes summed over leaf rounds,
@@ -2075,21 +2064,6 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
             pendv = pend_s[:]
             btv2 = bt_s[:]
             rd2 = ray_s[:]
-            if leaf_adapt:
-                # feedback control: aim for pend occupancy in [5/8, 7/8]
-                # of busy lanes at service time; two vector->scalar
-                # crossings per LEAF ROUND only.
-                npend = jnp.sum((pendv > 0).astype(i32))
-                nbusy = jnp.sum((done_s[:] == 0).astype(i32))
-                gap = sc_s[0, 3]
-                gap2 = jnp.where(
-                    npend * 8 < nbusy * 5,
-                    jnp.minimum(gap + 2, jnp.int32(L8S_GAP_MAX)),
-                    jnp.where(npend * 8 > nbusy * 7,
-                              jnp.maximum(gap - 2, jnp.int32(L8S_GAP_MIN)),
-                              gap))
-                sc_s[0, 3] = gap2
-                sc_s[0, 2] = it + gap2
             step = jnp.float32(frame[3])
             nt_l, np_l, nu_l, nv_l, nh_l = [], [], [], [], []
             for g in range(G):
@@ -2268,8 +2242,7 @@ def _kernel_lane8s(nodes_ref, leaves_ref, rays_ref, out_ref, stats_ref,
 
 def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
                  any_hit: bool, interpret: bool, round_every: int = 8,
-                 lanes: int = 512, window: int = 8, probe: bool = False,
-                 leaf_adapt: bool = False):
+                 lanes: int = 512, window: int = 8, probe: bool = False):
     """One pallas_call over <= L8_MAX_RAYS rays; output is ordered by
     construction (lane (g, l) owns ray k*8*lanes + g*lanes + l)."""
     n = o.shape[0]
@@ -2301,7 +2274,7 @@ def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
                 m_nodes=m_nodes, m_leaves=m_leaves, iter_cap=iter_cap,
                 frame=bvh.lane8_frame, leaf_tris=bvh.lane8_leaf_tris,
                 round_every=round_every, lanes=LN, window=window,
-                s_depth=S, probe=probe, leaf_adapt=leaf_adapt),
+                s_depth=S, probe=probe),
         grid=(),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -2350,7 +2323,7 @@ def _lane8s_call(bvh: BVHData, o, d, tmin, tmax, act,
 
 @partial(jax.jit, static_argnames=("any_hit", "interpret", "return_stats",
                                   "round_every", "lanes", "window", "probe",
-                                  "leaf_adapt", "refine"))
+                                  "refine"))
 def traverse_pallas_lane8s(
     bvh: BVHData,
     o: jax.Array,
@@ -2365,7 +2338,6 @@ def traverse_pallas_lane8s(
     lanes: int = 512,
     window: int = 8,
     probe: bool = False,
-    leaf_adapt: bool = False,
     refine: bool | None = None,
 ) -> HitRecord:
     """Sublane-grouped static-strided per-lane BVH8 traversal (v10).
@@ -2399,8 +2371,7 @@ def traverse_pallas_lane8s(
         def _run(s=s, e=e):
             return _lane8s_call(
                 bvh, o[s:e], d[s:e], tmin[s:e], tmax_arr[s:e], act[s:e],
-                any_hit, interpret, round_every, lanes, window, probe,
-                leaf_adapt)
+                any_hit, interpret, round_every, lanes, window, probe)
 
         def _skip(s=s, e=e):
             return (empty_hit_record(e - s), jnp.zeros((1, 8), jnp.int32))

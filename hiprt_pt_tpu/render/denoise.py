@@ -169,13 +169,18 @@ def denoise(renderer, blend: float = 1.0, use_variance: bool = True,
 
     method: "atrous" = the wavelet filter; "nn" = the learned denoiser
     (render/denoise_nn.py, OIDN-class role) refining the wavelet output;
-    "auto" = nn when its shipped weights exist, else atrous."""
+    "auto" = the wavelet filter. (r5 held-out measurement,
+    benchmarks/train_denoiser.py with the dispersion scene excluded from
+    training: the residual CNN's wins on its training scenes are marginal
+    (-0.3..-0.5%) and it REGRESSES on unseen transport (+2..+6% rel-RMSE
+    at 8-64 spp) — so the generalizing filter is the default and the net
+    is explicit opt-in until its capacity/data reach OIDN class.)"""
     hdr, alb, nrm, var, spp_map = collect_aovs(
         renderer, use_variance=use_variance)
     alb_j = jnp.asarray(alb.copy())
     nrm_j = jnp.asarray(nrm.copy())
     out = atrous_denoise(hdr, alb_j, nrm_j, variance=var, spp_map=spp_map)
-    if method in ("auto", "nn"):
+    if method == "nn":
         from . import denoise_nn
 
         params = denoise_nn.load_params()

@@ -188,6 +188,30 @@ from ..ops.texture import apply_normal_map, apply_textures
 from ..ops.tonemap import luminance
 
 
+def _bounce_route_quantized(options: RenderOptions, bvh: BVHData,
+                            n: int) -> bool:
+    """True iff the incoherent bounce traversal would route through a
+    lattice-quantized table (lane8s/lane8log) — the only case where the
+    exact winner re-intersection in _interpolate_hit buys anything. The
+    coherent camera route (meganode / wide / stream8l) and the XLA
+    fallback intersect exact f32 triangles, so refinement there is pure
+    overhead (measured −7% on cornell, r5). Static at trace time."""
+    if not options.use_pallas_traversal:
+        return False
+    if getattr(options, "pallas_force_interpret", False):
+        return True
+    from ..ops.pallas_traverse import (
+        pallas_lane8_supported,
+        pallas_lane8s_supported,
+        pallas_supported,
+    )
+
+    if pallas_supported(bvh, n):
+        return False  # small scene: exact embedded-leaf meganode kernel
+    return (pallas_lane8s_supported(bvh, n)
+            or pallas_lane8_supported(bvh, n))
+
+
 def _interpolate_hit(scene: SceneData, prim, u, v, ray_d,
                      ray_o=None, hit_t=None):
     """Gather hit attributes for a batch of hits: position is recomputed by the
@@ -327,9 +351,18 @@ def camera_rays_pass(
     closest, _ = _make_tracers(options, coherent=True)
     rec = closest(bvh, o, d, t_min=0.0, active=active)
     hit = rec.prim >= 0
-    (ns, ng, uv, mat_id, tangent), (t_cam, _uc, _vc) = _interpolate_hit(
-        scene, rec.prim, rec.u, rec.v, d, ray_o=o, hit_t=rec.t
-    )
+    # the coherent camera route intersects exact f32 triangles (meganode /
+    # wide / stream8l / XLA) — no quantization to repair; the force-
+    # interpret dry run is the one quantized-camera case
+    if getattr(options, "pallas_force_interpret", False):
+        (ns, ng, uv, mat_id, tangent), (t_cam, _uc, _vc) = _interpolate_hit(
+            scene, rec.prim, rec.u, rec.v, d, ray_o=o, hit_t=rec.t
+        )
+    else:
+        ns, ng, uv, mat_id, tangent = _interpolate_hit(
+            scene, rec.prim, rec.u, rec.v, d
+        )
+        t_cam = rec.t
     if scene.textures is not None:
         nm_idx = scene.materials.fields_at(
             jnp.maximum(mat_id, 0), ("normal_map_texture_index",)
@@ -825,10 +858,17 @@ def render_sample(
         # next-vertex attributes + exact winner refinement: one gather
         # serves interpolation AND repairs the traversal tables' lattice
         # quantization before any consumer of t (absorption segment
-        # length, emitter pdf distance, next position)
-        (ns2, ng2, uv2, mat_id2, tan2), (t_b, _u2, _v2) = _interpolate_hit(
-            scene, rec.prim, rec.u, rec.v, wi, ray_o=o_next, hit_t=rec.t
-        )
+        # length, emitter pdf distance, next position). Gated on the
+        # bounce route actually being quantized (lane8s/lane8log).
+        if _bounce_route_quantized(options, bvh, o_next.shape[0]):
+            (ns2, ng2, uv2, mat_id2, tan2), (t_b, _u2, _v2) = \
+                _interpolate_hit(scene, rec.prim, rec.u, rec.v, wi,
+                                 ray_o=o_next, hit_t=rec.t)
+        else:
+            ns2, ng2, uv2, mat_id2, tan2 = _interpolate_hit(
+                scene, rec.prim, rec.u, rec.v, wi
+            )
+            t_b = rec.t
 
         # Beer-Lambert absorption along the segment inside a medium
         seg_t = jnp.where(hit, t_b, 0.0)

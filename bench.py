@@ -33,7 +33,11 @@ import sys
 import time
 
 _T0 = time.perf_counter()
-_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "400"))
+# 700 s: a fully-warm four-row run measured 498 s wall (r5); 400 s lost
+# the restir row at the gate. The driver's recorded runs have tolerated
+# >1200 s (BENCH_r05 warm-up run this round), so 700 keeps every evidence
+# row with margin while staying far inside the external window.
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "700"))
 
 
 def _elapsed():
